@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from weightlifting_wod_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="wod-etl-tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the star-schema tables registered as views,
+    mirroring the driver's oracle harness."""
+    import duckdb
+
+    from weightlifting_wod_etl_spark.io import TABLES, table_path
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(SF_SMOKE, name)}')"
+        )
+    yield con
+    con.close()

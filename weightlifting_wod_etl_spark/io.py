@@ -1,0 +1,83 @@
+"""Table loaders / writers for the synthetic star schema (TESTDATA.md).
+
+Scale notes (100 TB design): loaders are plain ``spark.read.parquet`` scans —
+Catalyst pushes filters and prunes columns into the parquet reader, so every
+downstream operator should express selection declaratively rather than
+materializing. Writers default to snappy parquet with an explicit
+``partitionBy`` so a 1000-executor cluster lays out data for partition
+pruning on the hot keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table; normalize physical quirks to logical types.
+
+    The synthetic ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark 4 only reads via ``spark.sql.legacy.parquet.nanosAsLong``
+    (runtime-settable). We truncate ns→us with exact integer division
+    (``DIV``, not float ``/`` — a double mantissa cannot hold epoch-ns) so
+    values agree bit-for-bit with any us-precision engine reading the same
+    file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all star-schema tables as DataFrames (lazy scans)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink (the reference's weekly-rollup S3 format).
+
+    Spark's JSON writer is JSONL-native: one object per line, one file per
+    partition — reference behavior at ``handler.py:193-242`` (single object)
+    generalized to a distributed sink.
+    """
+    df.write.mode(mode).json(path)

@@ -1,0 +1,134 @@
+"""Sessionization operators — the semantic heart of the reference.
+
+The reference sub-divides an ordered list of text lines into groups opened by
+regex-matching "marker" lines (reference ``transforms.py:10-39,115-208``:
+``partition_by`` + ``get_pairwise_series_indexes`` + ``get_groups``), and the
+same boundary-detection idea applies to time-gap sessionization of event
+streams.
+
+Spark-native design: instead of materializing pairwise index ranges and
+slicing lists (a driver-side O(n) loop in the reference), we express the
+boundary detection as window functions over a long/exploded frame:
+
+    marker      = line rlike pattern                      (OP6)
+    group_id    = running sum of marker over order        (OP7+OP8 fused)
+    groups      = groupBy(partition, group_id)
+
+This shuffles once on the partition key, streams within the window, and
+never collects to the driver — it scales to any number of posts/users
+because the window partitions by the entity key, not the whole dataset.
+
+Correctness traps preserved (SURVEY.md §2.3):
+  - a marker line belongs to the group it OPENS (running sum increments at
+    the marker row itself);
+  - content before the first marker is DROPPED (group_id = 0 filtered out);
+  - the final group extends to end-of-input (no explicit close needed —
+    running sum naturally covers the tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    sep: str = "\n",
+    line_col: str = "line",
+    idx_col: str = "line_idx",
+) -> DataFrame:
+    """OP5 — split text into ordered lines, long form.
+
+    Reference: ``transforms.py:156`` (``post_text_str.split('\\n')``).
+    ``posexplode`` keeps the ordinal, which every downstream sessionization
+    step orders by — no row order assumptions survive a shuffle otherwise.
+    """
+    id_cols = id_cols or []
+    return df.select(
+        *id_cols,
+        F.posexplode(F.split(F.col(text_col), sep)).alias(idx_col, line_col),
+    )
+
+
+def mark_boundaries(
+    df: DataFrame,
+    marker: Column,
+    partition_cols: list[str],
+    order_col: str,
+    group_col: str = "group_id",
+    drop_preamble: bool = True,
+) -> DataFrame:
+    """OP6+OP7+OP8 fused — assign a group id to every row from boundary markers.
+
+    ``marker`` is any boolean Column (typically ``col('line').rlike(pat)``).
+    Running ``sum(marker)`` over (partition, order) assigns each row the id of
+    the most recent marker at-or-before it — the window-function equivalent of
+    the reference's pairwise index ranges (``transforms.py:19-30``) + slice
+    gather (``transforms.py:33-39``), with the tail group closed for free.
+
+    ``drop_preamble=True`` reproduces the reference semantics where content
+    before the first marker is never emitted.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(group_col, F.sum(marker.cast("int")).over(w))
+    if drop_preamble:
+        out = out.filter(F.col(group_col) > 0)
+    return out
+
+
+def sessionize_by_marker(
+    df: DataFrame,
+    pattern: str,
+    partition_cols: list[str],
+    order_col: str = "line_idx",
+    line_col: str = "line",
+    group_col: str = "group_id",
+) -> DataFrame:
+    """OP9 — composite sessionizer: regex marker → per-row group id.
+
+    Reference: ``group_source_by(regex, source)`` at ``transforms.py:115-128``.
+    Returns the input rows + ``group_col``; aggregate/pivot downstream.
+    """
+    return mark_boundaries(
+        df,
+        marker=F.col(line_col).rlike(pattern),
+        partition_cols=partition_cols,
+        order_col=order_col,
+        group_col=group_col,
+    )
+
+
+def gap_sessionize(
+    df: DataFrame,
+    ts_col: str,
+    partition_cols: list[str],
+    gap_seconds: int,
+    session_col: str = "session_id",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-gap sessionization — OP9's pattern on time instead of text.
+
+    A row opens a new session when it is the first for its key or arrives
+    more than ``gap_seconds`` after the previous row. Same
+    marker→running-sum shape as :func:`mark_boundaries`, so it costs one
+    shuffle on the entity key and scales with key cardinality.
+
+    ``tiebreak_cols`` make the window order total when timestamps can
+    collide — required for deterministic output under parallelism.
+    Gap comparison happens at microsecond precision (``unix_micros``) so the
+    result is independent of the source file's physical timestamp unit.
+    """
+    order_cols = [ts_col, *(tiebreak_cols or [])]
+    w_order = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w_order)
+    is_new = prev_us.isNull() | (ts_us - prev_us > F.lit(gap_seconds * 1_000_000))
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(is_new.cast("int")).over(w_run))
