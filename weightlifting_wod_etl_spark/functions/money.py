@@ -1,0 +1,38 @@
+"""Deterministic money/measure aggregation via integer fixed-point.
+
+Summing doubles is order-dependent; at 100 TB the shuffle/combine order is
+nondeterministic run-to-run, and differs from any oracle engine. Per-row
+double arithmetic, by contrast, is IEEE-deterministic across engines. So:
+convert each row's measure to integer cents (one multiply + one round —
+deterministic), sum as BIGINT (exact, order-free), divide once at the end
+(one IEEE division — deterministic). Result: bit-identical aggregates under
+any parallelism, at any scale, matching any engine that does the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_fixed(col: Column | str, scale: int = 2) -> Column:
+    """Row-level: double measure → integer units of 10^-scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10**scale)).cast("long")
+
+
+def sum_fixed(col: Column | str, scale: int = 2, out_scale: int | None = None) -> Column:
+    """Order-free exact sum of a double measure, returned as double.
+
+    ``out_scale`` defaults to ``scale``; the final division is a single IEEE
+    op so the double is identical in every engine.
+    """
+    out_scale = scale if out_scale is None else out_scale
+    return (F.sum(to_fixed(col, scale)) / F.lit(float(10**out_scale))).alias("sum")
+
+
+def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
+    """Order-free average: exact integer sum / count, then one rounding."""
+    return F.round(
+        F.sum(to_fixed(col, scale)) / F.count(F.lit(1)) / F.lit(float(10**scale)), round_to
+    )

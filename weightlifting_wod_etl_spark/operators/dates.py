@@ -1,0 +1,82 @@
+"""Date operators — OP12 (slug date-range extraction), OP13 (week spine).
+
+Reference semantics preserved exactly (SURVEY.md §2.3-3):
+  - week start is the SUNDAY BEFORE a Monday-start week:
+    ``start = d - timedelta(d.isoweekday())`` (``transforms.py:232``) —
+    note a Sunday maps to the *previous* Sunday (isoweekday(Sun)=7);
+  - slug parsing handles ``april-1-7-2024`` / ``April 1-7, 2024`` forms with
+    month-name lookup (``transforms.py:42-112``); invalid dates → NULL
+    (Spark ``make_date`` is NULL-on-invalid with ANSI off, matching the
+    reference's try/except).
+
+All pure column expressions — codegen'd, no UDFs, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONTHS = [
+    "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+]
+
+
+def month_number(name_col: Column) -> Column:
+    """Case-insensitive English month name → 1-12 (NULL if unknown).
+
+    Reference: month-name map at ``transforms.py:96-100``.
+    """
+    lowered = F.lower(name_col)
+    out = None
+    for i, m in enumerate(MONTHS, start=1):
+        out = F.when(lowered == m, i) if out is None else out.when(lowered == m, i)
+    return out.otherwise(F.lit(None).cast("int"))
+
+
+def isoweekday(d: Column) -> Column:
+    """ISO weekday 1=Monday .. 7=Sunday (Python ``date.isoweekday``)."""
+    return ((F.dayofweek(d) + 5) % 7) + 1
+
+
+def week_start_sunday(d: Column) -> Column:
+    """The reference's week anchor: ``d - isoweekday(d)`` days."""
+    return F.date_sub(d, isoweekday(d))
+
+
+def date_spine(start: Column, num_days: Column | int) -> Column:
+    """Array of consecutive dates starting at ``start`` (OP13 spine).
+
+    Explode with ``posexplode`` to get (ordinal, date) rows; join on the
+    ordinal to attach spine dates positionally, as the reference zips
+    ``dates[1:]`` with day groups (``transforms.py:247-259``).
+    """
+    n = F.lit(num_days) if isinstance(num_days, int) else num_days
+    return F.sequence(start, F.date_add(start, n - F.lit(1)))
+
+
+# slug form: 'april-1-7-2024' (month-d1-d2-year); title form 'April 1-7, 2024'
+_SLUG_PAT = r"([a-zA-Z]+)-(\d{1,2})-(\d{1,2})-(\d{4})"
+_TITLE_PAT = r"([a-zA-Z]+) (\d{1,2})-(\d{1,2}),? (\d{4})"
+
+
+def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Column, Column]:
+    """OP12 — parse a (start, end) date pair out of slug, falling back to
+    title (slug-over-title priority, ``tests/test_transforms.py:75-83``).
+
+    Returns two DateType columns; unparseable / invalid dates are NULL.
+    """
+
+    def parse(src: Column, pat: str) -> tuple[Column, Column]:
+        month = month_number(F.regexp_extract(src, pat, 1))
+        d1 = F.regexp_extract(src, pat, 2).cast("int")
+        d2 = F.regexp_extract(src, pat, 3).cast("int")
+        yr = F.regexp_extract(src, pat, 4).cast("int")
+        return F.make_date(yr, month, d1), F.make_date(yr, month, d2)
+
+    s_start, s_end = parse(slug, _SLUG_PAT)
+    if title is None:
+        return s_start, s_end
+    t_start, t_end = parse(title, _TITLE_PAT)
+    return F.coalesce(s_start, t_start), F.coalesce(s_end, t_end)

@@ -1,0 +1,46 @@
+"""Deduplication operators — OP3 (idempotent-write guard) + M6 exact dedup.
+
+Reference: ``IdempotencyService`` (``services/idempotency_service.py:27-106``)
+skips work whose sha256("op:identifier") key exists in a ledger table. The
+Spark-native form is a LEFT ANTI JOIN against the ledger — Catalyst
+broadcasts the ledger when it is small, otherwise AQE picks a shuffled hash
+join; either way it is one pass over the big side, no driver round-trips.
+
+Exact dedup keeps ONE deterministic canonical row per key via row_number
+over an explicit total order — never ``dropDuplicates``, whose survivor is
+partition-order-dependent and breaks oracle comparison (and reproducibility
+at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def idempotency_key(op: str, identifier: Column | str) -> Column:
+    """sha256 hex of 'op:identifier' — reference keygen at
+    services/idempotency_service.py:27-40."""
+    c = F.col(identifier) if isinstance(identifier, str) else identifier
+    return F.sha2(F.concat_ws(":", F.lit(op), c), 256)
+
+
+def anti_join_ledger(df: DataFrame, ledger: DataFrame, key: str = "idem_key") -> DataFrame:
+    """Rows of ``df`` whose key is NOT in the ledger (work not yet done)."""
+    return df.join(ledger.select(key), on=key, how="left_anti")
+
+
+def expire_ledger(ledger: DataFrame, ttl_col: str = "ttl") -> DataFrame:
+    """Drop expired ledger entries (reference 24 h TTL,
+    services/idempotency_service.py:75-106)."""
+    return ledger.filter(F.col(ttl_col) > F.unix_timestamp())
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str | Column], order_cols: list[Column]
+) -> DataFrame:
+    """One canonical row per key, survivor chosen by a TOTAL order."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )

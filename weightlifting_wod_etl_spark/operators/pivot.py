@@ -1,0 +1,51 @@
+"""Ordered group-concat + pivot-to-wide — OP14 of the reference.
+
+Reference: ``sessions_to_json_records_by_day`` (``transforms.py:250-259``)
+builds ``{segment_key: ' '.join(lines)}`` per day. The Spark translation has
+one famous trap (SURVEY.md §2.3-6): ``collect_list`` ordering is undefined
+under shuffle. We make the concat deterministic by collecting
+``struct(order, value)`` and ``array_sort``-ing before joining — the sort
+happens inside the aggregation buffer per group, no extra shuffle.
+
+Pivot always takes an EXPLICIT values list: the implicit form plans a second
+job just to enumerate keys, which at 100 TB is a full extra scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ordered_concat_expr(order_col: str, value_col: str, sep: str = " ") -> Column:
+    """Aggregate expression: values joined by ``sep`` in ``order_col`` order."""
+    pairs = F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+    return F.array_join(F.transform(F.array_sort(pairs), lambda s: s.getField("v")), sep)
+
+
+def ordered_group_concat(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "joined",
+    sep: str = " ",
+) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        ordered_concat_expr(order_col, value_col, sep).alias(out_col)
+    )
+
+
+def pivot_wide(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    values: list[str],
+    agg_expr: Column,
+) -> DataFrame:
+    """Pivot ``key_col`` into one column per value with explicit values.
+
+    Reference analog: one record per day with one column per segment key
+    (``transforms.py:250-259``).
+    """
+    return df.groupBy(*group_cols).pivot(key_col, values).agg(agg_expr)

@@ -1,0 +1,160 @@
+"""Aggregate / join benchmark queries — TPC-H-style plans + explicit pivot.
+
+These are the headline bench queries: they exercise hash aggregation with
+map-side partial combine, broadcast vs shuffle join selection, and AQE.
+All money aggregates use integer-cents fixed point (functions/money.py) so
+results are order-free and engine-exact at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import to_fixed
+from ..io import load_table
+from ..operators.pivot import pivot_wide
+from ..queries_registry import register
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "q_pivot_wide",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN round(value*100)::BIGINT END) / 100.0, 2) AS click,
+           round(sum(CASE WHEN event_type = 'view' THEN round(value*100)::BIGINT END) / 100.0, 2) AS view,
+           round(sum(CASE WHEN event_type = 'purchase' THEN round(value*100)::BIGINT END) / 100.0, 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup' THEN round(value*100)::BIGINT END) / 100.0, 2) AS signup,
+           round(sum(CASE WHEN event_type = 'error' THEN round(value*100)::BIGINT END) / 100.0, 2) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP14 pivot — one wide row per key with EXPLICIT pivot values
+    (implicit pivot would plan an extra distinct-scan job; SURVEY §4)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2)
+    return pivot_wide(
+        events.select("user_id", "event_type", "value"),
+        group_cols=["user_id"],
+        key_col="event_type",
+        values=EVENT_TYPES,
+        agg_expr=agg,
+    )
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+           sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+           sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_disc_price,
+           sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000)::BIGINT) / 10000.0 AS sum_charge,
+           round(sum(round(l_quantity * 100)::BIGINT) / count(*) / 100.0, 4) AS avg_qty,
+           round(sum(round(l_extendedprice * 100)::BIGINT) / count(*) / 100.0, 4) AS avg_price,
+           round(sum(round(l_discount * 10000)::BIGINT) / count(*) / 10000.0, 4) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — partial+final hash agg on 2 keys;
+    the canonical 'does map-side combine happen' plan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(to_fixed("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+        (F.sum(to_fixed("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(to_fixed(disc_price, 4)) / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.sum(to_fixed(charge, 4)) / F.lit(10000.0)).alias("sum_charge"),
+        F.round(F.sum(to_fixed("l_quantity")) / n / F.lit(100.0), 4).alias("avg_qty"),
+        F.round(F.sum(to_fixed("l_extendedprice")) / n / F.lit(100.0), 4).alias("avg_price"),
+        F.round(F.sum(to_fixed("l_discount", 4)) / n / F.lit(10000.0), 4).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority — dim filter → broadcast join →
+    agg → total-order top-k (ties broken by orderkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    revenue_fixed = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(revenue_fixed) / F.lit(10000.0)).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join star query — every dimension side is
+    broadcast; only the orders⋈lineitem join shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue_fixed = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(revenue_fixed) / F.lit(10000.0)).alias("revenue"))
+    )

@@ -1,0 +1,165 @@
+"""Join / dedup / window / set-op / JSON queries (OP3, OP18 + native extras)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import anti_join_ledger, exact_dedup, idempotency_key
+from ..queries_registry import register
+
+
+@register(
+    "q_dedup_antijoin",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, sha256('put:' || text) AS idem_key FROM documents
+    ), ledger AS (
+        SELECT idem_key FROM keyed WHERE doc_id % 10 = 0
+    )
+    SELECT k.doc_id, k.idem_key
+    FROM keyed k ANTI JOIN ledger l USING (idem_key)
+    """,
+)
+def q_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP3 — idempotent-write guard as a left-anti join against a sha256
+    ledger (services/idempotency_service.py:27-106). The ledger side is
+    small → Catalyst broadcasts it; the big side streams through."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", idempotency_key("put", F.col("text")).alias("idem_key"))
+    ledger = keyed.filter(F.col("doc_id") % 10 == 0).select("idem_key")
+    return anti_join_ledger(keyed, F.broadcast(ledger), "idem_key").select("doc_id", "idem_key")
+
+
+@register(
+    "q_kv_upsert_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           round(value, 2) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q_kv_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP18 — last-writer-wins per key, the engine-side equivalent of the
+    reference's DynamoDB putItem keyed (date, session)
+    (SemiStructureInvictusPost_stateMachine.yml:67-102). Total order via
+    (ts, event_id) tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    winners = exact_dedup(
+        events,
+        key_cols=["user_id", "event_type"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return winners.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_key,
+           min(doc_id) AS canonical_doc_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 exact dedup — hash-groupBy on content, deterministic canonical
+    representative (min doc_id). One shuffle on the content hash; at 100 TB
+    the hash key is what makes the shuffle balanced."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn::BIGINT AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via row_number over a total order — the ranking
+    flavor of the reference's window pattern (OP7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations — free in Spark (SURVEY §2.2 'Set ops')."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 50000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b).subtract(c)
+
+
+@register(
+    "q_json_fns",
+    oracle="""
+    SELECT json_extract_string(props, '$.k')::INT AS k_val,
+           count(*)::BIGINT AS n,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM events
+    GROUP BY k_val
+    """,
+)
+def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (reference json.dumps/loads boundary, OP23 analog) —
+    get_json_object stays JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    from ..functions.money import to_fixed
+
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"), "value"
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
+        )
+    )

@@ -49,4 +49,4 @@ def register(name: str, oracle: str | None = None):
 
 
 # Import for registration side effects — each module registers its queries.
-from .queries import core  # noqa: E402,F401
+from .queries import aggregates, core, dates_clean, joins_dedup, text_sessionize  # noqa: E402,F401
