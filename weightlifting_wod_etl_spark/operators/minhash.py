@@ -1,0 +1,175 @@
+"""MinHash + LSH near-duplicate detection — M6 scale extension.
+
+Scale design (the whole point of LSH at 100 TB):
+  - shingling and the K minhash signatures are PER-ROW array expressions
+    (``transform``/``array_min`` over the shingle array) — no explode, no
+    shuffle, fully JVM-side; signature cost is O(K·shingles) per doc.
+  - only the tiny (doc_id, band_idx, band_key) frame is exploded (B rows
+    per doc) and self-joined on the band key — the shuffle key is the band
+    hash, which is uniformly distributed, so the join is balanced.
+  - exact Jaccard verification runs only on the candidate pairs that share
+    a band — at threshold-tuned (K, B) that is a vanishing fraction of the
+    N² pair space.
+
+Portability: the "hash family" is ``md5(seed || ':' || shingle)`` compared
+lexicographically — deterministic, engine-agnostic (any SQL engine computes
+the identical hex), which is what makes the DuckDB oracle possible. A
+production deployment would swap in ``xxhash64`` for speed; the operator
+shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Distinct n-gram token shingles, joined by spaces.
+
+    Mirrors ``generate_series(1, len(tokens)-n+1)`` semantics: shorter-than-n
+    documents yield an EMPTY array (Spark ``sequence`` would count downward,
+    so guard explicitly).
+    """
+    toks = F.split(text, sep)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), sep))
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def _seeded_md5(seed: int):
+    """One-arg lambda factory. MUST be one-arg: pyspark treats a two-arg
+    ``transform`` lambda as (element, index), which would silently shadow a
+    default-arg seed with the index column."""
+    prefix = f"{seed}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
+    """K min-hashes: per seed, the lexicographic min of md5('seed:shingle').
+
+    Pure per-row expressions — the signature never shuffles.
+    """
+    return [
+        F.array_min(F.transform(shingle_col, _seeded_md5(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+
+
+def band_keys(sig_cols: list[Column | str], rows_per_band: int) -> Column:
+    """Group the signature into bands; each band key is the '|' join of its
+    rows. Returns an array<string> of length K / rows_per_band."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in sig_cols]
+    bands = [
+        F.concat_ws("|", *cols[i : i + rows_per_band])
+        for i in range(0, len(cols), rows_per_band)
+    ]
+    return F.array(*bands)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 LSH band, with exact
+    Jaccard computed on the shingle sets for verification."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
+    sh = sh.filter(F.size("shingles") > 0)
+    sigs = sh.select(
+        id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes)
+    )
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            band_keys([f"mh_{i}" for i in range(num_hashes)], rows_per_band)
+        ).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (no LSH) —
+    the brute-force baseline whose cost motivates LSH. Candidates come from
+    a shingle-equality self-join (shuffle on shingle), so it's exact but
+    O(pairs-sharing-a-shingle)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
+    sh = sh.filter(F.size("shingles") > 0)
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash: per-bit majority vote over token hashes → integer fingerprint.
+
+    Bit j's token hash is ``md5('j:' || token)`` and the vote is whether the
+    hex digest starts below '8' (an unbiased coin per (j, token)) — pure
+    string ops so any engine reproduces it. Tokens are weighted by
+    frequency (explode keeps duplicates). One shuffle: groupBy(doc).
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    votes = [
+        F.sum(
+            F.when(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))) < "8", 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("fingerprint"))

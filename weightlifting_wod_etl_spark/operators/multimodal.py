@@ -1,0 +1,127 @@
+"""Multimodal column plumbing — M6 extension.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; the
+Spark-side machinery (schema, Arrow batching, partition-parallel decode) is
+real and tested. The codec step itself is STUBBED: the decode libraries
+(Pillow/ffmpeg/librosa) are not in this container, so ``decode_media``
+raises ``NotImplementedError`` and tests/queries use
+``deterministic_fake_features`` — a sha256-derived feature vector with the
+same shape the real decoder would produce.
+
+Scale notes: feature extraction is ``mapInPandas`` — per-partition Arrow
+batches, so a 1000-executor cluster decodes partitions independently; the
+binary payload never moves through the driver. Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (keep payload_bytes ×
+batch_rows under executor memory).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# canonical multimodal record schema
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+N_FEATURES = 8
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real codec entry point — requires Pillow/ffmpeg/librosa.
+
+    STUB: decode libraries are not available in this environment.
+    """
+    raise NotImplementedError(
+        "media decode requires Pillow/ffmpeg/librosa; use "
+        "deterministic_fake_features for plumbing tests"
+    )
+
+
+def deterministic_fake_features(payload: bytes, n: int = N_FEATURES) -> list[float]:
+    """Stand-in for the decoder: n floats in [0,1) derived from sha256 of
+    the payload — deterministic, shape-compatible with a real embedder."""
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(n)
+    ]
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Partition-parallel feature extraction over binary payloads.
+
+    ``mapInPandas`` processes Arrow record batches; swap
+    ``deterministic_fake_features`` for the real decoder when codec libs
+    exist — the plumbing (schema, batching, distribution) is unchanged.
+    """
+
+    # NOTE: the closure must be SELF-CONTAINED (stdlib imports only, no
+    # references to this package) — cloudpickle ships nested functions by
+    # value, but a reference to a module-level symbol would require the
+    # package to be importable on every Python worker, which is not true
+    # when the driver process adds the repo to sys.path dynamically.
+    n_feat = N_FEATURES
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        def _features(payload: bytes) -> list[float]:
+            digest = _hashlib.sha256(payload).digest()
+            return [
+                int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+                for i in range(n_feat)
+            ]
+
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "features": payloads.map(_features),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text as binary payloads so the multimodal
+    plumbing is exercisable on the synthetic tables."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )

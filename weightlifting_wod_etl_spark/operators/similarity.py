@@ -1,0 +1,87 @@
+"""Similarity search over embedding columns — M6 scale extension.
+
+Two paths, as a real 100 TB pipeline needs both:
+  - brute-force cosine top-k: exact, one pass, no shuffle until the final
+    top-k (``orderBy + limit`` → Spark's TakeOrderedAndProject, which keeps
+    only k rows per partition before the single-reduce);
+  - LSH/IVF-bucketed ANN: a deterministic coarse quantizer (sign bits of
+    the leading dimensions) partitions vectors into buckets; the probe only
+    scans its own bucket — at scale the bucket column is the partition key
+    so a probe touches one partition instead of all of them.
+
+Dot products use ``zip_with`` + ``aggregate`` — native JVM expressions with
+an in-order double fold, so results are bit-identical to any engine that
+folds in order (no Pandas UDF needed; Arrow round-trips would be slower
+and nondeterministic only in exotic SIMD cases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order double fold of the elementwise product."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic coarse quantizer: bit i = sign(vec[i]) for the leading
+    n_bits dimensions → bucket id in [0, 2^n_bits)."""
+    out = None
+    for i in range(n_bits):
+        term = F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out.cast("int")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` against a single-row ``probe`` frame.
+
+    The probe is crossJoin-broadcast (1 row) — never collected to Python.
+    Ordering is total: (rounded cosine desc, id) so ties are deterministic.
+    """
+    p = probe.select(F.col(vec_col).alias("__probe"))
+    sim = F.round(cosine(F.col(vec_col), F.col("__probe")), 6).alias("cos_sim")
+    return (
+        df.crossJoin(F.broadcast(p))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: restrict the scan to the probe's sign-bucket, then exact cosine
+    top-k within it. Recall < 1 by design; at scale the bucket is the
+    partition key so this reads 1/2^n_bits of the data."""
+    bucketed = df.withColumn("__bucket", sign_bucket(F.col(vec_col), n_bits))
+    p = probe.select(
+        F.col(vec_col).alias("__probe"), sign_bucket(F.col(vec_col), n_bits).alias("__pbucket")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__probe")), 6).alias("cos_sim")
+    return (
+        bucketed.join(F.broadcast(p), F.col("__bucket") == F.col("__pbucket"))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,346 @@
+"""M6 queries: dedup family, similarity search, text analysis, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.minhash import lsh_candidate_pairs, ngram_jaccard_pairs, simhash_fingerprint
+from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    ws_token_count,
+)
+from ..queries_registry import register
+
+_SHINGLED_CTE = """
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingles
+        FROM documents
+    )
+"""
+
+
+@register(
+    "q_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLED_CTE},
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    sigs AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+        FROM exploded, unnest(generate_series(0, 7)) AS t(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band_idx, string_agg(mh, '|' ORDER BY seed) AS band_key
+        FROM sigs GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands×2) candidate pairs with exact-Jaccard verify.
+    Signatures are per-row expressions; only band keys shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, num_hashes=8, rows_per_band=2, shingle_n=3)
+
+
+@register(
+    "q_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN md5(j::VARCHAR || ':' || tok) < '8' THEN 1 ELSE -1 END) AS v
+        FROM toks, unnest(generate_series(0, 15)) AS t(j)
+        GROUP BY doc_id, j
+    ),
+    fp AS (
+        SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS fingerprint
+        FROM votes GROUP BY doc_id
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint)::BIGINT AS cluster_size
+    FROM fp
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per doc + fingerprint-cluster sizes
+    (near-dups collide; the per-bit hash family is portable md5 votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprint(docs, bits=16)
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 3),
+                   i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS shingles
+        FROM documents WHERE doc_id < 150
+    ),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                     (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+        FROM cand c
+        JOIN shingled sa ON sa.doc_id = c.doc_a
+        JOIN shingled sb ON sb.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard pairs (no LSH) on a doc subset — the baseline
+    whose quadratic candidate growth motivates q_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs, shingle_n=4, min_jaccard=0.2)
+
+
+@register(
+    "q_cosine_topk",
+    oracle="""
+    SELECT a.vec_id,
+           round(list_dot_product(a.embedding::DOUBLE[], p.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
+                 6) AS cos_sim
+    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 probe — exact ANN baseline;
+    zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return brute_force_topk(emb, probe, k=10)
+
+
+@register(
+    "q_ann_lsh_bucket",
+    oracle="""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+                CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+                CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+                CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END +
+                CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END +
+                CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
+                CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
+                CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::INT AS bucket
+        FROM embeddings
+    ),
+    p AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round(list_dot_product(a.embedding::DOUBLE[], p.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
+                 6) AS cos_sim
+    FROM bucketed a JOIN p ON a.bucket = p.bucket
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-bit coarse quantizer (8 bits → 256 buckets);
+    probe scans only its own bucket. At 100 TB the bucket is the partition
+    key — 1/256 of the data read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return lsh_bucket_topk(emb, probe, k=10, n_bits=8)
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 4) AS avg_tokens,
+           round(sum(length(text))::DOUBLE / count(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (exact integer sums / count — order-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(ws_token_count(F.col("text"))) / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        F.round(F.sum(F.length("text")) / F.count(F.lit(1)), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}'))::BIGINT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS c_en,
+               len(regexp_extract_all(lower(text), '\b(le|la|de|et)\b')) AS c_fr,
+               len(regexp_extract_all(lower(text), '\b(el|la|de|y)\b')) AS c_es,
+               len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS c_de
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+                WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+                WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(n_toks / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+                 + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4) AS quality
+    FROM feats
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite length/punctuation/stopword quality score per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint)::BIGINT AS n_same
+    FROM fp
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint + exact-dup cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select("doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same"))
+
+
+@register(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: opaque binary payload + typed metadata
+    (byte length, content hash) — all JVM-side."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+@register("q_multimodal_features")  # no oracle: mapInPandas stub decoder
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel feature extraction over binary payloads
+    (mapInPandas + Arrow). Decoder is the deterministic sha256 stub —
+    rows-only check by design (codec libs absent in this environment)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("feature_0"),
+    )
+
+
+@register("q_approx_distinct")  # no oracle: HLL sketch differs per engine
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — rows-only check; sketches
+    are engine-specific by nature (SURVEY §7.3)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

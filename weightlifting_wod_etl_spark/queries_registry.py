@@ -49,4 +49,11 @@ def register(name: str, oracle: str | None = None):
 
 
 # Import for registration side effects — each module registers its queries.
-from .queries import aggregates, core, dates_clean, joins_dedup, text_sessionize  # noqa: E402,F401
+from .queries import (  # noqa: E402,F401
+    aggregates,
+    core,
+    dates_clean,
+    joins_dedup,
+    llm_ops,
+    text_sessionize,
+)
