@@ -1,0 +1,76 @@
+"""Sink delivery-guarantee tests: idempotent JSONL, kv upsert."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp(prefix="wod_sinks_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_jsonl_idempotent_rerun_writes_zero(spark, tmp):
+    from weightlifting_wod_etl_spark.operators.dedup import idempotency_key
+    from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
+
+    df = spark.range(10).select(
+        F.col("id"), idempotency_key("put", F.col("id").cast("string")).alias("idem_key")
+    )
+    out, ledger = os.path.join(tmp, "out"), os.path.join(tmp, "ledger")
+    assert write_jsonl_idempotent(df, out, ledger) == 10
+    assert write_jsonl_idempotent(df, out, ledger) == 0  # replay skipped
+    # partial overlap: 5 old + 5 new → only new written
+    df2 = spark.range(5, 15).select(
+        F.col("id"), idempotency_key("put", F.col("id").cast("string")).alias("idem_key")
+    )
+    assert write_jsonl_idempotent(df2, out, ledger) == 5
+    assert spark.read.json(out).count() == 15
+
+
+def test_jsonl_fail_open_on_corrupt_ledger(spark, tmp):
+    from weightlifting_wod_etl_spark.operators.dedup import idempotency_key
+    from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
+
+    df = spark.range(3).select(
+        F.col("id"), idempotency_key("put", F.col("id").cast("string")).alias("idem_key")
+    )
+    out, ledger = os.path.join(tmp, "out"), os.path.join(tmp, "ledger")
+    os.makedirs(ledger)
+    with open(os.path.join(ledger, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    # reference §2.3-7: infra failure must NOT block the write
+    assert write_jsonl_idempotent(df, out, ledger, fail_open=True) == 3
+
+
+def test_kv_upsert_last_writer_wins(spark, tmp):
+    from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+    path = os.path.join(tmp, "kv")
+    v1 = spark.createDataFrame(
+        [("2021-01-01", "Mon", "old", 1), ("2021-01-02", "Tue", "keep", 1)],
+        ["date", "session", "payload", "version"],
+    )
+    kv_upsert_parquet(v1, path, key_cols=["date", "session"], order_cols=["version"])
+    v2 = spark.createDataFrame(
+        [("2021-01-01", "Mon", "new", 2)], ["date", "session", "payload", "version"]
+    )
+    kv_upsert_parquet(v2, path, key_cols=["date", "session"], order_cols=["version"])
+    rows = {(r.date, r.session): r.payload for r in spark.read.parquet(path).collect()}
+    assert rows == {("2021-01-01", "Mon"): "new", ("2021-01-02", "Tue"): "keep"}
+
+
+def test_weekly_rollup_path(spark, tmp):
+    from weightlifting_wod_etl_spark.sinks import weekly_rollup_path
+
+    df = spark.createDataFrame(
+        [("2021-01-03",), ("2021-01-08",)], ["date"]
+    )
+    assert weekly_rollup_path(df, tmp).endswith("weekly/2021-01-03__2021-01-08--records.json")

@@ -1,0 +1,102 @@
+"""Streaming sessionization tests: file-source micro-batches → memory sink,
+cross-checked against the batch plan on the same data."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    """Split sf0.001 events into two parquet files (two micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    tmp = tempfile.mkdtemp(prefix="wod_stream_")
+    in_dir = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    half = src.count() // 2
+    a = src.orderBy("ts").limit(half)
+    b = src.orderBy("ts").subtract(a)
+    a.coalesce(1).write.parquet(os.path.join(in_dir, "batch_a"))
+    b.coalesce(1).write.parquet(os.path.join(in_dir, "batch_b"))
+    yield src, in_dir, ckpt
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(spark, df, ckpt, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_session_window_stream_matches_batch(spark, stream_dirs):
+    from weightlifting_wod_etl_spark.streaming.sessions import session_window_agg
+
+    src, in_dir, ckpt = stream_dirs
+    schema = src.schema
+    stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(in_dir)
+    got = _run_stream(
+        spark, session_window_agg(stream, watermark="1 minute"), ckpt + "_sw", "sw_out"
+    ).collect()
+    batch = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in session_window_agg(src).collect()
+    }
+    assert len(got) > 0, "stream emitted nothing — watermark never advanced"
+    for r in got:  # every emitted session must be exactly a batch session
+        key = (r.user_id, r.session_start, r.session_end)
+        assert key in batch, f"streamed session {key} not in batch result"
+        assert batch[key] == (r.n_events, r.sum_value)
+    # availableNow leaves only post-watermark sessions unemitted
+    assert len(got) >= len(batch) * 0.5
+
+
+def test_stateful_sessionizer_stream(spark, stream_dirs):
+    from weightlifting_wod_etl_spark.operators.sessionize import gap_sessionize
+    from weightlifting_wod_etl_spark.streaming.sessions import stateful_gap_sessionize
+
+    src, in_dir, ckpt = stream_dirs
+    stream = spark.readStream.schema(src.schema).option("recursiveFileLookup", "true").parquet(in_dir)
+    got = _run_stream(
+        spark, stateful_gap_sessionize(stream), ckpt + "_state", "state_out"
+    ).collect()
+    # batch truth: gap sessions per user (closed ones only get emitted)
+    batch_df = gap_sessionize(
+        src.select("user_id", "ts", "value"),
+        ts_col="ts",
+        partition_cols=["user_id"],
+        gap_seconds=1800,
+        tiebreak_cols=["value"],
+    )
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, float(r.sum_value))
+        for r in batch_df.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    matched = 0
+    for r in got:
+        key = (r.user_id, r.session_start)
+        if key in batch:
+            assert batch[key][0] == r.n_events
+            matched += 1
+    assert matched >= len(got) * 0.9

@@ -1,0 +1,108 @@
+"""Reference-parity test for the end-to-end WOD pipeline.
+
+The fixture posts are hand-written to exercise every §2.3 correctness trap:
+preamble dropped, marker-opens-group, first segment collapses to 'session',
+rest days ('rest day' from segment-less days), slug>title>post_date date
+priority, Sunday-anchored spine, entity decode, clean/rename/fill.
+Expected values are derived from the reference semantics
+(transforms.py:115-343), not from running the reference.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+POST_1_HTML = """<p>Intro preamble that is dropped</p>
+<p><strong>Monday (Session One)</strong><br />
+Suggested Warm-Up
+3 Rounds easy</p>
+<p>A.
+Back Squat 5x5
+building to heavy</p>
+<p>B.
+Bench 3x8</p>
+<p><strong>Tuesday (Session Two)</strong>
+A.
+Deadlift 3x3</p>
+<p>Thursday (Rest Day)</p>"""
+
+POST_2_HTML = """<p>Wednesday (Session One)
+A.
+Snatch 7x2</p>"""
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    from weightlifting_wod_etl_spark.plans.wod_pipeline import wod_pipeline
+
+    posts = spark.createDataFrame(
+        [
+            # slug carries the range dec 21-27 2020 (Monday start)
+            (1, POST_1_HTML, "2020-12-20T17:00:21",
+             "december-21-27-2020-5-day-weightlifting-program",
+             "December 21-27, 2020 &#8211; 5 Day Weightlifting Program"),
+            # no date in slug/title → post_date fallback (a Wednesday)
+            (2, POST_2_HTML, "2021-01-06T08:00:00", "misc-post", "Misc Post"),
+        ],
+        ["post_id", "html", "post_date", "slug", "title"],
+    )
+    rows = wod_pipeline(posts).collect()
+    return {(r.post_id, str(r.date)): r for r in rows}
+
+
+def test_day_count(records):
+    assert len([k for k in records if k[0] == 1]) == 3
+    assert len([k for k in records if k[0] == 2]) == 1
+
+
+def test_week_spine_from_slug(records):
+    # range start = Mon 2020-12-21; Sunday anchor = 12-20; dates[1:] start at 12-21
+    assert (1, "2020-12-21") in records
+    assert (1, "2020-12-22") in records
+    assert (1, "2020-12-23") in records  # Thursday group is day_idx 3 → 12-23
+
+
+def test_post_date_fallback(records):
+    # post_date 2021-01-06 is a Wednesday (isoweekday 3) → anchor 01-03;
+    # single day group → date = anchor + 1 = 01-04
+    assert (2, "2021-01-04") in records
+
+
+def test_first_segment_collapses_to_session(records):
+    r = records[(1, "2020-12-21")]
+    assert r.session == "Monday (Session One)"
+    # the 'session' segment keeps ONLY the marker line — no trailing content
+
+
+def test_segments_join_ordered(records):
+    r = records[(1, "2020-12-21")]
+    assert r.warm_up == "3 Rounds easy"
+    assert r.segment_a == "Back Squat 5x5 building to heavy"
+    assert r.segment_b == "Bench 3x8"
+    assert r.segment_c == ""  # missing expected field filled ''
+
+
+def test_rest_day_lowercase_from_segmentless_day(records):
+    # 'Thursday (Rest Day)' has no segment markers → session = 'rest day'
+    r = records[(1, "2020-12-23")]
+    assert r.session == "rest day"
+    assert r.segment_a == ""
+
+
+def test_second_day(records):
+    r = records[(1, "2020-12-22")]
+    assert r.session == "Tuesday (Session Two)"
+    assert r.segment_a == "Deadlift 3x3"
+
+
+def test_entity_decoded_title_did_not_break_date(records):
+    # title had &#8211;; slug wins anyway (slug > title priority)
+    assert (1, "2020-12-21") in records
+
+
+def test_preamble_dropped(records):
+    joined = " ".join(
+        " ".join(filter(None, (r.session, r.warm_up, r.segment_a, r.segment_b)))
+        for r in records.values()
+    )
+    assert "Intro preamble" not in joined

@@ -69,10 +69,13 @@ def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Colum
     """
 
     def parse(src: Column, pat: str) -> tuple[Column, Column]:
-        month = month_number(F.regexp_extract(src, pat, 1))
-        d1 = F.regexp_extract(src, pat, 2).cast("int")
-        d2 = F.regexp_extract(src, pat, 3).cast("int")
-        yr = F.regexp_extract(src, pat, 4).cast("int")
+        # regexp_extract yields '' on no-match; nullif first so the cast is
+        # NULL under any ANSI setting (reference returns None, §2.3)
+        def grp(i: int) -> Column:
+            return F.nullif(F.regexp_extract(src, pat, i), F.lit(""))
+
+        month = month_number(grp(1))
+        d1, d2, yr = grp(2).cast("int"), grp(3).cast("int"), grp(4).cast("int")
         return F.make_date(yr, month, d1), F.make_date(yr, month, d2)
 
     s_start, s_end = parse(slug, _SLUG_PAT)

@@ -1,0 +1,149 @@
+"""The reference pipeline end-to-end, as ONE Spark job — E1 of SURVEY.md §3.
+
+Reference chain (eight Lambdas + Step Functions JSON hops):
+    fetch → dump raw → strip HTML → group by day → segment days →
+    records by day → clean → persist (KV + JSONL)
+
+Spark translation: a single declarative plan over a posts DataFrame —
+    strip (expressions) → posexplode lines → day window → segment window →
+    ordered pivot → spine date attach → clean
+The only process boundaries are the two window shuffles (both keyed by
+post) and the pivot groupBy; Catalyst fuses everything else. Per-post
+parallelism (the reference's Map state, OP19) is free: posts are rows.
+
+Semantics preserved (verified against reference transforms.py:115-343 and
+its test fixtures — see tests/test_wod_pipeline.py):
+  - markers open their group; preamble before the first marker is dropped
+  - a day's first segment collapses to key 'session' with ONLY the marker
+    line as value (transforms.py:191-194: ``[['session', x[0][0]], *x[1:]]``)
+  - a day with no segment markers at all becomes 'session' = 'rest day'
+  - record date = week_start + day_ordinal where week_start is the Sunday
+    before the slug/title date range start (falling back to post_date):
+    ``start = d - timedelta(d.isoweekday())``, records use dates[1:]
+  - clean: rename segment keys, drop raw 's'/'r', 'yyyy-MM-dd' dates,
+    session NULL → 'Rest Day', required fields exist, NULLs → ''
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.html import decode_entities, strip_html
+from ..operators.clean import DEFAULT_RENAME, clean_records
+from ..operators.dates import extract_date_range, isoweekday
+from ..operators.pivot import ordered_concat_expr
+from ..operators.sessionize import explode_lines, sessionize_by_marker
+
+DAY_MARKER = "(?i)(Monday)|(Tuesday)|(Wednesday)|(Thursday)|(Friday)|(Saturday)|(Sunday)"
+SEGMENT_MARKER = "(?i)(Session)|(Suggested Warm-Up)|^[A-F].$"
+SEGMENT_KEYS = ["session", "Suggested Warm-Up", "A.", "B.", "C.", "D.", "E."]
+
+
+def strip_posts(posts: DataFrame) -> DataFrame:
+    """OP4 — html → text, carrying post metadata (handler.py:166-190)."""
+    return posts.select(
+        "post_id",
+        strip_html(F.col("html")).alias("text"),
+        "post_date",
+        "slug",
+        decode_entities(F.col("title")).alias("title"),
+    )
+
+
+def sessionize_post_text(stripped: DataFrame) -> DataFrame:
+    """OP5+OP10+OP11 — lines → (post_id, day_idx, seg_idx, line_idx, line).
+
+    Two nested marker windows, both partitioned by post (day level) then by
+    (post, day) — shuffle keys stay bounded by entity, never global.
+    """
+    lines = explode_lines(stripped, text_col="text", id_cols=["post_id"])
+    days = sessionize_by_marker(
+        lines, DAY_MARKER, partition_cols=["post_id"], group_col="day_idx"
+    )
+    # drop_preamble=False here: a day whose lines match no segment marker
+    # (rest day) must stay visible to the day spine; seg_idx==0 rows are
+    # filtered at record build instead (transforms.py:191-194 parity)
+    from ..operators.sessionize import mark_boundaries
+
+    return mark_boundaries(
+        days,
+        marker=F.col("line").rlike(SEGMENT_MARKER),
+        partition_cols=["post_id", "day_idx"],
+        order_col="line_idx",
+        group_col="seg_idx",
+        drop_preamble=False,
+    )
+
+
+def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
+    """OP14 — per (post, day): {segment_key: joined lines} + spine date.
+
+    seg 1 collapses to ('session', marker line); other segments key on
+    their marker line verbatim; days with no segments become rest days.
+    """
+    seg = segmented.filter(F.col("seg_idx") > 0)
+    # per segment: marker line (min line_idx) is the key, rest join to value
+    per_seg = seg.groupBy("post_id", "day_idx", "seg_idx").agg(
+        F.min_by("line", "line_idx").alias("key_line"),
+        F.count(F.lit(1)).alias("n_lines"),
+        ordered_concat_expr("line_idx", "line", " ").alias("all_joined"),
+    )
+    # value = join of lines AFTER the marker line = all_joined minus prefix
+    value = F.when(
+        F.col("n_lines") > 1,
+        F.expr("substring(all_joined, length(key_line) + 2)"),
+    ).otherwise(F.lit(""))
+    kv = per_seg.select(
+        "post_id",
+        "day_idx",
+        "seg_idx",
+        F.when(F.col("seg_idx") == 1, F.lit("session")).otherwise(F.col("key_line")).alias("k"),
+        F.when(F.col("seg_idx") == 1, F.col("key_line")).otherwise(value).alias("v"),
+    )
+    # day spine: every day that exists at level 1, even segment-less ones
+    day_spine = segmented.select("post_id", "day_idx").distinct()
+    rest = (
+        day_spine.join(kv.select("post_id", "day_idx").distinct(), ["post_id", "day_idx"], "left_anti")
+        .select(
+            "post_id",
+            "day_idx",
+            F.lit(1).cast("bigint").alias("seg_idx"),
+            F.lit("session").alias("k"),
+            F.lit("rest day").alias("v"),
+        )
+    )
+    kv_all = kv.unionByName(rest)
+    # duplicate segment keys within a day: LAST one wins (the reference's
+    # dict comprehension overwrites in iteration order) — max_by(seg_idx)
+    # makes that deterministic under shuffle, where first() would not be
+    wide = (
+        kv_all.groupBy("post_id", "day_idx")
+        .pivot("k", SEGMENT_KEYS)
+        .agg(F.max_by("v", "seg_idx"))
+        .withColumnRenamed("session", "session_raw")
+    )
+    # week spine (OP12+OP13): Sunday before slug/title range start, else post_date
+    rng_start, _ = extract_date_range(F.col("slug"), F.col("title"))
+    anchor = F.coalesce(rng_start, F.to_date("post_date"))
+    week_start = stripped.select(
+        "post_id", F.date_sub(anchor, isoweekday(anchor)).alias("week_start")
+    )
+    return (
+        wide.join(week_start, "post_id")
+        .withColumn("date", F.date_add(F.col("week_start"), F.col("day_idx").cast("int")))
+        .drop("week_start")
+        .withColumnRenamed("session_raw", "session")
+    )
+
+
+def wod_pipeline(posts: DataFrame) -> DataFrame:
+    """Full reference-parity pipeline: posts(html) → cleaned day records."""
+    stripped = strip_posts(posts)
+    segmented = sessionize_post_text(stripped)
+    records = segments_to_records(segmented, stripped)
+    cleaned = clean_records(records, rename_map=DEFAULT_RENAME)
+    return cleaned.select(
+        "post_id", "date", "session", "warm_up",
+        "segment_a", "segment_b", "segment_c", "segment_d", "segment_e",
+    ).orderBy("post_id", "date")

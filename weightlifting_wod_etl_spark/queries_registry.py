@@ -56,4 +56,5 @@ from .queries import (  # noqa: E402,F401
     joins_dedup,
     llm_ops,
     text_sessionize,
+    wod_e2e,
 )

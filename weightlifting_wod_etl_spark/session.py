@@ -35,6 +35,9 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # reference semantics are lenient: no-match regex extract casts to
+        # NULL, invalid make_date → NULL (transforms.py:104-110 try/except)
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -58,6 +61,7 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.ansi.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
