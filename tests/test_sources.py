@@ -1,0 +1,86 @@
+"""wod_posts DataSource: page-per-partition scan with source-side paging."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    post_id = 0
+    for page in (1, 2, 3):
+        posts = []
+        for _ in range(4):
+            post_id += 1
+            posts.append(
+                {
+                    "id": post_id,
+                    "date": f"2021-01-{post_id:02d}T08:00:00",
+                    "slug": f"jan-{post_id}-program",
+                    "title": {"rendered": f"Program {post_id}"},
+                    "content": {"rendered": f"<p>Workout {post_id}</p>"},
+                    "link": f"https://example.test/{post_id}",
+                    "categories": [7, post_id],
+                    "yoast_head": "<meta>never parsed</meta>",
+                }
+            )
+        (d / f"page-{page}.json").write_text(json.dumps(posts))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def posts_reader(spark):
+    from weightlifting_wod_etl_spark.sources import register_posts_source
+
+    register_posts_source(spark)
+    return spark
+
+
+def test_full_scan(posts_reader, pages_dir):
+    df = posts_reader.read.format("wod_posts").option("pages_dir", pages_dir).load()
+    rows = df.orderBy("post_id").collect()
+    assert len(rows) == 12
+    assert rows[0].title == "Program 1"  # title.rendered flattened
+    assert rows[0].content == "<p>Workout 1</p>"
+    assert rows[0].categories == [7, 1]
+    # one partition per page — pagination is the parallelism
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_page_window_pushdown(posts_reader, pages_dir):
+    # start_page/max_pages prune pages at plan time: page 1 is never read
+    df = (
+        posts_reader.read.format("wod_posts")
+        .option("pages_dir", pages_dir)
+        .option("start_page", 2)
+        .option("max_pages", 1)
+        .load()
+    )
+    rows = df.collect()
+    assert sorted(r.post_id for r in rows) == [5, 6, 7, 8]
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_per_page_limit(posts_reader, pages_dir):
+    df = (
+        posts_reader.read.format("wod_posts")
+        .option("pages_dir", pages_dir)
+        .option("per_page", 2)
+        .load()
+    )
+    assert df.count() == 6  # 2 per page × 3 pages
+
+
+def test_feeds_pipeline(posts_reader, pages_dir):
+    """Source output plugs straight into the OP4 HTML-strip projection."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.html import strip_html
+
+    df = posts_reader.read.format("wod_posts").option("pages_dir", pages_dir).load()
+    out = df.select("slug", strip_html(F.col("content")).alias("text")).orderBy("slug")
+    first = out.first()
+    assert first.text.startswith("Workout")

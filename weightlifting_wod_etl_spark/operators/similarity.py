@@ -63,6 +63,45 @@ def brute_force_topk(
     )
 
 
+def neardup_pairs(
+    df: DataFrame,
+    min_cosine: float = 0.25,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bucket blocking.
+
+    The all-pairs cosine join is quadratic; blocking on the sign-bit
+    quantizer makes the self-join equi on ``bucket`` — Spark shuffles both
+    sides by bucket and the quadratic work happens only within a bucket
+    (n²/2^n_bits expected comparisons). Recall is approximate by design
+    (pairs straddling a sign boundary are missed — the classic LSH
+    trade-off); raise recall with multiple independent bit-sets like
+    ``lsh_candidate_pairs`` does for MinHash.
+
+    At 100 TB the bucket is the shuffle key: no broadcast, no driver state,
+    skew bounded by 2^n_bits balanced sign buckets (random projections give
+    near-uniform occupancy on centered data).
+    """
+    b = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_bits).alias("__bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        left.join(right, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     probe: DataFrame,

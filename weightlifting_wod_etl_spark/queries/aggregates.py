@@ -100,15 +100,20 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style shipping priority — dim filter → broadcast join →
-    agg → total-order top-k (ties broken by orderkey)."""
+    """TPC-H Q3-style shipping priority — dim filter → join → agg →
+    total-order top-k (ties broken by orderkey).
+
+    customer is data-proportional (≈1.5M rows/TB), so it gets NO broadcast
+    hint: AQE broadcasts it at small SF (post-filter size < threshold) and
+    falls back to a shuffle join at cluster scale. Hard-hinting it would
+    OOM a 1000-executor run."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     revenue_fixed = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg((F.sum(revenue_fixed) / F.lit(10000.0)).alias("revenue"))
         .select(
@@ -137,8 +142,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style multi-join star query — every dimension side is
-    broadcast; only the orders⋈lineitem join shuffles."""
+    """TPC-H Q5-style multi-join star query.
+
+    Broadcast hints only on the BOUNDED dims (region: 5 rows, nation: 25 —
+    constant at any SF). customer/supplier grow with the data, so their
+    join strategy is left to AQE: broadcast at bench SF, shuffle at
+    cluster scale. The fact joins (orders⋈lineitem) shuffle on orderkey."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -148,9 +157,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue_fixed = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.minhash import lsh_candidate_pairs, ngram_jaccard_pairs, simhash_fingerprint
 from ..operators.multimodal import documents_as_media, extract_features
-from ..operators.similarity import brute_force_topk, lsh_bucket_topk
+from ..operators.similarity import brute_force_topk, lsh_bucket_topk, neardup_pairs
 from ..operators.text import (
     BPE_ISH_PATTERN,
     bpe_ish_token_count,
@@ -185,6 +185,34 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return lsh_bucket_topk(emb, probe, k=10, n_bits=8)
+
+
+@register(
+    "q_embed_neardup",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+                CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+                CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+                CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.e, c.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_dot_product(a.e, c.e) /
+                (sqrt(list_dot_product(a.e, a.e)) *
+                 sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bucket blocking self-join —
+    quadratic work confined within 2^4 balanced buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, min_cosine=0.25, n_bits=4)
 
 
 @register(

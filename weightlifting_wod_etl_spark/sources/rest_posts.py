@@ -1,0 +1,147 @@
+"""Paginated posts source — the reference's REST scan (OP1) as a real
+Spark DataSource.
+
+Reference behavior (`services/invictus_api_service.py:35-65`): fetch
+WordPress posts with ``per_page``/``page`` query params — i.e., limit and
+offset are pushed *into the source*, one HTTP GET per page. The Step
+Functions ``Map`` state then fans posts out for parallel processing
+(`SemiStructureInvictusPost_stateMachine.yml:15-19`, OP19).
+
+Spark-native form: a Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+whose reader plans **one InputPartition per page**. That makes pagination
+the partitioning — each executor fetches and parses its own pages
+concurrently, so OP1 (paginated scan) and OP19 (fan-out) collapse into a
+single distributed scan. ``start_page``/``max_pages``/``per_page`` options
+are the limit+offset pushdown: pages outside the window are never planned,
+so no bytes are fetched for them (source-side pruning, not a post-filter).
+
+Transports:
+  - ``pages_dir`` (real, tested): a directory of ``page-<n>.json`` files,
+    each a JSON array of post objects — the stage-boundary fixture format
+    of the reference (`test_events/get_invictus_post.json`). This is the
+    deterministic harness transport.
+  - ``endpoint`` (plumbing only): an HTTP(S) URL hit as
+    ``{endpoint}&per_page={n}&page={p}`` exactly like the reference URL
+    build (`services/invictus_api_service.py:54`). Gated behind a lazy
+    urllib import; this container has no network, so it exists to show the
+    connector shape, and tests use ``pages_dir``.
+
+At 100 TB-scale the same shape holds: a page is the unit of parallelism and
+retry (Spark task retries replace the reference's Step Functions retry
+policy), and the scan surface is bounded by the planned page window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed projection of the raw WP post (D1) — the fields the pipeline reads
+# (`handler.py:166-190`): everything else (yoast_head, _links, ...) is
+# column-pruned at the source, never parsed into rows.
+POST_SCHEMA = StructType(
+    [
+        StructField("post_id", LongType()),
+        StructField("date", StringType()),
+        StructField("slug", StringType()),
+        StructField("title", StringType()),
+        StructField("content", StringType()),
+        StructField("link", StringType()),
+        StructField("categories", ArrayType(IntegerType())),
+        StructField("page", IntegerType()),
+    ]
+)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int):
+        self.page = page
+
+
+class _PostsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.pages_dir = options.get("pages_dir")
+        self.endpoint = options.get("endpoint")
+        if not self.pages_dir and not self.endpoint:
+            raise ValueError("wod_posts source requires 'pages_dir' or 'endpoint'")
+        self.per_page = int(options.get("per_page", 10))
+        self.start_page = int(options.get("start_page", 1))
+        self.max_pages = int(options.get("max_pages", 0))  # 0 = discover
+
+    def _discover_pages(self) -> list[int]:
+        if self.max_pages:
+            return list(range(self.start_page, self.start_page + self.max_pages))
+        if not self.pages_dir:
+            raise ValueError("endpoint transport requires explicit max_pages")
+        pages = []
+        for fn in os.listdir(self.pages_dir):
+            if fn.startswith("page-") and fn.endswith(".json"):
+                pages.append(int(fn[len("page-") : -len(".json")]))
+        return sorted(p for p in pages if p >= self.start_page)
+
+    def partitions(self):
+        # One partition per page: pagination IS the parallelism (OP1+OP19).
+        return [_PagePartition(p) for p in self._discover_pages()]
+
+    def _fetch_page(self, page: int) -> list[dict]:
+        if self.pages_dir:
+            path = os.path.join(self.pages_dir, f"page-{page}.json")
+            if not os.path.exists(path):
+                return []
+            with open(path, encoding="utf-8") as f:
+                posts = json.load(f)
+        else:
+            # Reference URL shape, services/invictus_api_service.py:54
+            import urllib.request
+
+            url = f"{self.endpoint}&per_page={self.per_page}&page={page}"
+            with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+                posts = json.load(resp)
+        return posts[: self.per_page]
+
+    def read(self, partition: _PagePartition):
+        for post in self._fetch_page(partition.page):
+            title = post.get("title")
+            if isinstance(title, dict):  # raw WP shape: title.rendered
+                title = title.get("rendered")
+            content = post.get("content")
+            if isinstance(content, dict):
+                content = content.get("rendered")
+            yield (
+                int(post.get("id", 0)),
+                post.get("date"),
+                post.get("slug"),
+                title,
+                content,
+                post.get("link"),
+                [int(c) for c in post.get("categories", [])],
+                partition.page,
+            )
+
+
+class PaginatedPostsDataSource(DataSource):
+    """``spark.read.format("wod_posts").option("pages_dir", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wod_posts"
+
+    def schema(self):
+        return POST_SCHEMA
+
+    def reader(self, schema) -> _PostsReader:
+        return _PostsReader(self.options)
+
+
+def register_posts_source(spark) -> None:
+    spark.dataSource.register(PaginatedPostsDataSource)
