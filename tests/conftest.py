@@ -17,7 +17,11 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 def spark():
     from weightlifting_wod_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="wod-etl-tests", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="wod-etl-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/wod-etl-test-warehouse"},
+    )
     yield spark
     spark.stop()
 

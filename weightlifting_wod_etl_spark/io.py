@@ -73,6 +73,32 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join keys.
+
+    Bucketing is the at-rest answer to repeated big⋈big joins: both sides
+    pre-hash-partitioned into the same number of buckets on the join key
+    means the sort-merge join needs NO Exchange at read time — at 100 TB
+    that deletes the dominant cost (a full shuffle of the fact table) from
+    every downstream run that joins on the bucket key. ``sortBy`` inside
+    the bucket additionally lets the join skip the per-task sort.
+
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog, not the
+    parquet footer) — tests verify the no-Exchange plan shape.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-Lines sink (the reference's weekly-rollup S3 format).
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.expr import let as _let
+
 MONTHS = [
     "january", "february", "march", "april", "may", "june",
     "july", "august", "september", "october", "november", "december",
@@ -70,13 +72,31 @@ def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Colum
 
     def parse(src: Column, pat: str) -> tuple[Column, Column]:
         # regexp_extract yields '' on no-match; nullif first so the cast is
-        # NULL under any ANSI setting (reference returns None, §2.3)
+        # NULL under any ANSI setting (reference returns None, §2.3).
+        # The four captures are let-bound as one struct: without it,
+        # CollapseProject re-inlines the regex into every reference
+        # (month_number alone fans grp(1) into 12 when-branches) — ~6×
+        # slower measured at sf0.1 (functions/expr.py).
         def grp(i: int) -> Column:
             return F.nullif(F.regexp_extract(src, pat, i), F.lit(""))
 
-        month = month_number(grp(1))
-        d1, d2, yr = grp(2).cast("int"), grp(3).cast("int"), grp(4).cast("int")
-        return F.make_date(yr, month, d1), F.make_date(yr, month, d2)
+        caps = F.struct(
+            grp(1).alias("mn"),
+            grp(2).cast("int").alias("d1"),
+            grp(3).cast("int").alias("d2"),
+            grp(4).cast("int").alias("y"),
+        )
+        pair = _let(
+            caps,
+            lambda c: _let(
+                month_number(c.mn),
+                lambda m: F.struct(
+                    F.make_date(c.y, m, c.d1).alias("s"),
+                    F.make_date(c.y, m, c.d2).alias("e"),
+                ),
+            ),
+        )
+        return pair.getField("s"), pair.getField("e")
 
     s_start, s_end = parse(slug, _SLUG_PAT)
     if title is None:

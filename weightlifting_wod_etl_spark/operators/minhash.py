@@ -24,6 +24,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+from ..functions.expr import let as _let
+
+
 def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     """Distinct n-gram token shingles, joined by spaces.
 
@@ -31,11 +34,15 @@ def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     documents yield an EMPTY array (Spark ``sequence`` would count downward,
     so guard explicitly).
     """
-    toks = F.split(text, sep)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), sep))
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+    def inner(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(sep, *[F.element_at(toks, i + k) for k in range(n)])
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
+
+    return _let(F.split(text, sep), inner)
 
 
 def _seeded_md5(seed: int):
@@ -68,6 +75,31 @@ def band_keys(sig_cols: list[Column | str], rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
+def band_keys_from_shingles(
+    shingle_col: Column, num_hashes: int, rows_per_band: int
+) -> Column:
+    """All B band keys as ONE expression over the let-bound shingle array.
+
+    Computing mh_0..mh_K as separate projection columns and re-combining
+    them into band keys looks clean but CollapseProject inlines the shingle
+    construction into every one of the K references — the whole shingle
+    pipeline runs K times. Binding the array once keeps it single-pass.
+    """
+
+    def inner(sh: Column) -> Column:
+        sigs = [
+            F.array_min(F.transform(sh, _seeded_md5(seed))) for seed in range(num_hashes)
+        ]
+        return F.array(
+            *[
+                F.concat_ws("|", *sigs[i : i + rows_per_band])
+                for i in range(0, num_hashes, rows_per_band)
+            ]
+        )
+
+    return _let(shingle_col, inner)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -86,13 +118,10 @@ def lsh_candidate_pairs(
     Jaccard computed on the shingle sets for verification."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
     sh = sh.filter(F.size("shingles") > 0)
-    sigs = sh.select(
-        id_col, "shingles", *minhash_signature(F.col("shingles"), num_hashes)
-    )
-    banded = sigs.select(
+    banded = sh.select(
         id_col,
         F.posexplode(
-            band_keys([f"mh_{i}" for i in range(num_hashes)], rows_per_band)
+            band_keys_from_shingles(F.col("shingles"), num_hashes, rows_per_band)
         ).alias("band_idx", "band_key"),
     )
     left = banded.alias("a")

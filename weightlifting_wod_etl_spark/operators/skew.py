@@ -1,0 +1,92 @@
+"""Skew mitigation — salted aggregation and replicated-salted joins.
+
+Why this exists even though AQE has skew handling: AQE's skew-join split
+only rescues *sort-merge* joins whose skewed partitions are detected at
+runtime, and it does nothing for a hash aggregation whose single hot key
+funnels into one reducer. At 100 TB a zipfian key (one user with 1% of all
+events = 1 TB on one task) needs the classic remedies:
+
+  - **two-phase salted aggregation**: append a salt in [0, B) derived from
+    a high-cardinality column, pre-aggregate on (key, salt) — the hot key's
+    rows land on B reducers instead of 1 — then merge the partials on the
+    bare key. Algebraic aggregates (sum/count/min/max) merge losslessly;
+    avg is carried as (sum, count).
+  - **replicated-salted join**: the big side salts each row; the small side
+    is exploded ×B so every (key, salt) pair exists; the equi-join on
+    (key, salt) then spreads the hot key over B tasks. Output is
+    row-identical to the unsalted join (verified by the q_skew_* oracles).
+
+The salt must be DETERMINISTIC under task retry (Spark may recompute a
+partition after a fetch failure): derive it from data (hash of a unique
+column) — never ``rand()``, which silently duplicates/loses rows on retry
+with non-idempotent downstream sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing partials
+    "min": F.min,
+    "max": F.max,
+}
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)),
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def deterministic_salt(unique_col: str | Column, buckets: int) -> Column:
+    """Salt in [0, buckets) stable across task retries (data-derived)."""
+    return F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("int")
+
+
+def salted_groupby(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_on: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy.
+
+    ``aggs``: (column, fn, alias) with fn in sum|count|min|max. Phase 1
+    reduces on (keys + salt) — map-side combine still applies — phase 2
+    merges partials on the bare keys. Result equals the direct groupBy.
+    """
+    salted = df.withColumn("__salt", deterministic_salt(salt_on, buckets))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[_PARTIAL[fn](col).alias(alias) for col, fn, alias in aggs]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_MERGE[fn](alias).alias(alias) for _, fn, alias in aggs]
+    )
+
+
+def replicated_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side ×B.
+
+    Use when the big side's join key is zipfian and the small side is too
+    large to broadcast outright but small enough to replicate B-fold
+    (cost: B× shuffle volume of the small side — still tiny next to one
+    straggler task holding the hot key's entire partition).
+    """
+    b = big.withColumn("__salt", deterministic_salt(salt_on, buckets))
+    s = small.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(buckets)]))
+    )
+    cond = (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"])
+    return b.join(s, cond, how).drop("__salt")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.money import to_fixed
 from ..io import load_table
 from ..operators.pivot import pivot_wide
+from ..operators.skew import replicated_salted_join, salted_groupby
 from ..queries_registry import register
 
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
@@ -166,4 +167,123 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg((F.sum(revenue_fixed) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT sum(round(l_extendedprice * l_discount * 10000)::BIGINT) / 10000.0 AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue — the canonical predicate-pushdown
+    query: all four filters reach the parquet scan (PushedFilters), the
+    projection prunes to 4 columns, and the global agg is one partial+final
+    pair with no grouped shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = to_fixed(F.col("l_extendedprice") * F.col("l_discount"), 4)
+    return li.agg(
+        (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — Spark expands grouping sets in a
+    single pass (one shuffle, grouping-id expansion), no per-level rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.sum(to_fixed("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_skew_agg",
+    oracle="""
+    SELECT user_id, event_type,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value,
+           count(*)::BIGINT AS n_events,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) — result-identical
+    to the direct groupBy (this oracle proves it); the salt fans a hot key
+    over 16 reducers before the merge phase."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", to_fixed("value").alias("__cents")
+    )
+    out = salted_groupby(
+        events,
+        keys=["user_id", "event_type"],
+        aggs=[
+            ("__cents", "sum", "__sum_cents"),
+            ("value", "count", "n_events"),
+            ("value", "min", "__min_v"),
+            ("value", "max", "__max_v"),
+        ],
+        salt_on="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.round(F.col("__sum_cents") / F.lit(100.0), 2).alias("sum_value"),
+        "n_events",
+        F.round("__min_v", 2).alias("min_value"),
+        F.round("__max_v", 2).alias("max_value"),
+    )
+
+
+@register(
+    "q_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)::BIGINT AS n_events,
+           round(sum(round(e.value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-salted join (operators/skew.py): events (skew-prone fact)
+    ⋈ customer replicated ×8 on (key, salt) — row-identical to the plain
+    equi-join per this oracle, but the hot key spreads over 8 tasks."""
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = replicated_salted_join(
+        events, cust, big_key="user_id", small_key="c_custkey",
+        salt_on="event_id", buckets=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
     )
