@@ -23,12 +23,19 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q6",
     "q_sessionize_events",
     "q_group_concat",
     "q_pivot_wide",
     "q_weekly_rollup",
     "q_dedup_exact",
     "q_window_rank",
+    "q_wod_pipeline",
+    "q_date_extract",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_embed_neardup",
+    "q_skew_agg",
 ]
 
 

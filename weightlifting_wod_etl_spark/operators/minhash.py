@@ -124,20 +124,45 @@ def lsh_candidate_pairs(
             band_keys_from_shingles(F.col("shingles"), num_hashes, rows_per_band)
         ).alias("band_idx", "band_key"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Pairs are generated INSIDE each band bucket (groupBy + array pair
+    # expansion) rather than by self-joining `banded`: a self-join would
+    # re-run the whole shingle+signature pipeline once per branch and
+    # shuffle it twice; this shape computes it once and shuffles once, on
+    # the uniformly-distributed band hash. Bucket sizes are tiny for any
+    # sane (K, B), so the within-bucket expansion is O(dups²), not O(n²).
+    ids_sorted = F.array_sort(F.collect_list(id_col))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+    cand = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(ids_sorted.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact-Jaccard verification re-shingles ONLY candidate docs: the
+    # left-semi join prunes the corpus to pair participants before the
+    # (expensive) shingle recompute — at scale candidates are a vanishing
+    # fraction of N.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
+    )
+    sa = sh_cand.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh_cand.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -41,6 +41,19 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def _sim_from_parts(va, vb, na, nb) -> Column:
+    """cosine from precomputed norms — compute each side's norm ONCE PER ROW
+    before the join, not once per pair: a pairwise cosine join otherwise
+    folds 3 dot products per candidate pair (dot(a,b), dot(a,a), dot(b,b))
+    — 3× the hot-loop work, and the norm of a hot row is redone for every
+    partner it meets."""
+    return F.round(dot(va, vb) / (na * nb), 6)
+
+
 def brute_force_topk(
     df: DataFrame,
     probe: DataFrame,
@@ -53,11 +66,12 @@ def brute_force_topk(
     The probe is crossJoin-broadcast (1 row) — never collected to Python.
     Ordering is total: (rounded cosine desc, id) so ties are deterministic.
     """
-    p = probe.select(F.col(vec_col).alias("__probe"))
-    sim = F.round(cosine(F.col(vec_col), F.col("__probe")), 6).alias("cos_sim")
+    p = probe.select(F.col(vec_col).alias("__probe"), norm(F.col(vec_col)).alias("__pn"))
+    base = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n"))
+    sim = _sim_from_parts(F.col(vec_col), F.col("__probe"), F.col("__n"), F.col("__pn"))
     return (
-        df.crossJoin(F.broadcast(p))
-        .select(F.col(id_col), sim)
+        base.crossJoin(F.broadcast(p))
+        .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
     )
@@ -85,15 +99,20 @@ def neardup_pairs(
     near-uniform occupancy on centered data).
     """
     b = df.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_bits).alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__norm"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"), "__bucket",
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"), "__bucket",
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    sim = _sim_from_parts(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"))
     return (
         left.join(right, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -113,14 +132,21 @@ def lsh_bucket_topk(
     """ANN: restrict the scan to the probe's sign-bucket, then exact cosine
     top-k within it. Recall < 1 by design; at scale the bucket is the
     partition key so this reads 1/2^n_bits of the data."""
-    bucketed = df.withColumn("__bucket", sign_bucket(F.col(vec_col), n_bits))
-    p = probe.select(
-        F.col(vec_col).alias("__probe"), sign_bucket(F.col(vec_col), n_bits).alias("__pbucket")
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_bits).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__n"),
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("__probe")), 6).alias("cos_sim")
+    p = probe.select(
+        F.col(vec_col).alias("__probe"),
+        sign_bucket(F.col(vec_col), n_bits).alias("__pbucket"),
+        norm(F.col(vec_col)).alias("__pn"),
+    )
+    sim = _sim_from_parts(F.col(vec_col), F.col("__probe"), F.col("__n"), F.col("__pn"))
     return (
         bucketed.join(F.broadcast(p), F.col("__bucket") == F.col("__pbucket"))
-        .select(F.col(id_col), sim)
+        .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
     )
