@@ -209,15 +209,20 @@ def simhash_fingerprint(
 ) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → integer fingerprint.
 
-    Bit j's token hash is ``md5('j:' || token)`` and the vote is whether the
-    hex digest starts below '8' (an unbiased coin per (j, token)) — pure
-    string ops so any engine reproduces it. Tokens are weighted by
-    frequency (explode keeps duplicates). One shuffle: groupBy(doc).
+    Bit j's vote is whether HEX DIGIT j of ``md5(token)`` is below '8' — an
+    unbiased coin per (token, bit) from ONE md5 per token (md5's 32 hex
+    digits cover bits ≤ 32; a seeded-md5-per-bit family costs `bits`×
+    the hashing for no extra independence we need). Pure string ops, so any
+    engine reproduces it. Tokens are weighted by frequency (explode keeps
+    duplicates). One shuffle: groupBy(doc).
     """
-    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    assert bits <= 32, "hex-digit vote family provides 32 independent bits"
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
     votes = [
         F.sum(
-            F.when(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))) < "8", 1).otherwise(-1)
+            F.when(F.substring(F.col("h"), j + 1, 1) < "8", 1).otherwise(-1)
         ).alias(f"v_{j}")
         for j in range(bits)
     ]

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.expr import let as _let
+
 # BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols.
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -44,24 +46,42 @@ def stopword_count(text: Column, lang: str = "en") -> Column:
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length + punctuation + stopword
-    signals, the standard cheap pre-filter in LLM data pipelines."""
-    n_toks = ws_token_count(text)
-    len_sig = F.least(n_toks / F.lit(100.0), F.lit(1.0))
-    punct_sig = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
-    stop_sig = F.least(stopword_count(text) / F.greatest(n_toks, F.lit(1)) * 5, F.lit(1.0))
-    return F.round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * stop_sig, 4)
+    signals, the standard cheap pre-filter in LLM data pipelines.
+
+    The three regex/split features are let-bound (functions/expr.py) so
+    each scans the text once regardless of how often the formula references
+    them — CollapseProject would otherwise re-inline per reference."""
+    feats = F.struct(
+        ws_token_count(text).alias("n_toks"),
+        punct_ratio(text).alias("punct"),
+        stopword_count(text).alias("stop"),
+    )
+
+    def body(f: Column) -> Column:
+        len_sig = F.least(f.n_toks / F.lit(100.0), F.lit(1.0))
+        punct_sig = F.lit(1.0) - F.least(f.punct * 5, F.lit(1.0))
+        stop_sig = F.least(f.stop / F.greatest(f.n_toks, F.lit(1)) * 5, F.lit(1.0))
+        return F.round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * stop_sig, 4)
+
+    return _let(feats, body)
 
 
 def lang_id(text: Column) -> Column:
     """N-gram-heuristic language ID: argmax of per-language stopword hits,
     ties broken by fixed language order (en > fr > es > de), 'und' when no
-    list matches at all."""
-    counts = {lang: stopword_count(text, lang) for lang in STOPWORDS}
-    best = F.greatest(*counts.values())
-    out = F.when(best == 0, F.lit("und"))
-    for lang in ["en", "fr", "es", "de"]:
-        out = out.when(counts[lang] == best, F.lit(lang))
-    return out
+    list matches at all. Counts are let-bound: one regex scan per language
+    per row, not one per reference."""
+    langs = ["en", "fr", "es", "de"]
+    counts = F.struct(*[stopword_count(text, lang).alias(lang) for lang in langs])
+
+    def body(c: Column) -> Column:
+        best = F.greatest(*[c[lang] for lang in langs])
+        out = F.when(best == 0, F.lit("und"))
+        for lang in langs:
+            out = out.when(c[lang] == best, F.lit(lang))
+        return out
+
+    return _let(counts, body)
 
 
 def doc_fingerprint(text: Column) -> Column:

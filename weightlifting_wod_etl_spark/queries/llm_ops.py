@@ -69,11 +69,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_simhash",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
     ),
     votes AS (
         SELECT doc_id, j,
-               sum(CASE WHEN md5(j::VARCHAR || ':' || tok) < '8' THEN 1 ELSE -1 END) AS v
+               sum(CASE WHEN substring(h, j + 1, 1) < '8' THEN 1 ELSE -1 END) AS v
         FROM toks, unnest(generate_series(0, 15)) AS t(j)
         GROUP BY doc_id, j
     ),
