@@ -100,6 +100,20 @@ def band_keys_from_shingles(
     return _let(shingle_col, inner)
 
 
+def _pairs_within(ids_col: str) -> Column:
+    """All ordered pairs (a < b) from a sorted id array — the within-bucket
+    candidate expansion shared by every blocking scheme here."""
+    return F.flatten(
+        F.transform(
+            F.col(ids_col),
+            lambda x, i: F.transform(
+                F.slice(F.col(ids_col), i + 2, F.size(F.col(ids_col))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -130,21 +144,11 @@ def lsh_candidate_pairs(
     # shuffle it twice; this shape computes it once and shuffles once, on
     # the uniformly-distributed band hash. Bucket sizes are tiny for any
     # sane (K, B), so the within-bucket expansion is O(dups²), not O(n²).
-    ids_sorted = F.array_sort(F.collect_list(id_col))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     cand = (
         banded.groupBy("band_idx", "band_key")
-        .agg(ids_sorted.alias("ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(_pairs_within("ids")).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
@@ -184,14 +188,16 @@ def ngram_jaccard_pairs(
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
     sh = sh.filter(F.size("shingles") > 0)
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # Same single-pass bucket-pair shape as lsh_candidate_pairs: one shuffle
+    # on the shingle, pairs expanded inside each bucket. A hot shingle
+    # (stop-phrase) produces the same quadratic pair count either way; at
+    # scale you'd drop top-frequency shingles before pairing (df filter).
     cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        ex.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_within("ids")).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
