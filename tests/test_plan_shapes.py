@@ -48,3 +48,27 @@ def test_wholestage_codegen_covers_hot_path(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """Bin bucketing must turn the pure range predicate into an equi-join;
+    a BroadcastNestedLoopJoin/CartesianProduct here dies at scale."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    df = QUERIES["q_range_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
+    """The union-sort as-of join is a window, not a join: no join operator
+    and exactly one Exchange on the key."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    df = QUERIES["q_asof_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # one exchange for the right-side dedup window + carry window share the
+    # same (key) partitioning, so they reuse a single shuffle
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1,0 +1,88 @@
+"""As-of join — for each left row, the most recent right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The naive encodings both
+fail at 100 TB:
+  - inequality join ``l.ts >= r.ts`` + argmax: Catalyst plans a broadcast
+    nested-loop or cartesian — quadratic candidate blowup before the argmax
+    prunes it;
+  - per-key collect + Python bisect: driver-side state.
+
+This implementation is the union-sort trick, a single shuffle on the join
+key and zero row amplification:
+
+  1. union left and right into one frame with a ``side`` marker and the
+     right payload nulled on left rows;
+  2. one window partitioned by key, ordered by (ts, side, tiebreak) with
+     right rows sorting BEFORE left rows at equal ts (at-or-before includes
+     ties) and duplicate right rows at the same (key, ts) sorted so the
+     tie-break winner comes last;
+  3. ``last(payload, ignorenulls=True)`` over rows unboundedPreceding →
+     currentRow carries the latest right payload forward — which, by the
+     sort order, is also the last-writer-wins winner among (key, ts) dups,
+     so no separate dedup pass (and no second Exchange) is needed;
+  4. keep left rows.
+
+Cost: ONE Exchange on ``key`` + one in-partition sort — the same price as
+a plain sort-merge join, independent of how many right rows precede each
+left row (verified by plan-shape test: no Join node, one hashpartitioning
+Exchange). Skewed keys behave like any skewed window (AQE cannot split a
+window partition; pre-salt by coarse time bucket if one key dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: latest ``right`` row with ``right_ts <= left_ts`` per
+    ``key``. Right payload columns come back prefixed; left rows with no
+    prior right row keep nulls (left-outer semantics).
+
+    ``tiebreak``: right column ordering duplicates within (key, right_ts);
+    the max row wins (last-writer-wins, OP18 semantics). Without it,
+    duplicate right timestamps make the carried payload nondeterministic.
+    """
+    tie = F.col(tiebreak) if tiebreak is not None else F.lit(0)
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    r_side = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        tie.alias("__tie"),
+        payload.alias("__payload"),
+    )
+    l_side = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        # left rows never affect the carry; any value of the right type works
+        F.lit(None).cast(r_side.schema["__tie"].dataType).alias("__tie"),
+        F.lit(None).cast(r_side.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    r_side = r_side.withColumn("__row", F.lit(None).cast(l_side.schema["__row"].dataType))
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r_side.unionByName(l_side).withColumn(
+        "__carried", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == 1).select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__carried.{c}").alias(f"{prefix}{c}") for c in right_payload],
+    )
+    return out

@@ -121,6 +121,73 @@ def neardup_pairs(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid (coarse
+    quantizer), probe only the ``nprobe`` centroid lists nearest the query.
+
+    Centroids here are the ``n_centroids`` lowest-id vectors — a
+    deterministic seed set standing in for an offline k-means|| fit; the
+    assignment / inverted-list / probe machinery is identical whichever way
+    the centroids were produced. At 100 TB the centroid id is the partition
+    (or Z-order) key of the stored table, so a query reads nprobe/n_centroids
+    of the data instead of all of it — the same contract as FAISS IVF.
+
+    Shuffle shape: centroids are broadcast (tiny), assignment is a map-side
+    ``max_by`` over the replicated scores (partial agg collapses the
+    n_centroids rows per vector before the exchange), and the probe's
+    candidate scan is an equi-join on the centroid id.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n"))
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col)).alias("__cn"),
+        )
+    )
+    csim = _sim_from_parts(F.col(vec_col), F.col("__cv"), F.col("__n"), F.col("__cn"))
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col(vec_col), F.col("__n"), F.col("__cid"), csim.alias("__sim"))
+        .groupBy(id_col)
+        .agg(
+            # ties broken toward the larger centroid id — mirrors the
+            # oracle's ORDER BY sim DESC, cid DESC / row_number()=1
+            F.max_by("__cid", F.struct("__sim", "__cid")).alias("__cid"),
+            F.first(vec_col).alias(vec_col),
+            F.first("__n").alias("__n"),
+        )
+    )
+
+    p = probe.select(F.col(vec_col).alias("__pv"), norm(F.col(vec_col)).alias("__pn"))
+    psim = _sim_from_parts(F.col("__pv"), F.col("__cv"), F.col("__pn"), F.col("__cn"))
+    probe_cents = (
+        p.crossJoin(F.broadcast(cents))
+        .select(F.col("__cid"), psim.alias("__psim"))
+        .orderBy(F.col("__psim").desc(), F.col("__cid").desc())
+        .limit(nprobe)
+        .select("__cid")
+    )
+    qsim = _sim_from_parts(F.col(vec_col), F.col("__pv"), F.col("__n"), F.col("__pn"))
+    return (
+        assign.join(F.broadcast(probe_cents), "__cid")
+        .crossJoin(F.broadcast(p))
+        .select(F.col(id_col), qsim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     probe: DataFrame,

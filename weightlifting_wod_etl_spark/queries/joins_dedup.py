@@ -6,7 +6,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.asof import asof_join
 from ..operators.dedup import anti_join_ledger, exact_dedup, idempotency_key
+from ..operators.rangejoin import band_range_join
 from ..queries_registry import register
 
 
@@ -135,6 +137,87 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return a.intersect(b).subtract(c)
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           round(p.value, 2) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the user's most recent purchase at or
+    before it (operators/asof.py — union-sort, one shuffle, no row
+    amplification; DuckDB's native ASOF JOIN is the oracle)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("asof_event_id").alias("purchase_id"),
+        F.round("asof_value", 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 10 MINUTE AS w_end
+        FROM events WHERE value >= 150
+    )
+    SELECT w.window_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(round(e.value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): count/sum events inside each 10-minute
+    incident window opened by a high-value event. Bin-bucketed
+    (operators/rangejoin.py) so the plan is an equi-join on time bins, not
+    a BroadcastNestedLoopJoin — the shape that survives 100 TB."""
+    from ..functions.money import to_fixed
+
+    events = load_table(spark, sf_dir, "events")
+    windows = events.filter(F.col("value") >= 150).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    points = events.select("ts", "value")
+    joined = band_range_join(points, windows, "ts", "w_start", "w_end", bin_width_s=600)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
+    )
 
 
 @register(

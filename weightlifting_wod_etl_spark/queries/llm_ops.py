@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.minhash import lsh_candidate_pairs, ngram_jaccard_pairs, simhash_fingerprint
 from ..operators.multimodal import documents_as_media, extract_features
-from ..operators.similarity import brute_force_topk, lsh_bucket_topk, neardup_pairs
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
 from ..operators.text import (
     BPE_ISH_PATTERN,
     bpe_ish_token_count,
@@ -185,6 +185,46 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0)
     return lsh_bucket_topk(emb, probe, k=10, n_bits=8)
+
+
+@register(
+    "q_ann_ivf",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+               round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+        FROM embeddings e CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        FROM scored
+    ),
+    assign AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+    pc AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= 2),
+    p AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round(list_dot_product(a.v, p.pv) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+    FROM assign a JOIN pc ON a.cid = pc.cid, p
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-of-8-centroids coarse quantizer, probe scans its 2
+    nearest inverted lists (nprobe=2) — the FAISS-IVF contract; at scale
+    the centroid id is the stored partition key (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, probe, k=10, n_centroids=8, nprobe=2)
 
 
 @register(
