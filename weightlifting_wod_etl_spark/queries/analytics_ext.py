@@ -1,0 +1,172 @@
+"""Analytics extensions: rolling-hash fingerprint, exact percentiles,
+CUBE grouping sets, tumbling time windows.
+
+These widen the engine's declared surface beyond the reference's own
+operators (SURVEY.md §2 north-star extensions): content-defined
+fingerprinting for dedup pipelines, distribution statistics, OLAP grouping
+sets, and the batch analog of a streaming tumbling-window aggregation.
+
+Scale notes (100 TB): every query here is a single-shuffle hash aggregate
+or a pure projection — no joins, no windows over unbounded partitions.
+The rolling hash is a per-row ``aggregate`` over the token array (JVM
+higher-order function, whole-stage codegen, zero Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import to_fixed
+from ..io import load_table
+from ..queries_registry import register
+
+# Rabin-Karp parameters: multiplier co-prime to the Mersenne-ish modulus;
+# acc < 2^31 so acc * MULT < 2^51 — no bigint overflow under ANSI mode.
+_ROLL_MULT = 1_000_003
+_ROLL_MOD = 2_147_483_647
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over whitespace tokens.
+
+    Token value = ascii(first char) * 1009 + length — cheap, engine-portable
+    (identical in DuckDB), and sensitive to token order, unlike a bag-of-
+    words hash. The '_' append makes the empty token well-defined without a
+    conditional. Runs entirely in codegen via ``aggregate`` — the reference
+    fingerprints documents one-at-a-time in Python (md5 of normalized text);
+    here the hash is a streaming fold that at 100 TB never leaves the scan
+    stage.
+    """
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * F.lit(_ROLL_MULT)
+            + F.ascii(F.substring(F.concat(t, F.lit("_")), 1, 1)).cast("bigint") * F.lit(1009)
+            + F.length(t)
+        )
+        % F.lit(_ROLL_MOD),
+    )
+
+
+@register(
+    "q_rolling_hash",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           t -> (ascii(substr(t || '_', 1, 1)) * 1009 + length(t))::BIGINT)),
+                   (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint)::BIGINT AS n_same
+    FROM fp
+    """,
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint + duplicate cluster size —
+    the content-defined-chunking primitive of dedup pipelines (complements
+    q_doc_fingerprint's normalized md5)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", rolling_hash(F.col("text")).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select("doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same"))
+
+
+@register(
+    "q_percentile",
+    oracle="""
+    WITH c AS (SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents FROM lineitem)
+    SELECT l_returnflag,
+           quantile_cont(cents, [0.25, 0.5, 0.75])[1]::DOUBLE / 100.0 AS p25,
+           quantile_cont(cents, [0.25, 0.5, 0.75])[2]::DOUBLE / 100.0 AS p50,
+           quantile_cont(cents, [0.25, 0.5, 0.75])[3]::DOUBLE / 100.0 AS p75,
+           count(*)::BIGINT AS n_items
+    FROM c
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (one agg buffer for
+    all three cut points).
+
+    Engine-exactness: cut points are DYADIC (1/4, 1/2, 3/4) and the input is
+    integer cents, so position, fraction, and interpolated value are all
+    exactly representable doubles — ``(a+b)/2`` vs ``a+f*(b-a)`` agree
+    bit-for-bit however each engine orders the ops (a non-dyadic p90 over
+    raw doubles differs in the last ulp and flips round() at .xx5
+    boundaries). Exact percentile sorts per group; at 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, map-side combinable) — same
+    call shape, declared rows-only because sketches aren't oracle-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_returnflag").agg(
+        F.percentile(to_fixed("l_extendedprice"), F.lit([0.25, 0.5, 0.75])).alias("__p"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return p.select(
+        "l_returnflag",
+        (F.col("__p")[0] / F.lit(100.0)).alias("p25"),
+        (F.col("__p")[1] / F.lit(100.0)).alias("p50"),
+        (F.col("__p")[2] / F.lit(100.0)).alias("p75"),
+        "n_items",
+    )
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING_ID(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           count(*)::BIGINT AS n_orders,
+           round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets with grouping-id disambiguation — all 4
+    grouping sets in ONE pass (Spark expands the sets map-side before a
+    single shuffle; no per-level rescan of the fact table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — the batch analog of the
+    streaming `groupBy(window(...))` plan in streaming/sessions.py; windows
+    are computed map-side (pure projection), so this is one hash-agg
+    shuffle keyed on (bucket, type) regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None):
 # Import for registration side effects — each module registers its queries.
 from .queries import (  # noqa: E402,F401
     aggregates,
+    analytics_ext,
     core,
     dates_clean,
     joins_dedup,
