@@ -287,3 +287,55 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(round(l_quantity * 100)::BIGINT) AS qty_cents
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(round(l_quantity * 100)::BIGINT) > 25000
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           big.qty_cents / 100.0 AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY sum_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers — aggregate-then-filter
+    (HAVING) feeding a join, then total-order top-k.
+
+    Scale shape: the HAVING prunes lineitem to the top ~2% of orders
+    BEFORE either join, so the joins move only the survivors; the orderkey
+    agg and the orders join share the same key, and AQE converts the
+    post-agg side to broadcast when it fits. No hints — selectivity is
+    data-dependent and AQE sees the real post-agg size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(to_fixed("l_quantity")).alias("__qty_cents"))
+        .filter(F.col("__qty_cents") > 25000)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            (F.col("__qty_cents") / F.lit(100.0)).alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -170,3 +170,36 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           count(*)::BIGINT AS n_events,
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
+    FROM (
+        SELECT value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour window, 30-minute slide — each event lands
+    in exactly 2 windows. Spark expands the window memberships map-side
+    (pure projection, ×2 row amplification) then hash-aggregates: one
+    shuffle keyed on bucket start, identical to the streaming
+    `groupBy(window(ts, '1 hour', '30 minutes'))` plan."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        "sum_value",
+    )

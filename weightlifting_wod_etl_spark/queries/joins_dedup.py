@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import to_fixed
 from ..io import load_table
 from ..operators.asof import asof_join
 from ..operators.dedup import anti_join_ledger, exact_dedup, idempotency_key
@@ -204,7 +205,6 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     incident window opened by a high-value event. Bin-bucketed
     (operators/rangejoin.py) so the plan is an equi-join on time bins, not
     a BroadcastNestedLoopJoin — the shape that survives 100 TB."""
-    from ..functions.money import to_fixed
 
     events = load_table(spark, sf_dir, "events")
     windows = events.filter(F.col("value") >= 150).select(
@@ -234,7 +234,6 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (reference json.dumps/loads boundary, OP23 analog) —
     get_json_object stays JVM-side."""
     events = load_table(spark, sf_dir, "events")
-    from ..functions.money import to_fixed
 
     return (
         events.select(
@@ -245,4 +244,40 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
         )
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE 10 * round(o.o_totalprice * 100)::BIGINT
+            * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > 12 * (SELECT sum(round(o2.o_totalprice * 100)::BIGINT)
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced >1.2× their customer's average — the correlated
+    scalar-subquery pattern, decorrelated by hand into agg + self-join
+    (exactly the rewrite Catalyst applies to a correlated subquery, made
+    explicit so the plan is visible).
+
+    Engine-exactness: the comparison is pure integer arithmetic
+    (10·cents·count > 12·Σcents) — an avg in doubles differs across
+    engines in the last ulp under reordered summation, and a boundary row
+    would flip the hash. Scale shape: both sides shuffle on o_custkey —
+    one Exchange each, co-partitioned join, no broadcast of the
+    data-proportional agg side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", to_fixed("o_totalprice").alias("__cents")
+    )
+    per_cust = o.groupBy(F.col("o_custkey").alias("__ck")).agg(
+        F.sum("__cents").alias("__sum"), F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.__ck)
+        .filter(10 * F.col("__cents") * F.col("__cnt") > 12 * F.col("__sum"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
     )
