@@ -36,6 +36,12 @@ HEADLINE = [
     "q_simhash",
     "q_embed_neardup",
     "q_skew_agg",
+    "q_asof_join",
+    "q_range_join",
+    "q_ann_ivf",
+    "q_tpch_q18",
+    "q_rolling_hash",
+    "q_percentile",
 ]
 
 

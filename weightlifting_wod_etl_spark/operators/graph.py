@@ -1,0 +1,77 @@
+"""Connected components over a pair list — duplicate-cluster canonicalization.
+
+Near-dup detection (MinHash LSH, SimHash, embedding cosine) emits PAIRS;
+a training-data pipeline needs CLUSTERS: every document labeled with one
+canonical id (keep-one-per-cluster dedup). That closure step is a
+connected-components computation — inherently iterative, outside single-pass
+SQL, and the reference has nothing like it (its dedup is per-record
+idempotency, `services/idempotency_service.py:49-75`).
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+itself; each round every node takes the min of its own label and its
+neighbors' labels; fixpoint = every node carries the min id of its component.
+Rounds needed = graph diameter — near-dup clusters are small and dense
+(diameter ≤ ~3), so this converges in 2-4 rounds. For adversarial
+long-chain graphs at 100 TB, swap the body for the large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce"), which is
+O(log n) rounds of the same join+min primitive — the driver loop and
+convergence test stay identical.
+
+Scale notes:
+  - each round is one shuffle (groupBy node) plus one co-partitioned join;
+    both key on the node id, so AQE reuses the partitioning across rounds;
+  - ``localCheckpoint`` truncates lineage every round — without it the plan
+    doubles per iteration and Catalyst analysis time explodes by round ~8;
+  - the convergence probe (``isEmpty`` on changed labels) is a cheap action
+    short-circuited by AQE; no ``collect`` of data rows to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` with the minimum node id
+    of its connected component.
+
+    Returns ``(node, component)`` for every node appearing in the edge list
+    (undirected; isolated nodes never appear in a pair list and are their
+    own singleton clusters by definition — union them in afterwards if the
+    full vertex set is needed).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+
+    for _ in range(max_iter):
+        neighbor = und.join(
+            labels.select(F.col("node").alias("v"), "component"), "v"
+        ).select(F.col("u").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels

@@ -412,3 +412,52 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_dup_clusters",
+    oracle="""
+    WITH RECURSIVE b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+                CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+                CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+                CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE round(list_dot_product(a.e, c.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) *
+                     sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u FROM und),
+    reach AS (
+        SELECT u, u AS v FROM nodes
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+    FROM comp
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → canonical CLUSTERS: connected components by
+    iterative min-label propagation (operators/graph.py) over the
+    embedding near-dup edge list — the keep-one-per-cluster closure step
+    of a dedup pipeline. Oracle is a recursive-CTE transitive closure:
+    exact parity between a distributed fixpoint loop and single-node
+    recursion."""
+    from ..operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, min_cosine=0.25, n_bits=4)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    ).withColumn("n_members", F.count(F.lit(1)).over(w))
