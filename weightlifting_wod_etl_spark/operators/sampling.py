@@ -1,0 +1,68 @@
+"""Content-addressed sampling, dataset splits, and token chunking.
+
+Training-data pipelines sample, split, and chunk at every stage. The only
+sampling that survives 100 TB and reruns is CONTENT-ADDRESSED: bucket every
+record by a hash of its stable id and keep bucket ranges. Unlike
+``df.sample()`` (seed + partition-layout dependent — adding one input file
+reshuffles who's sampled) a hash bucket is a pure projection: reproducible
+across engines, runs, repartitions, and incremental appends, and it pushes
+down to a scan-local filter (no shuffle, no state).
+
+Buckets are the first two hex digits of ``md5(id)`` compared as STRINGS —
+256 uniform buckets with zero hex→int conversion, the same portable-md5
+trick as operators/minhash.py (reference fingerprints one record at a time,
+`services/idempotency_service.py:49-62`; here the hash is the sampling
+universe itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash_bucket(id_col: Column) -> Column:
+    """First two hex digits of md5(id) — one of 256 uniform string buckets."""
+    return F.substring(F.md5(id_col.cast("string")), 1, 2)
+
+
+def hash_sample(id_col: Column, hex_cutoff: str) -> Column:
+    """Keep-predicate sampling at rate ≈ int(hex_cutoff, 16)/256.
+
+    ``hex_cutoff`` is a two-hex-digit string, e.g. '1a' → 26/256 ≈ 10.2%.
+    """
+    return hash_bucket(id_col) < F.lit(hex_cutoff)
+
+
+def dataset_split(id_col: Column, train_cutoff: str = "cd", val_cutoff: str = "e6") -> Column:
+    """'train' / 'val' / 'test' by hash bucket range — ≈80.1 / 9.8 / 10.2%
+    with the defaults. Deterministic per id: a record never migrates between
+    splits when the corpus grows (no leakage across reruns)."""
+    b = hash_bucket(id_col)
+    return (
+        F.when(b < F.lit(train_cutoff), F.lit("train"))
+        .when(b < F.lit(val_cutoff), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def token_chunks(text: Column, chunk_size: int = 512) -> Column:
+    """Array of (chunk_id, token_start, token_end) structs covering the
+    whitespace tokens of ``text`` in windows of ``chunk_size``.
+
+    Context-window chunking as a pure expression: explode the result and
+    slice tokens downstream. Scan-local — at 100 TB this adds zero shuffle;
+    the ×ceil(n/size) row amplification happens map-side where the
+    documents already live.
+    """
+    n = F.size(F.split(text, " "))
+    n_chunks = (n + F.lit(chunk_size - 1)).cast("bigint") / F.lit(chunk_size)
+    last = F.floor(n_chunks).cast("bigint") - 1
+    return F.transform(
+        F.sequence(F.lit(0).cast("bigint"), last),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * chunk_size).alias("token_start"),
+            F.least(i * chunk_size + chunk_size, n.cast("bigint")).alias("token_end"),
+        ),
+    )
