@@ -72,3 +72,21 @@ def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
     # one exchange for the right-side dedup window + carry window share the
     # same (key) partitioning, so they reuse a single shuffle
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sampling_queries_are_scan_local(spark, sf_dir):
+    """Hash sampling and token chunking must be pure projections/filters —
+    zero Exchanges: at 100 TB they run entirely inside the scan stage."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    for name in ("q_hash_sample", "q_chunk_bounds", "q_token_chunks"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles: not scan-local"
+
+
+def test_dataset_split_single_shuffle(spark, sf_dir):
+    """Split assignment is map-side; only the (split, lang) agg shuffles."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_dataset_split"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -100,3 +100,33 @@ def test_stateful_sessionizer_stream(spark, stream_dirs):
             assert batch[key][0] == r.n_events
             matched += 1
     assert matched >= len(got) * 0.9
+
+
+def test_stream_dedup_within_watermark(spark, stream_dirs):
+    """Replayed keys across micro-batches are suppressed exactly once."""
+    import os
+
+    from weightlifting_wod_etl_spark.streaming.dedup import dedup_stream
+
+    src, in_dir, ckpt = stream_dirs
+    # build a replayed input: batch_a ∪ (batch_a sample ∪ batch_b) — the
+    # sample rows arrive twice, in different micro-batches
+    tmp = ckpt + "_dedup_in"
+    a = spark.read.parquet(os.path.join(in_dir, "batch_a"))
+    b = spark.read.parquet(os.path.join(in_dir, "batch_b"))
+    replay = a.orderBy("event_id").limit(50)
+    a.coalesce(1).write.parquet(os.path.join(tmp, "m1"))
+    replay.unionByName(b).coalesce(1).write.parquet(os.path.join(tmp, "m2"))
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+    )
+    got = _run_stream(
+        spark, dedup_stream(stream, keys=["event_id"]), ckpt + "_dedup", "dedup_out"
+    )
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == len(set(ids)), "stream emitted duplicate keys"
+    assert set(ids) == {r.event_id for r in src.collect()}, "lost or invented keys"

@@ -1,0 +1,71 @@
+"""Distributed exact percentiles via value-count cumulation.
+
+``F.percentile`` buffers every raw value in the aggregation buffer — with
+few groups that is one reducer holding a whole group's data, the classic
+low-cardinality-groupBy skew (fine for sketches, fatal for 2B rows/group).
+
+This operator computes the SAME linear-interpolation percentile from the
+value HISTOGRAM instead of the value list:
+
+  1. ``groupBy(group, value).count()`` — map-side combinable, shuffle
+     volume = distinct (group, value) pairs, not rows;
+  2. cumulative count over values per group — a window over DISTINCT
+     values (bounded by the value domain, e.g. ≤ ~1M distinct cents,
+     regardless of row count);
+  3. the p-quantile's lower/upper neighbors fall out of two conditional
+     mins over the cumulation; interpolate exactly.
+
+Cut positions use the standard ``pos = p·(n-1)`` definition (same as
+DuckDB ``quantile_cont`` and Spark ``percentile``). With dyadic cuts and
+integer inputs every intermediate is an exactly-representable double, so
+results are bit-identical to any engine using either interpolation form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    cuts: list[float],
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Per-group exact linear-interpolation percentiles of ``value_col``
+    (numeric) at each fraction in ``cuts``; also returns ``n_items``.
+
+    Output columns: ``{out_prefix}{int(cut*100)}`` per cut, e.g. p25, p50.
+    """
+    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+
+    aggs = [F.first("__n").alias("n_items")]
+    names: list[str] = []
+    for p in cuts:
+        # idx in [0, n-1]; lower neighbor covers idx, upper covers idx+1.
+        # __n is group-constant: per-row uses the raw column (inside the
+        # aggregate's input), the final arithmetic uses first(__n).
+        row_idx = F.floor(F.lit(p) * (F.col("__n") - 1))
+        agg_pos = F.lit(p) * (F.first("__n") - 1)
+        frac = agg_pos - F.floor(agg_pos)
+        lo = F.min(F.when(F.col("__cum") > row_idx, F.col("__v")))
+        hi = F.min(F.when(F.col("__cum") > row_idx + 1, F.col("__v")))
+        name = f"{out_prefix}{int(round(p * 100))}"
+        names.append(name)
+        aggs.append((lo + frac * (F.coalesce(hi, lo) - lo)).alias(name))
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    return out.select(*group_cols, *names, "n_items")

@@ -103,19 +103,21 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly representable doubles — ``(a+b)/2`` vs ``a+f*(b-a)`` agree
     bit-for-bit however each engine orders the ops (a non-dyadic p90 over
     raw doubles differs in the last ulp and flips round() at .xx5
-    boundaries). Exact percentile sorts per group; at 100 TB swap in
-    ``approx_percentile`` (t-digest sketch, map-side combinable) — same
-    call shape, declared rows-only because sketches aren't oracle-exact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = li.groupBy("l_returnflag").agg(
-        F.percentile(to_fixed("l_extendedprice"), F.lit([0.25, 0.5, 0.75])).alias("__p"),
-        F.count(F.lit(1)).alias("n_items"),
+    boundaries). Scale: operators/percentile.py aggregates value COUNTS
+    first (map-side combinable), then windows over distinct values — no
+    reducer ever buffers a group's raw rows, unlike ``F.percentile`` whose
+    buffer is the group itself (3 groups ⇒ 3 reducers hold everything)."""
+    from ..operators.percentile import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", to_fixed("l_extendedprice").alias("__cents")
     )
+    p = exact_percentiles(li, ["l_returnflag"], "__cents", [0.25, 0.5, 0.75])
     return p.select(
         "l_returnflag",
-        (F.col("__p")[0] / F.lit(100.0)).alias("p25"),
-        (F.col("__p")[1] / F.lit(100.0)).alias("p50"),
-        (F.col("__p")[2] / F.lit(100.0)).alias("p75"),
+        (F.col("p25") / F.lit(100.0)).alias("p25"),
+        (F.col("p50") / F.lit(100.0)).alias("p50"),
+        (F.col("p75") / F.lit(100.0)).alias("p75"),
         "n_items",
     )
 
