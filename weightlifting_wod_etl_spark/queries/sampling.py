@@ -111,3 +111,145 @@ def q_chunk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.token_start").alias("token_start"),
         F.col("c.token_end").alias("token_end"),
     )
+
+
+@register(
+    "q_corpus_mixture",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, source,
+               CASE substr(source, 4)::INT % 4
+                    WHEN 0 THEN 'ff' WHEN 1 THEN 'bf'
+                    WHEN 2 THEN '80' ELSE '40' END AS cutoff
+        FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_kept
+    FROM rated
+    WHERE substr(md5(doc_id::VARCHAR), 1, 2) < cutoff
+    GROUP BY source
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source is down-sampled at its own rate
+    (100/75/50/25% by source index) — the data-mixing step of a training
+    run, as a broadcast join against a tiny rates dim + the same
+    content-addressed keep-predicate as q_hash_sample. Scan-local per row;
+    one shuffle for the audit agg."""
+    from ..operators.sampling import hash_bucket
+
+    rates = spark.createDataFrame(
+        [(i, ["ff", "bf", "80", "40"][i % 4]) for i in range(20)],
+        ["src_idx", "cutoff"],
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "src_idx", F.substring("source", 4, 10).cast("int")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "src_idx")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("cutoff"))
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "q_sequence_pack",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_toks
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, n_toks,
+               ((sum(n_toks) OVER (PARTITION BY lang ORDER BY n_toks DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_toks) // 2048)::BIGINT AS bin_id
+        FROM d
+    )
+    SELECT lang, bin_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS sum_tokens
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: docs sorted (tokens desc, id) per
+    language, binned where the running token total crosses the 2048
+    budget — deterministic, single-window packing (docs may straddle a
+    boundary; trailing straddle tokens truncate downstream). True first-fit
+    needs per-bin state: at scale, applyInPandas per (lang, coarse bucket)
+    with this plan as the partitioner."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_toks").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "bin_id", ((F.sum("n_toks").over(w) - F.col("n_toks")) / F.lit(2048)).cast("bigint")
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("sum_tokens"),
+    )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=r"""
+    WITH feats AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS n_toks,
+               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               round(0.4 * least(n_toks / 100.0, 1.0)
+                     + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+                     + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4) AS quality
+        FROM feats
+    ),
+    survivors AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5
+        QUALIFY row_number() OVER (PARTITION BY fingerprint
+                                   ORDER BY quality DESC, doc_id) = 1
+    )
+    SELECT lang, source, count(*)::BIGINT AS n_docs,
+           round(sum(quality), 4) AS sum_quality
+    FROM survivors
+    GROUP BY lang, source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality-filter → exact-dedup keeping the
+    best-quality copy per fingerprint → per-(lang, source) audit. The
+    LLM-pipeline composition query: every stage is an operator declared
+    elsewhere (text.quality_score, text.doc_fingerprint, dedup
+    row_number=1), chained in one plan — filter pushes into the scan, the
+    dedup window and final agg are the only shuffles."""
+    from pyspark.sql import Window
+
+    from ..operators.text import doc_fingerprint, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
+    survivors = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return survivors.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("quality"), 4).alias("sum_quality"),
+    )
