@@ -11,11 +11,12 @@ Scale design (the whole point of LSH at 100 TB):
     a band — at threshold-tuned (K, B) that is a vanishing fraction of the
     N² pair space.
 
-Portability: the "hash family" is ``md5(seed || ':' || shingle)`` compared
-lexicographically — deterministic, engine-agnostic (any SQL engine computes
-the identical hex), which is what makes the DuckDB oracle possible. A
-production deployment would swap in ``xxhash64`` for speed; the operator
-shape is unchanged.
+Portability: the "hash family" is 8-hex-digit slices of
+``md5(shingle) || md5('1:' || shingle)`` compared lexicographically —
+deterministic, engine-agnostic (any SQL engine computes the identical hex),
+which is what makes the DuckDB oracle possible, and 2 md5 calls per shingle
+instead of one per (seed, shingle). A production deployment would swap in
+``xxhash64`` for speed; the operator shape is unchanged.
 """
 
 from __future__ import annotations
@@ -45,23 +46,38 @@ def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     return _let(F.split(text, sep), inner)
 
 
-def _seeded_md5(seed: int):
-    """One-arg lambda factory. MUST be one-arg: pyspark treats a two-arg
+def _combined_md5(s: Column) -> Column:
+    """64 hex digits of hash material from TWO md5 calls per shingle:
+    ``md5(shingle) || md5('1:' || shingle)``. Seed k's hash value is hex
+    window ``[8k, 8k+8)`` — 8 independent-enough 32-bit hash functions for
+    the price of 2 md5s instead of the seeded-md5-per-k's 8. 8 hex digits =
+    2^32 values, so cross-doc min collisions are noise; portable to any
+    engine with md5/substr."""
+    return F.concat(F.md5(s), F.md5(F.concat(F.lit("1:"), s)))
+
+
+def _hash_slice(seed: int):
+    """One-arg lambda factory (MUST be one-arg: pyspark treats a two-arg
     ``transform`` lambda as (element, index), which would silently shadow a
-    default-arg seed with the index column."""
-    prefix = f"{seed}:"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    default-arg seed with the index column)."""
+    return lambda h: F.substring(h, 1 + 8 * seed, 8)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """K min-hashes: per seed, the lexicographic min of md5('seed:shingle').
+    """K min-hashes: per seed, the lexicographic min of hash-slice k over
+    the shingles (see ``_combined_md5``). K ≤ 8 with two md5s of material.
 
     Pure per-row expressions — the signature never shuffles.
     """
-    return [
-        F.array_min(F.transform(shingle_col, _seeded_md5(seed))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
+    assert num_hashes <= 8, "one _combined_md5 yields 8 hash slices"
+
+    def inner(hh: Column) -> Column:
+        return F.array(
+            *[F.array_min(F.transform(hh, _hash_slice(seed))) for seed in range(num_hashes)]
+        )
+
+    sig = _let(F.transform(shingle_col, _combined_md5), inner)
+    return [sig[seed].alias(f"mh_{seed}") for seed in range(num_hashes)]
 
 
 def band_keys(sig_cols: list[Column | str], rows_per_band: int) -> Column:
@@ -86,16 +102,23 @@ def band_keys_from_shingles(
     pipeline runs K times. Binding the array once keeps it single-pass.
     """
 
+    assert num_hashes <= 8, "one _combined_md5 yields 8 hash slices"
+
     def inner(sh: Column) -> Column:
-        sigs = [
-            F.array_min(F.transform(sh, _seeded_md5(seed))) for seed in range(num_hashes)
-        ]
-        return F.array(
-            *[
-                F.concat_ws("|", *sigs[i : i + rows_per_band])
-                for i in range(0, num_hashes, rows_per_band)
+        def from_hashes(hh: Column) -> Column:
+            sigs = [
+                F.array_min(F.transform(hh, _hash_slice(seed))) for seed in range(num_hashes)
             ]
-        )
+            return F.array(
+                *[
+                    F.concat_ws("|", *sigs[i : i + rows_per_band])
+                    for i in range(0, num_hashes, rows_per_band)
+                ]
+            )
+
+        # bind the hashed array too: md5 runs once per shingle, the K
+        # slice-min passes reuse it
+        return _let(F.transform(sh, _combined_md5), from_hashes)
 
     return _let(shingle_col, inner)
 

@@ -36,7 +36,8 @@ _SHINGLED_CTE = """
     WITH {_SHINGLED_CTE},
     exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
     sigs AS (
-        SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS mh
+        SELECT doc_id, seed,
+               min(substr(md5(shingle) || md5('1:' || shingle), 1 + 8 * seed, 8)) AS mh
         FROM exploded, unnest(generate_series(0, 7)) AS t(seed)
         GROUP BY doc_id, seed
     ),
