@@ -1,0 +1,186 @@
+"""Property-based checks: custom operators vs independent brute-force
+references on randomized inputs (hypothesis). Complements the DuckDB
+oracle parity sweep — these catch semantic edge cases (ties, empties,
+boundary rows) the fixed corpus may never hit.
+
+Spark round-trips are slow, so examples are few but adversarially shaped:
+tiny domains force duplicate keys, equal timestamps, and boundary hits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from weightlifting_wod_etl_spark.operators.asof import asof_join
+from weightlifting_wod_etl_spark.operators.graph import connected_components
+from weightlifting_wod_etl_spark.operators.percentile import exact_percentiles
+from weightlifting_wod_etl_spark.operators.rangejoin import band_range_join
+
+_SETTINGS = dict(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """For every left row: payload of the max-(ts, tiebreak) right row with
+    right_ts <= left_ts on the same key, else null."""
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "lts"]
+    )
+    rdf = spark.createDataFrame(right, ["k", "rts", "tb"])
+    got = {
+        r.lid: r.asof_tb
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["tb"], tiebreak="tb",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rts, tb) for (rk, rts, tb) in right if rk == k and rts <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"left row {i} (k={k}, ts={t}): {got[i]} != {want}"
+
+
+@given(
+    points=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 40)), min_size=1, max_size=10
+    ),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_nested_loop(spark, points, intervals):
+    """Bin bucketing must produce EXACTLY the half-open-interval pairs,
+    independent of bin width (probe widths around and off interval sizes)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(points)],
+        ["pid", "pts"],
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + w))
+            for j, (s, w) in enumerate(intervals)
+        ],
+        ["iid", "istart", "iend"],
+    )
+    for bin_w in (1, 7, 64):
+        got = {
+            (r.pid, r.iid)
+            for r in band_range_join(pdf, idf, "pts", "istart", "iend", bin_w).collect()
+        }
+        want = {
+            (i, j)
+            for i, s in enumerate(points)
+            for j, (st_, w) in enumerate(intervals)
+            if st_ <= s < st_ + w
+        }
+        assert got == want, f"bin_width={bin_w}: {got ^ want}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    parent = list(range(13))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(edf).collect()}
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_exact_percentiles_match_numpy(spark, vals):
+    """Dyadic cuts over integers: must equal numpy's linear interpolation
+    exactly (same pos = p*(n-1) definition)."""
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    row = exact_percentiles(df, ["g"], "v", [0.25, 0.5, 0.75]).collect()[0]
+    want = np.percentile(np.array(vals, dtype=np.float64), [25, 50, 75])
+    assert row.n_items == len(vals)
+    assert (row.p25, row.p50, row.p75) == tuple(want), (
+        f"{(row.p25, row.p50, row.p75)} != {tuple(want)}"
+    )
+
+
+def test_asof_join_equal_ts_right_before_left(spark):
+    """At-or-before includes ties: a right row at exactly left_ts carries."""
+    ldf = spark.createDataFrame([(1, 10)], ["k", "lts"])
+    rdf = spark.createDataFrame([(1, 10, 7)], ["k", "rts", "tb"])
+    out = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["tb"], tiebreak="tb",
+    ).collect()
+    assert out[0].asof_tb == 7
+
+
+def test_merge_asof_cross_check(spark):
+    """Deterministic cross-check against pandas merge_asof on a seeded set
+    with duplicate (key, ts) right rows."""
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 4, 60), "lts": rng.randint(0, 40, 60)}
+    ).reset_index(names="lid")
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 4, 40),
+            "rts": rng.randint(0, 40, 40),
+            "tb": rng.randint(0, 100, 40),
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            key="k", left_ts="lts", right_ts="rts",
+            right_payload=["tb"], tiebreak="tb",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # merge_asof keeps the LAST right row among equal rts; sorting by
+    # (rts, tb) makes that the max-tiebreak row = asof_join's winner
+    want = pd.merge_asof(
+        left.sort_values(["lts", "lid"]),
+        right.sort_values(["rts", "tb"]),
+        left_on="lts", right_on="rts", by="k",
+        direction="backward", allow_exact_matches=True,
+    ).sort_values("lid").reset_index(drop=True)
+    assert (
+        got["asof_tb"].fillna(-1).astype(int).tolist()
+        == want["tb"].fillna(-1).astype(int).tolist()
+    )
