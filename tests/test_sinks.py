@@ -74,3 +74,18 @@ def test_weekly_rollup_path(spark, tmp):
         [("2021-01-03",), ("2021-01-08",)], ["date"]
     )
     assert weekly_rollup_path(df, tmp).endswith("weekly/2021-01-03__2021-01-08--records.json")
+
+
+def test_csv_round_trip_explicit_schema(spark, tmp):
+    from weightlifting_wod_etl_spark.io import load_table, read_csv, write_csv
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"{tmp}/orders_csv"
+    write_csv(orders, path)
+    back = read_csv(spark, path, orders.schema)
+    assert back.schema == orders.schema  # no inference drift
+    a = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in orders.collect()}
+    b = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in back.collect()}
+    assert a == b

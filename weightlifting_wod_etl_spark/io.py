@@ -107,3 +107,16 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     generalized to a distributed sink.
     """
     df.write.mode(mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header — interchange format beyond the reference's
+    JSON/JSONL (SURVEY §2.2 file-formats row). One file per partition;
+    schema travels via ``read_csv``'s explicit-schema contract (CSV has no
+    embedded types — never infer at scale, a second full scan)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV scan with an EXPLICIT schema (no inference job)."""
+    return spark.read.option("header", "true").schema(schema).csv(path)

@@ -236,3 +236,37 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.groupBy("metric").agg(
         (F.sum("cents") / F.lit(100.0)).alias("total")
     )
+
+
+@register(
+    "q_map_fns",
+    oracle="""
+    SELECT o_orderkey,
+           element_at(map_concat(MAP {'status': o_orderstatus, 'prio': o_orderpriority},
+                                 MAP {'okey': o_orderkey::VARCHAR}), 'status')[1] AS status,
+           element_at(map_concat(MAP {'status': o_orderstatus, 'prio': o_orderpriority},
+                                 MAP {'okey': o_orderkey::VARCHAR}), 'prio')[1] AS prio,
+           cardinality(map_concat(MAP {'status': o_orderstatus, 'prio': o_orderpriority},
+                                  MAP {'okey': o_orderkey::VARCHAR}))::BIGINT AS n_keys
+    FROM orders
+    """,
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction / merge / lookup (SURVEY §2.2 map-fns row: the
+    reference's dict build + {**a, **b} merge + rename-map lookup) — all
+    scan-local expressions; DuckDB's element_at returns a list, hence the
+    [1] unwrap in the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ),
+        F.create_map(F.lit("okey"), F.col("o_orderkey").cast("string")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "prio").alias("prio"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
