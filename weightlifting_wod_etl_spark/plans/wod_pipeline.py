@@ -143,7 +143,10 @@ def wod_pipeline(posts: DataFrame) -> DataFrame:
     segmented = sessionize_post_text(stripped)
     records = segments_to_records(segmented, stripped)
     cleaned = clean_records(records, rename_map=DEFAULT_RENAME)
+    # no final orderBy: a global range-sort exchange would be pure
+    # presentation cost (results are set-compared; at 100 TB sorting the
+    # whole output to look nice is the single biggest avoidable shuffle)
     return cleaned.select(
         "post_id", "date", "session", "warm_up",
         "segment_a", "segment_b", "segment_c", "segment_d", "segment_e",
-    ).orderBy("post_id", "date")
+    )
