@@ -1,0 +1,221 @@
+"""Relational-surface extensions: semi / anti / outer joins, distinct aggs.
+
+The reference only ever joins implicitly (SURVEY.md §2.2 — left-anti
+idempotency, ordinal joins), but a drop-in engine needs the full relational
+join matrix. Each query here exercises one join/aggregation shape the rest
+of the suite doesn't cover, in the plan form that survives 100 TB:
+
+- semi join instead of join+distinct (no duplicate explosion, the probe side
+  streams once and short-circuits per key);
+- decorrelated scalar subquery as a single-row broadcast cross join (the
+  subquery aggregates to ONE row — never a per-row recompute);
+- outer-join count distribution as two cascaded aggregations where the
+  second input is already tiny (distinct count values, not rows);
+- full-outer on pre-aggregated dailies (both sides shrink by ~3 orders of
+  magnitude before the shuffle join);
+- multi-column distinct aggregation via Spark's Expand-based plan (each row
+  fans out once per distinct column; partial dedup happens map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import to_fixed
+from ..io import load_table
+from ..queries_registry import register
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as a LEFT SEMI join.
+
+    Semi join (not join+dropDuplicates): an order with 7 matching lineitems
+    emits one row and never materializes the duplicates, so the post-join
+    agg input is bounded by |orders|, not |lineitem|. Both sides shuffle on
+    orderkey once; the date filter is pushed into the orders parquet scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_outer_join_dist",
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_outer_join_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — LEFT OUTER join keeping order-less customers, then
+    the order-count distribution.
+
+    The status predicate lives in the JOIN condition, not a WHERE — filtering
+    after the outer join would silently drop the zero-order customers the
+    query exists to count. ``count(o_orderkey)`` counts non-null matches, so
+    unmatched customers land in the c_count=0 bucket. First agg shuffles on
+    custkey (same key as the join — AQE reuses the exchange); second agg's
+    input is |distinct counts| rows, effectively free.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "F"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_anti_scalar_sub",
+    oracle="""
+    WITH thresh AS (
+        SELECT sum(round(c_acctbal * 100)::BIGINT) AS total_cents,
+               count(*)::BIGINT AS cnt
+        FROM customer WHERE c_acctbal > 0.0
+    ), rich AS (
+        SELECT c.c_custkey, c.c_nationkey, round(c.c_acctbal * 100)::BIGINT AS cents
+        FROM customer c, thresh t
+        WHERE round(c.c_acctbal * 100)::BIGINT * t.cnt > t.total_cents
+    )
+    SELECT r.c_nationkey,
+           count(*)::BIGINT AS numcust,
+           sum(r.cents) / 100.0 AS totacctbal
+    FROM rich r
+    ANTI JOIN orders o ON r.c_custkey = o.o_custkey
+    GROUP BY r.c_nationkey
+    """,
+)
+def q_anti_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar AVG subquery + NOT EXISTS, decorrelated.
+
+    The average is decorrelated into a one-row (sum_cents, cnt) aggregate
+    broadcast via cross join — computed once, never per-row. The comparison
+    ``cents * cnt > total_cents`` is pure int64, so Spark and the oracle
+    agree bit-for-bit where a float avg threshold could flip boundary rows.
+    NOT EXISTS = left anti; only surviving (rich) customers shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(to_fixed("c_acctbal")).alias("total_cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    rich = (
+        cust.select(
+            "c_custkey", "c_nationkey", to_fixed("c_acctbal").alias("cents")
+        )
+        .crossJoin(F.broadcast(thresh))
+        .filter(F.col("cents") * F.col("cnt") > F.col("total_cents"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q_full_outer",
+    oracle="""
+    WITH od AS (
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1
+    ), sd AS (
+        SELECT strftime(l_shipdate, '%Y-%m-%d') AS d, count(*)::BIGINT AS n_ship
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(od.d, sd.d) AS d,
+           COALESCE(od.n_orders, 0)::BIGINT AS n_orders,
+           COALESCE(sd.n_ship, 0)::BIGINT AS n_ship
+    FROM od FULL OUTER JOIN sd ON od.d = sd.d
+    """,
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily activity series (order days vs ship days),
+    preserving days present on only one side.
+
+    Aggregate-before-join: both inputs collapse to |distinct days| rows
+    (~2.4k for 7 years) BEFORE the full-outer shuffle — at 100 TB the join
+    touches kilobytes, not the fact tables. Unmatched sides are zero-filled
+    so the output schema is total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    sd = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_ship"))
+    return (
+        od.join(sd, od.d == sd.d, "full_outer")
+        .select(
+            F.coalesce(od.d, sd.d).alias("d"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_ship", F.lit(0)).alias("n_ship"),
+        )
+    )
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS n_parts,
+           count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) — Catalyst's Expand-based rewrite.
+
+    Two distinct columns fan each row out ×3 (one replica per distinct
+    column + one for the plain count), then partial-deduplicate map-side
+    before the shuffle — the expansion never hits the wire at full width.
+    For approximate needs at 100 TB, ``q_approx_distinct`` (HLL) is the
+    cheap path; this is the exact one.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

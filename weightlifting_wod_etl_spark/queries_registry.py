@@ -56,6 +56,7 @@ from .queries import (  # noqa: E402,F401
     dates_clean,
     joins_dedup,
     llm_ops,
+    relational_ext,
     sampling,
     text_sessionize,
     wod_e2e,
