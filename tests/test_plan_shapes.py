@@ -90,3 +90,56 @@ def test_dataset_split_single_shuffle(spark, sf_dir):
 
     plan = _plan(QUERIES["q_dataset_split"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semi_join_is_semi_with_pushed_date_filter(spark, sf_dir):
+    """EXISTS must plan as LeftSemi (bounded output, no dup explosion) and
+    the orders date range must reach the parquet scan."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_outer_join_dist_keeps_outer(spark, sf_dir):
+    """The status predicate must stay in the join condition — the plan keeps
+    a LeftOuter join (a WHERE would have let Catalyst rewrite it to inner
+    and drop zero-order customers)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_outer_join_dist"](spark, sf_dir))
+    assert "LeftOuter" in plan
+
+
+def test_anti_scalar_sub_one_row_broadcast_only(spark, sf_dir):
+    """The decorrelated threshold may nested-loop ONLY as a one-row cross
+    broadcast; the NOT EXISTS itself must be a hash LeftAnti."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_anti_scalar_sub"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Cross" in plan  # the single-row threshold join, nothing else
+
+
+def test_full_outer_aggregates_before_join(spark, sf_dir):
+    """Both daily series must collapse via hash agg BEFORE the full-outer
+    shuffle join — the join input is |distinct days|, not the fact tables."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_full_outer"](spark, sf_dir))
+    assert "FullOuter" in plan
+    # 2 scans, each followed by partial+final HashAggregate pairs (>=4 total)
+    assert plan.count("FileScan") == 2
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_count_distinct_expand_single_scan(spark, sf_dir):
+    """Multi-distinct plans via Expand over ONE scan (no self-joins)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_count_distinct"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
