@@ -1,0 +1,138 @@
+"""Scalar/higher-order function surface as explicit oracle-checked queries.
+
+SURVEY.md §2.2 lists string / date / array function categories that the rest
+of the suite exercises only incidentally (inside sessionization, date
+extraction, similarity). These three queries pin each category directly so a
+reference user can see every function family verified one-for-one.
+
+All three are pure per-row projections — zero Exchanges, they run entirely
+inside the scan stage and scale linearly with input at 100 TB. Shared
+subexpressions (the token array) are let-bound via ``expr.let`` so Catalyst's
+CollapseProject cannot re-inline the split once per reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.expr import let
+from ..io import load_table
+from ..queries_registry import register
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 5))::BIGINT AS n_long,
+           list_sum(list_transform(string_split(text, ' '), t -> length(t)))::BIGINT AS total_chars,
+           array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 5), ',') AS first5_sorted
+    FROM documents
+    """,
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    array_sort / slice over a tokenized text column.
+
+    All lambdas run inside codegen on the JVM — this is the UDF-free path
+    for per-row collection logic (the same primitives the cosine/minhash
+    operators build on). ``let`` binds the split ONCE; naively aliasing it
+    would re-split the text 4× after CollapseProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        let(
+            F.split(F.col("text"), " "),
+            lambda toks: F.struct(
+                F.size(toks).alias("n_tokens"),
+                F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                ).alias("total_chars"),
+                F.array_join(F.slice(F.array_sort(toks), 1, 5), ",").alias(
+                    "first5_sorted"
+                ),
+            ),
+        ).alias("a"),
+    ).select("doc_id", "a.n_tokens", "a.n_long", "a.total_chars", "a.first5_sorted")
+
+
+@register(
+    "q_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS low,
+           upper(c_mktsegment) AS seg_up,
+           substr(c_name, 1, 8) AS head8,
+           replace(c_name, '#', '-') AS dashed,
+           lpad(c_custkey::VARCHAR, 10, '0') AS key_pad,
+           reverse(c_mktsegment) AS seg_rev,
+           regexp_replace(lower(c_name), '[aeiou]', '', 'g') AS no_vowels,
+           printf('%s:%d', c_mktsegment, c_custkey) AS tag,
+           length(c_name)::INT AS name_len
+    FROM customer
+    """,
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, replace, pad, reverse,
+    global regex replace, printf-style formatting, length.
+
+    Mirrors the reference's string usage (SURVEY §2.2 — replace/lower/
+    format templates at transforms.py:57,101, handler.py:127) as native JVM
+    expressions; one codegen stage, no shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("low"),
+        F.upper("c_mktsegment").alias("seg_up"),
+        F.substring("c_name", 1, 8).alias("head8"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.regexp_replace(F.lower("c_name"), "[aeiou]", "").alias("no_vowels"),
+        F.format_string("%s:%d", F.col("c_mktsegment"), F.col("c_custkey")).alias("tag"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "q_date_fns",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+           strftime((o_orderdate::DATE + INTERVAL 1 MONTH)::DATE, '%Y-%m-%d') AS next_month,
+           date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::INT AS days_since_epoch,
+           year(o_orderdate)::INT AS y,
+           quarter(o_orderdate)::INT AS q,
+           month(o_orderdate)::INT AS m,
+           isodow(o_orderdate::DATE)::INT AS iso_dow
+    FROM orders
+    """,
+)
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function family: truncation, month boundaries, calendar
+    arithmetic with end-of-month clamping, day diffs, field extraction.
+
+    ``add_months`` and DuckDB's ``+ INTERVAL 1 MONTH`` both clamp Jan 31 →
+    Feb 28, so the oracle agrees on month-end edges. ISO day-of-week
+    (Mon=1..Sun=7) = Spark ``weekday()+1`` — avoids the Sunday-first
+    ``dayofweek`` mismatch between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("next_month"),
+        F.datediff(d, F.lit("1992-01-01").cast("date")).alias("days_since_epoch"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        (F.weekday(d) + F.lit(1)).alias("iso_dow"),
+    )

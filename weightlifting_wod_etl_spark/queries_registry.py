@@ -54,6 +54,7 @@ from .queries import (  # noqa: E402,F401
     analytics_ext,
     core,
     dates_clean,
+    functions_surface,
     joins_dedup,
     llm_ops,
     relational_ext,
