@@ -84,3 +84,52 @@ def test_feeds_pipeline(posts_reader, pages_dir):
     out = df.select("slug", strip_html(F.col("content")).alias("text")).orderBy("slug")
     first = out.first()
     assert first.text.startswith("Workout")
+
+
+class TestJsonDLQ:
+    """PERMISSIVE corrupt-record split — the DLQ analog (SURVEY §4)."""
+
+    @pytest.fixture(scope="class")
+    def jsonl_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("dlq")
+        lines = [
+            '{"doc_id": 1, "text": "alpha"}',
+            '{"doc_id": 2, "text": "beta"}',
+            'this is not json at all',
+            '{"doc_id": "not-a-number", "text": "gamma"}',
+            '{"doc_id": 5, "text": "delta"}',
+        ]
+        (d / "data.jsonl").write_text("\n".join(lines) + "\n")
+        return str(d)
+
+    def test_good_and_quarantine_split(self, spark, jsonl_dir):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from weightlifting_wod_etl_spark.sources.json_dlq import read_jsonl_with_dlq
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        good, quarantine = read_jsonl_with_dlq(spark, jsonl_dir, schema)
+        good_rows = {r.doc_id for r in good.collect()}
+        assert good_rows == {1, 2, 5}
+        assert good.columns == ["doc_id", "text"]
+        bad = [r.raw_record for r in quarantine.collect()]
+        assert len(bad) == 2
+        assert any("not json" in b for b in bad)
+        assert any("not-a-number" in b for b in bad)  # replayable raw line
+
+    def test_bad_records_path_single_pass(self, spark, jsonl_dir, tmp_path):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from weightlifting_wod_etl_spark.sources.json_dlq import (
+            read_jsonl_with_bad_records_path,
+        )
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        dlq = str(tmp_path / "dlq")
+        df = read_jsonl_with_bad_records_path(spark, jsonl_dir, schema, dlq)
+        rows = df.filter("doc_id IS NOT NULL").collect()
+        assert {r.doc_id for r in rows} == {1, 2, 5}

@@ -146,6 +146,32 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING_ID(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           count(*)::BIGINT AS n_orders,
+           round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS — two independent marginals that
+    neither ROLLUP nor CUBE expresses, still ONE Expand + one shuffle (the
+    naive alternative is two scans + a union). grouping_id disambiguates
+    which marginal a row belongs to since either key column can be NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2).alias("sum_price"),
+    )
+
+
+@register(
     "q_tumbling_window",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
