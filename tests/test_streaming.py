@@ -130,3 +130,48 @@ def test_stream_dedup_within_watermark(spark, stream_dirs):
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == len(set(ids)), "stream emitted duplicate keys"
     assert set(ids) == {r.event_id for r in src.collect()}, "lost or invented keys"
+
+
+def test_foreach_batch_twin_sink_exactly_once(spark, stream_dirs):
+    """OP20 streaming flavor: one cached micro-batch fans to parquet + JSONL;
+    a re-run over the same checkpoint produces zero duplicates."""
+    import glob
+
+    from weightlifting_wod_etl_spark.streaming.twin_sink import make_twin_sink
+
+    src, in_dir, _ = stream_dirs
+    tmp = tempfile.mkdtemp(prefix="wod_twin_")
+    pq_dir = os.path.join(tmp, "pq")
+    js_dir = os.path.join(tmp, "js")
+    ledger = os.path.join(tmp, "ledger")
+    ckpt = os.path.join(tmp, "ckpt")
+    expected = src.count()
+
+    def run():
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/*")
+            .select("event_id", "user_id", "event_type", "ts", "value")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                make_twin_sink(pq_dir, js_dir, ledger)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    pq_rows = spark.read.parquet(pq_dir + "/batch_id=*").count()
+    js_rows = spark.read.json(js_dir + "/batch_id=*").count()
+    assert pq_rows == expected
+    assert js_rows == expected
+    assert len(glob.glob(os.path.join(ledger, "*.done"))) >= 2  # >=2 batches
+
+    run()  # replay with the same checkpoint: availableNow sees nothing new
+    assert spark.read.parquet(pq_dir + "/batch_id=*").count() == expected
+    assert spark.read.json(js_dir + "/batch_id=*").count() == expected
+    shutil.rmtree(tmp, ignore_errors=True)
