@@ -143,3 +143,14 @@ def test_count_distinct_expand_single_scan(spark, sf_dir):
     assert "Expand" in plan
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_window_frames_share_one_sort(spark, sf_dir):
+    """All four frame variants (running, moving, lag, lead) share a single
+    Exchange + Sort + Window node — no per-frame re-shuffle or re-sort."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_window_frames"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+    assert plan.count("Window ") == 1

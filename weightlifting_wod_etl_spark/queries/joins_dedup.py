@@ -281,3 +281,44 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(10 * F.col("__cents") * F.col("__cnt") > 12 * F.col("__sum"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
     )
+
+
+@register(
+    "q_window_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           (sum(cents) OVER w_run)::BIGINT / 100.0 AS running_total,
+           (sum(cents) OVER w_3)::BIGINT / 100.0 AS moving3_total,
+           lag(cents) OVER w_ord / 100.0 AS prev_total,
+           lead(cents) OVER w_ord / 100.0 AS next_total
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 round(o_totalprice * 100)::BIGINT AS cents
+          FROM orders)
+    WINDOW
+      w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w_run AS (w_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_3   AS (w_ord ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (vs q_window_rank's ranking): running cumulative sum,
+    3-row moving sum, lag/lead — all over ONE (custkey, date, key) sort, so
+    the plan is a single Exchange + Sort shared by every frame variant.
+
+    The order key is total (date + orderkey tie-break) — frame results are
+    positionally defined, so any tie ambiguity would flip hashes. Sums run
+    in integer cents; the /100.0 is a single IEEE op per row in both
+    engines (lag/lead of NULL at partition edges stays NULL)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_3 = w_ord.rowsBetween(-2, Window.currentRow)
+    cents = to_fixed("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w_run) / F.lit(100.0)).alias("running_total"),
+        (F.sum(cents).over(w_3) / F.lit(100.0)).alias("moving3_total"),
+        (F.lag(cents).over(w_ord) / F.lit(100.0)).alias("prev_total"),
+        (F.lead(cents).over(w_ord) / F.lit(100.0)).alias("next_total"),
+    )
