@@ -42,6 +42,10 @@ HEADLINE = [
     "q_tpch_q18",
     "q_rolling_hash",
     "q_percentile",
+    "q_semi_join",
+    "q_outer_join_dist",
+    "q_count_distinct",
+    "q_window_frames",
 ]
 
 
