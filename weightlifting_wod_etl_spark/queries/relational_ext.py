@@ -219,3 +219,87 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH c AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+               round(c_acctbal * 100)::BIGINT AS cents
+        FROM customer
+    ), agg AS (
+        SELECT seg, count(*)::BIGINT AS n_rows, count(seg)::BIGINT AS n_nonnull,
+               sum(cents)::BIGINT / 100.0 AS bal
+        FROM c GROUP BY seg
+    ), dim AS (SELECT DISTINCT seg FROM c)
+    SELECT coalesce(d.seg, 'NULLSEG') AS tag, a.n_rows, a.n_nonnull, a.bal,
+           row_number() OVER (ORDER BY a.seg ASC NULLS LAST)::BIGINT AS rn
+    FROM agg a JOIN dim d ON a.seg IS NOT DISTINCT FROM d.seg
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics pinned end-to-end: NULL forms its own GROUP BY bucket,
+    ``count(col)`` skips NULLs while ``count(*)`` doesn't, a null-safe
+    equi-join (``<=>`` / IS NOT DISTINCT FROM) matches the NULL key where a
+    plain join would drop it, and sort-null placement is EXPLICIT
+    (``asc_nulls_last``) because Spark defaults NULLS FIRST for ASC while
+    DuckDB defaults NULLS LAST — the one default you must never rely on.
+    The global row_number window runs over 5 post-agg rows, not the fact.
+    """
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        to_fixed("c_acctbal").alias("cents"),
+    )
+    agg = c.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg").alias("n_nonnull"),
+        (F.sum("cents") / F.lit(100.0)).alias("bal"),
+    )
+    dim = c.select("seg").distinct()
+    return (
+        agg.join(dim, agg.seg.eqNullSafe(dim.seg))
+        .select(
+            F.coalesce(dim.seg, F.lit("NULLSEG")).alias("tag"),
+            "n_rows",
+            "n_nonnull",
+            "bal",
+            F.row_number()
+            .over(Window.orderBy(agg.seg.asc_nulls_last()))
+            .cast("bigint")
+            .alias("rn"),
+        )
+    )
+
+
+@register(
+    "q_decimal_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total,
+           min(o_totalprice::DECIMAL(18,2))::DOUBLE AS min_price,
+           max(o_totalprice::DECIMAL(18,2))::DOUBLE AS max_price,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL(18,2) aggregation — the type-system path to exact money
+    math (the fixed-point cents helpers are the expression-level path; both
+    must agree). Spark widens the sum to DECIMAL(28,2) internally, DuckDB to
+    DECIMAL(38,2); the values are identical exact decimals, so the final
+    cast to double is the same nearest-double in both engines. AVG is
+    deliberately absent: engines disagree on decimal-division result scale,
+    so an average would be derived as sum/count by the caller.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("double").alias("total"),
+        F.min(dec).cast("double").alias("min_price"),
+        F.max(dec).cast("double").alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
