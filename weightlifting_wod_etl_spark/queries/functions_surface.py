@@ -136,3 +136,43 @@ def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).alias("m"),
         (F.weekday(d) + F.lit(1)).alias("iso_dow"),
     )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT (round(o_totalprice * 100)::BIGINT // 5000000)::BIGINT AS bin_id,
+           ((round(o_totalprice * 100)::BIGINT // 5000000) * 50000)::BIGINT AS bin_lo,
+           count(*)::BIGINT AS n,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram for data profiling — $50k bins over order
+    totals, binned by integer-cents floor division (width_bucket isn't
+    portable; int64 arithmetic is). Bin assignment is scan-local; the only
+    shuffle is the |bins|-key aggregate — profiling 100 TB costs one pass.
+    """
+    from ..functions.money import to_fixed
+
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.floor(to_fixed("o_totalprice") / F.lit(5000000)).cast("bigint")
+    return (
+        o.select("o_totalprice", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * 50000).cast("bigint").alias("bin_lo"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )
