@@ -125,3 +125,102 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """1:1 resize over binary image payloads (mapInPandas, Arrow-batched).
+
+    Real path: decode → resample → re-encode per batch (Pillow). STUB: the
+    output payload is the sha256 digest of (payload, WxH) — deterministic,
+    shape-stable — and ``meta`` gains ``width``/``height`` keys exactly as
+    the real resizer would write them. Rows never leave their partition;
+    payload bytes never pass through the driver.
+    """
+    w, h = int(width), int(height)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        tag = f"{w}x{h}".encode()
+
+        def _resize(payload: bytes) -> bytes:
+            return _hashlib.sha256(bytes(payload) + tag).digest()
+
+        for pdf in it:
+            meta = pdf["meta"].map(
+                lambda m: {**(m or {}), "width": str(w), "height": str(h)}
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "payload": pdf["payload"].map(_resize),
+                    "meta": meta,
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload", "meta").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("n_src_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """1:N frame sampling over video payloads — the table-generating
+    multimodal op (one input row → ceil(n_frames / every_n) output rows).
+
+    Real path: demux + keyframe decode (ffmpeg). STUB: the frame count is
+    derived deterministically from payload length (64 bytes ≈ one fake
+    frame) and each sampled frame payload is sha256(payload, frame_idx).
+    The expansion happens inside ``mapInPandas`` — per-partition, streaming
+    one Arrow batch at a time — so a 10-hour video row fans out on its
+    executor without a shuffle or driver round-trip.
+    """
+    step = max(1, int(every_n))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in it:
+            ids, idxs, payloads, sizes = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, len(raw) // 64)
+                for i in range(0, n_frames, step):
+                    ids.append(int(media_id))
+                    idxs.append(i)
+                    # ":{i}" text tag (not raw bytes) so an engine-external
+                    # oracle can reconstruct the digest with string concat
+                    payloads.append(
+                        _hashlib.sha256(raw + f":{i}".encode()).digest()
+                    )
+                    sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_payload": payloads,
+                    "n_src_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -7,7 +7,12 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.minhash import lsh_candidate_pairs, ngram_jaccard_pairs, simhash_fingerprint
-from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
 from ..operators.text import (
     BPE_ISH_PATTERN,
@@ -462,3 +467,56 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     ).withColumn("n_members", F.count(F.lit(1)).over(w))
+
+
+@register(
+    "q_media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           sha256(text || '64x64') AS digest_hex,
+           '64' AS width, '64' AS height
+    FROM documents
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1:1 resize plumbing (mapInPandas, Arrow) with a FULL
+    oracle: the stub resizer is sha256(payload, WxH), which the oracle
+    reconstructs with string concat — so the Python-worker path (schema,
+    batch shape, meta update) is value-hash-checked, not just rows-only."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media, 64, 64)
+    return resized.select(
+        "media_id",
+        F.lower(F.hex("payload")).alias("digest_hex"),
+        F.element_at("meta", "width").alias("width"),
+        F.element_at("meta", "height").alias("height"),
+    )
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(1, length(text) // 64), 2)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id AS media_id, frame_idx::BIGINT AS frame_idx,
+           sha256(text || ':' || frame_idx) AS digest_hex,
+           length(text)::BIGINT AS n_src_bytes
+    FROM f
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1:N frame sampling (every 2nd fake frame, 64 bytes ≈ one
+    frame) — the table-generating mapInPandas shape, expansion entirely
+    partition-local. Frame digests are oracle-reconstructable, so the fan-
+    out row set AND payload bytes are both verified."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.lower(F.hex("frame_payload")).alias("digest_hex"),
+        "n_src_bytes",
+    )
