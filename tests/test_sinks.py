@@ -89,3 +89,61 @@ def test_csv_round_trip_explicit_schema(spark, tmp):
     a = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in orders.collect()}
     b = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in back.collect()}
     assert a == b
+
+
+def test_orc_round_trip(spark, tmp):
+    """ORC sink/source — second columnar format beside parquet, same
+    predicate-pushdown path (native Spark, no extra packages)."""
+    from weightlifting_wod_etl_spark.io import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"{tmp}/orders_orc"
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    a = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in orders.collect()}
+    b = {(r.o_orderkey, round(r.o_totalprice, 2)) for r in back.collect()}
+    assert a == b
+    # pushdown reaches the ORC reader too
+    plan = (
+        back.filter("o_totalprice > 100000")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp):
+    """binaryFile source → multimodal feature extraction: the real media
+    ingestion path (one row per file: path, length, binary content)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.multimodal import extract_features
+
+    media_dir = f"{tmp}/media"
+    os.makedirs(media_dir, exist_ok=True)
+    blobs = {f"img_{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    for name, payload in blobs.items():
+        with open(os.path.join(media_dir, name), "wb") as f:
+            f.write(payload)
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(media_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+            "length",
+        )
+    )
+    feats = extract_features(files)
+    rows = {r.media_id: r.n_bytes for r in feats.collect()}
+    assert rows == {i: 100 + i for i in range(5)}
