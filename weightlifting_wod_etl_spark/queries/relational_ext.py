@@ -303,3 +303,29 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec).cast("double").alias("max_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_set_ops_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-preserving set ops (INTERSECT ALL / EXCEPT ALL) — bag
+    semantics, complementing q_set_ops' set semantics. Spark plans both as
+    a count-tagged aggregate + generate (one shuffle per op, no join
+    explosion); multiplicity math must match the oracle exactly, which a
+    dedup-based rewrite would silently break.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    late = li.filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("l_orderkey")
+    return r.intersectAll(f).exceptAll(late)
