@@ -154,3 +154,14 @@ def test_window_frames_share_one_sort(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort [") == 1
     assert plan.count("Window ") == 1
+
+
+def test_multimodal_ops_are_shuffle_free(spark, sf_dir):
+    """resize (1:1) and frame-sample (1:N) are partition-local mapInPandas
+    — zero Exchanges; payloads never cross the wire."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    for name in ("q_media_resize", "q_frame_sample"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "MapInPandas" in plan
