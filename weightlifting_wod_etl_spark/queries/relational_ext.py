@@ -329,3 +329,51 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     ).select("l_orderkey")
     return r.intersectAll(f).exceptAll(late)
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT doc_id, lang,
+           coalesce(n_chars, -1)::BIGINT AS n_chars,
+           coalesce(n_words, -1)::BIGINT AS n_words,
+           batch
+    FROM (
+        SELECT doc_id, lang, length(text)::BIGINT AS n_chars,
+               'v1' AS batch
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))::BIGINT AS n_words,
+               'v2' AS batch
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — two batch versions with drifted columns
+    merged by NAME with missing columns null-filled, then normalized.
+
+    The DataFrame analog of the reference's unknown-column preservation
+    (transforms.py:316-317): positional UNION would silently misalign
+    drifted schemas; ``unionByName(allowMissingColumns=True)`` is the only
+    safe merge for append-over-time tables whose schema widened. Purely
+    map-side — no shuffle, scales as two scans.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars"),
+        F.lit("v1").alias("batch"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+        F.lit("v2").alias("batch"),
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return merged.select(
+        "doc_id", "lang",
+        F.coalesce("n_chars", F.lit(-1)).alias("n_chars"),
+        F.coalesce("n_words", F.lit(-1)).alias("n_words"),
+        "batch",
+    )
