@@ -14,10 +14,11 @@ from pyspark.sql import functions as F
 @pytest.fixture(scope="module")
 def stream_dirs(spark):
     """Split sf0.001 events into two parquet files (two micro-batches)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    from weightlifting_wod_etl_spark.io import load_table
+
+    # load_table normalizes whatever physical ts encoding the testdata
+    # generation shipped (ns-as-bigint, NTZ micros, tz-aware micros).
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
     tmp = tempfile.mkdtemp(prefix="wod_stream_")
     in_dir = os.path.join(tmp, "in")
     ckpt = os.path.join(tmp, "ckpt")

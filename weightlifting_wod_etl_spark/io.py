@@ -37,19 +37,27 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table; normalize physical quirks to logical types.
 
-    The synthetic ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark 4 only reads via ``spark.sql.legacy.parquet.nanosAsLong``
-    (runtime-settable). We truncate ns→us with exact integer division
-    (``DIV``, not float ``/`` — a double mantissa cannot hold epoch-ns) so
-    values agree bit-for-bit with any us-precision engine reading the same
-    file.
+    The synthetic ``events`` table has shipped ``ts`` under three physical
+    encodings across testdata generations: TIMESTAMP(NANOS) (readable only
+    as bigint via ``spark.sql.legacy.parquet.nanosAsLong``), tz-naive
+    ``timestamp[us]`` (read as TIMESTAMP_NTZ), and tz-aware micros (read as
+    TIMESTAMP). All downstream operators assume one logical type, so we
+    normalize here — and only here — to session-TZ TIMESTAMP. The session
+    TZ is pinned UTC (session.py), so NTZ→TIMESTAMP is a deterministic
+    reinterpretation and the ns case truncates with exact integer division
+    (``DIV``, not float ``/`` — a double mantissa cannot hold epoch-ns),
+    agreeing bit-for-bit with any us-precision engine reading the same file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -33,7 +33,10 @@ def _bin_of(ts: Column, bin_width_s: int) -> Column:
     # unix_micros keeps the timestamp integral; the double division below is
     # safe because epoch-us / (1e6 * width) ≈ 1e6-1e7, where one double ulp
     # is far smaller than the 1-us gap to the next bin boundary.
-    us = F.unix_micros(ts)
+    # cast("timestamp") tolerates TIMESTAMP_NTZ inputs (session TZ is pinned
+    # UTC, so the reinterpretation is deterministic); it is a no-op on
+    # TIMESTAMP — same pattern as sessionize.py.
+    us = F.unix_micros(ts.cast("timestamp"))
     return F.floor(us / F.lit(1_000_000 * bin_width_s)).cast("bigint")
 
 
