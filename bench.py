@@ -49,6 +49,25 @@ HEADLINE = [
 ]
 
 
+def _best_prior_timings() -> dict[str, float]:
+    """Per-query best timings across prior rounds' BENCH_r*.json artifacts
+    (driver wrapper format: {"parsed": {"queries": {...}}}). Used for the
+    regression diff; silently empty when no prior artifact parses."""
+    import glob
+
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                parsed = (json.load(f).get("parsed") or {}).get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, sec in parsed.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
@@ -62,33 +81,56 @@ def main() -> None:
     # the engine's steady-state throughput and is robust to box noise.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        df = QUERIES[name](spark, sf_dir)
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
+        # One broken query must not kill the whole artifact: capture the
+        # error, keep benchmarking the rest, and always emit the JSON line.
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(min(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+
+    # Regression diff vs the best prior round: ratio per query, loud (but
+    # non-fatal — stderr) on >2x so a silent perf cliff can't ship unnoticed.
+    prior = _best_prior_timings()
+    vs_prev = {
+        name: round(sec / prior[name], 3)
+        for name, sec in timings.items()
+        if name in prior
+    }
+    for name, ratio in sorted(vs_prev.items(), key=lambda kv: -kv[1]):
+        if ratio > 2.0:
+            print(
+                f"[bench] REGRESSION {name}: {timings[name]}s is "
+                f"{ratio}x best prior {prior[name]}s",
+                file=sys.stderr,
+            )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "vs_prev": vs_prev,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
