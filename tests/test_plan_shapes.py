@@ -156,6 +156,20 @@ def test_window_frames_share_one_sort(spark, sf_dir):
     assert plan.count("Window ") == 1
 
 
+def test_sequence_pack_window_partitions_on_bucket(spark, sf_dir):
+    """The packing window must partition on (lang, pack_bucket), never lang
+    alone — a lang-only partition funnels the full corpus through
+    ~|languages| reducers at scale."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_sequence_pack"](spark, sf_dir))
+    window_part = plan.split("windowspecdefinition(")[1]
+    assert "pack_bucket" in window_part[:200], "window partition key lost the bucket"
+    # and the shuffle feeding the window carries the bucket too
+    exch = plan.split("Exchange hashpartitioning(")[1]
+    assert "pack_bucket" in exch[:200]
+
+
 def test_multimodal_ops_are_shuffle_free(spark, sf_dir):
     """resize (1:1) and frame-sample (1:N) are partition-local mapInPandas
     — zero Exchanges; payloads never cross the wire."""

@@ -155,45 +155,58 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sequence_pack",
     oracle="""
     WITH d AS (
-        SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_toks
+        SELECT doc_id, lang,
+               substr(md5(doc_id::VARCHAR), 1, 1) AS pack_bucket,
+               len(string_split(text, ' '))::BIGINT AS n_toks
         FROM documents
     ),
     packed AS (
-        SELECT lang, n_toks,
-               ((sum(n_toks) OVER (PARTITION BY lang ORDER BY n_toks DESC, doc_id
+        SELECT lang, pack_bucket, n_toks,
+               ((sum(n_toks) OVER (PARTITION BY lang, pack_bucket
+                                   ORDER BY n_toks DESC, doc_id
                                    ROWS UNBOUNDED PRECEDING) - n_toks) // 2048)::BIGINT AS bin_id
         FROM d
     )
-    SELECT lang, bin_id,
+    SELECT lang, pack_bucket, bin_id,
            count(*)::BIGINT AS n_docs,
            sum(n_toks)::BIGINT AS sum_tokens
     FROM packed
-    GROUP BY lang, bin_id
+    GROUP BY lang, pack_bucket, bin_id
     """,
 )
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous-fill sequence packing: docs sorted (tokens desc, id) per
-    language, binned where the running token total crosses the 2048
-    budget — deterministic, single-window packing (docs may straddle a
-    boundary; trailing straddle tokens truncate downstream). True first-fit
-    needs per-bin state: at scale, applyInPandas per (lang, coarse bucket)
-    with this plan as the partitioner."""
+    (language, content-hash bucket), binned where the running token total
+    crosses the 2048 budget — deterministic packing with docs straddling a
+    boundary (trailing straddle tokens truncate downstream).
+
+    The window partitions on (lang, pack_bucket) — 16 md5 buckets per
+    language — NOT on lang alone: a lang-only partition funnels the whole
+    corpus through ~|languages| reducers (a 5-way sort of 100 TB), while
+    the bucketed key spreads the same sort over 16x the parallelism at the
+    cost of ≤1 underfilled bin per bucket. The bucket is content-addressed
+    (same md5 family as hash_sample) so packing stays reproducible across
+    engines and reruns. True first-fit needs per-bin state: at scale,
+    applyInPandas per (lang, pack_bucket) with this plan as partitioner."""
     from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "lang",
+        F.substring(hash_bucket(F.col("doc_id")), 1, 1).alias("pack_bucket"),
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "pack_bucket")
         .orderBy(F.col("n_toks").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = d.withColumn(
         "bin_id", ((F.sum("n_toks").over(w) - F.col("n_toks")) / F.lit(2048)).cast("bigint")
     )
-    return packed.groupBy("lang", "bin_id").agg(
+    return packed.groupBy("lang", "pack_bucket", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("sum_tokens"),
     )
