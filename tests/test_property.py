@@ -184,3 +184,29 @@ def test_merge_asof_cross_check(spark):
         got["asof_tb"].fillna(-1).astype(int).tolist()
         == want["tb"].fillna(-1).astype(int).tolist()
     )
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
+    """A stop-phrase shared by k docs must NOT expand to k²/2 candidate
+    pairs when the document-frequency cap is on — while pairs sharing rare
+    shingles are still found."""
+    from weightlifting_wod_etl_spark.operators.minhash import ngram_jaccard_pairs
+
+    hot = "the quick brown fox jumps over"
+    rows = [(i, f"u{i}a u{i}b {hot} u{i}c u{i}d") for i in range(40)]
+    # one genuine near-dup pair built from rare shingles only
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(
+        docs, shingle_n=4, min_jaccard=0.0, max_shingle_df=10
+    ).toPandas()
+    # hot-shingle buckets (df=40 > 10) are dropped before pair expansion:
+    # the only surviving candidates share a rare shingle
+    assert set(zip(capped.doc_a, capped.doc_b)) == {(100, 101)}
+
+    uncapped = ngram_jaccard_pairs(
+        docs, shingle_n=4, min_jaccard=0.0, max_shingle_df=None
+    ).toPandas()
+    assert len(uncapped) >= 40 * 39 // 2  # the quadratic blowup the cap kills

@@ -203,22 +203,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 4,
     min_jaccard: float = 0.2,
+    max_shingle_df: int | None = 64,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing ≥1 shingle (no LSH) —
+    """Exact n-gram Jaccard over pairs sharing ≥1 RARE shingle (no LSH) —
     the brute-force baseline whose cost motivates LSH. Candidates come from
     a shingle-equality self-join (shuffle on shingle), so it's exact but
-    O(pairs-sharing-a-shingle)."""
+    O(pairs-sharing-a-shingle).
+
+    ``max_shingle_df`` caps the document frequency of pairing shingles: a
+    stop-phrase shared by k docs otherwise expands to k²/2 candidate pairs
+    inside one bucket — the classic quadratic blowup that kills the job at
+    corpus scale. Buckets above the cap are dropped BEFORE pair expansion
+    (the collect_list per shingle is exactly its document list, so the
+    size test is the df test — no extra frequency join or shuffle). Real
+    near-dups share many shingles, most of them rare, so a generous cap
+    loses only pairs whose every shared shingle is corpus-hot — pairs LSH
+    would also bucket with half the corpus. ``None`` disables the cap.
+    """
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
     sh = sh.filter(F.size("shingles") > 0)
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
     # Same single-pass bucket-pair shape as lsh_candidate_pairs: one shuffle
-    # on the shingle, pairs expanded inside each bucket. A hot shingle
-    # (stop-phrase) produces the same quadratic pair count either way; at
-    # scale you'd drop top-frequency shingles before pairing (df filter).
+    # on the shingle, pairs expanded inside each bucket.
+    bucket_ok = F.size("ids") > 1
+    if max_shingle_df is not None:
+        bucket_ok = bucket_ok & (F.size("ids") <= max_shingle_df)
     cand = (
         ex.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(bucket_ok)
         .select(F.explode(_pairs_within("ids")).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()

@@ -114,10 +114,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id < 150
     ),
     exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+    rare AS (
+        SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) <= 64
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM exploded a JOIN exploded b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM exploded a
+        JOIN rare r ON r.shingle = a.shingle
+        JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, jaccard FROM (
         SELECT c.doc_a, c.doc_b,
