@@ -31,14 +31,17 @@ _ORACLE = r"""
         FROM documents
     ),
     stripped AS (
+        -- outermost regexp_replace = FULL whitespace trim (trim() alone
+        -- keeps a trailing newline minted from the final </p>)
         SELECT post_id,
-               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                    html,
                    '(?i)<br\s*/?>', chr(10), 'g'),
                    '(?i)</p\s*>', chr(10), 'g'),
                    '<[^>]+>', '', 'g'),
                    '[ \t]*\n[ \t]*', chr(10), 'g'),
-                   '\n{2,}', chr(10), 'g')) AS text
+                   '\n{2,}', chr(10), 'g'),
+                   '^\s+|\s+$', '', 'g') AS text
         FROM posts
     ),
     lines AS (
