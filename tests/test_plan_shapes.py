@@ -170,6 +170,44 @@ def test_sequence_pack_window_partitions_on_bucket(spark, sf_dir):
     assert "pack_bucket" in exch[:200]
 
 
+def test_pii_and_repetition_are_scan_local(spark, sf_dir):
+    """PII redaction and intra-doc repetition are pure projections —
+    zero Exchanges; at 100 TB they fuse into the scan stage."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    for name in ("q_pii_redact", "q_intradoc_repetition"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles"
+        assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side must broadcast: the train-side stream never
+    shuffles on the gram key."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_top_per_group_is_two_phase(spark, sf_dir):
+    """Per-group top-k must pre-prune inside (group, hash-bucket) windows
+    before the exact per-group window — two Window nodes, and the first
+    one's partition key carries the bucket."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    for name in ("q_domain_cap", "q_stratified_sample"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("Window ") == 2, f"{name} lost the two-phase shape"
+        # the physical plan pre-projects the bucket as _w0; the logical
+        # plan keeps the expression — assert the bucket there
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "substring(md5" in logical.split("Window ")[-1], (
+            f"{name}: local window does not partition on the hash bucket"
+        )
+
+
 def test_multimodal_ops_are_shuffle_free(spark, sf_dir):
     """resize (1:1) and frame-sample (1:N) are partition-local mapInPandas
     — zero Exchanges; payloads never cross the wire."""

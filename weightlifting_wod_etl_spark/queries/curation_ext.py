@@ -1,0 +1,260 @@
+"""Training-corpus curation extensions: PII redaction, eval-set
+decontamination, intra-document repetition, per-source caps, stratified
+quota sampling, corpus token top-k.
+
+These are the remaining canonical operations of a large-scale pretraining
+data pipeline (C4/Gopher/RefinedWeb-style cleanup) not already covered by
+``llm_ops`` / ``sampling``: every one is expressed with built-in
+DataFrame operators (zero Python UDFs), shuffles only on bounded keys,
+and carries a DuckDB oracle.
+
+Scale notes are per-query; the shared trick for the two top-k-per-group
+queries is the two-phase window: a per-(group, hash-bucket) local top-k
+first, then the exact top-k among ≤ 16k survivors per group — the global
+sort per group that a naive QUALIFY row_number() would do through one
+reducer never happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.sampling import hash_bucket
+from ..queries_registry import register
+
+# deterministic synthetic PII: the generated corpus contains none, so both
+# engines append the same trailer before redacting — the transform (not
+# the corpus) is what the hash-compare certifies
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id, lang,
+               text || ' contact user' || doc_id::VARCHAR ||
+               '@example.com or 555-123-4567' AS t
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')))::BIGINT AS n_pii,
+           md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + replace emails/phones with typed placeholders.
+    Pure per-row regex projection — scan-local, codegen'd, zero shuffle;
+    at 100 TB this is a map-only pass fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id", "lang", n_pii.alias("n_pii"), F.md5(redacted).alias("redacted_md5")
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(w) - 3),
+                   i -> array_to_string(w[i:i+3], ' ')))) AS gram
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT DISTINCT g.doc_id, d.lang
+    FROM grams g
+    JOIN eval_grams e ON g.gram = e.gram
+    JOIN documents d ON d.doc_id = g.doc_id
+    WHERE g.doc_id % 97 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any 4-gram
+    with the held-out set (here: doc_id % 97 == 0 stands in for the eval
+    corpus). The eval side is distinct-collapsed and broadcast — at 100 TB
+    the train side streams map-side against a benchmark-sized hash set;
+    only the final distinct shuffles, on the bounded flagged-doc set."""
+    from ..operators.minhash import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(shingles(F.col("text"), 4)).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+
+
+@register(
+    "q_intradoc_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_distinct,
+           round(1.0 - n_distinct::DOUBLE / n_tokens, 4) AS rep_ratio
+    FROM t WHERE n_tokens > 0
+    """,
+)
+def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality signal):
+    1 - distinct/total tokens. Pure array expressions over the scan —
+    no explode, no shuffle; the filter threshold a real pipeline applies
+    downstream pushes into the same map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct"),
+            F.round(1.0 - n_distinct.cast("double") / n_tokens, 4).alias("rep_ratio"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+def _two_phase_top_per_group(
+    df: DataFrame, group_col: str, order_cols: list, k: int
+) -> DataFrame:
+    """Exact top-k per group without a single-reducer group sort: local
+    top-k inside each (group, 16-way hash bucket), then the true top-k
+    among the ≤ 16k survivors. Both windows sort, but the first is spread
+    over 16x the reducers and the second's input is bounded by 16k rows
+    per group regardless of corpus size."""
+    bucket = F.substring(hash_bucket(F.col("doc_id")), 1, 1)
+    survivors = (
+        df.withColumn("__rn", F.row_number().over(
+            Window.partitionBy(group_col, bucket).orderBy(*order_cols)
+        ))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    final = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(final))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+@register(
+    "q_domain_cap",
+    oracle="""
+    WITH kept AS (
+        SELECT source, n_chars, doc_id
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id) <= 20
+    )
+    SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS sum_chars
+    FROM kept GROUP BY source
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (C4/RefinedWeb domain balancing): keep the
+    20 largest docs per source (n_chars desc, doc_id tiebreak), audit
+    kept count + volume. Two-phase top-k: no source's full corpus ever
+    sorts through one reducer."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    kept = _two_phase_top_per_group(
+        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 20
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, n_chars, doc_id
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(doc_id::VARCHAR), doc_id) <= 30
+    )
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+    FROM ranked GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sample (30 docs/lang) ordered by the
+    content-addressed md5 of doc_id — reproducible across engines and
+    reruns, unlike seed-based df.sample. Same two-phase top-k shape as
+    q_domain_cap: the per-lang 'random' order is a sort on md5, spread
+    over hash buckets first."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    docs = docs.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+    kept = _two_phase_top_per_group(
+        docs, "lang", [F.col("__h"), F.col("doc_id")], 30
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+@register(
+    "q_token_topk",
+    oracle="""
+    SELECT tok, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (Zipf head — vocabulary audit /
+    stop-list builder). Explode happens map-side; the groupBy partial-
+    aggregates before the single bounded-key shuffle; the ORDER+LIMIT
+    plans as TakeOrderedAndProject (no global sort materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )

@@ -53,6 +53,7 @@ from .queries import (  # noqa: E402,F401
     aggregates,
     analytics_ext,
     core,
+    curation_ext,
     dates_clean,
     functions_surface,
     joins_dedup,
@@ -103,6 +104,13 @@ _WINDOW_PRIORITY = [
     # fixed or modified this round — must re-prove green
     "q_range_join",
     "q_ngram_jaccard",
+    # new this round (curation_ext) — never verified
+    "q_pii_redact",
+    "q_decontaminate",
+    "q_intradoc_repetition",
+    "q_domain_cap",
+    "q_stratified_sample",
+    "q_token_topk",
     # timestamp-typed paths (the testdata's ts encoding changed under us once)
     "q_sessionize_events",
     "q_tumbling_window",
@@ -120,12 +128,6 @@ _WINDOW_PRIORITY = [
     "q_ann_ivf",
     "q_ann_lsh_bucket",
     "q_rolling_hash",
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_dedup_exact",
-    "q_kv_upsert_dedup",
 ]
 
 
