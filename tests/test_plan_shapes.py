@@ -170,6 +170,20 @@ def test_sequence_pack_window_partitions_on_bucket(spark, sf_dir):
     assert "pack_bucket" in exch[:200]
 
 
+def test_q7_q10_filters_reach_scans(spark, sf_dir):
+    """Q7's date range must push into the lineitem scan despite the
+    disjunctive nation-pair predicate above the joins; Q10's quarter and
+    returnflag predicates must reach their scans."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    q7 = _plan(QUERIES["q_tpch_q7"](spark, sf_dir))
+    assert "l_shipdate" in q7.split("PushedFilters")[1][:300]
+    q10 = _plan(QUERIES["q_tpch_q10"](spark, sf_dir))
+    pushed = [seg[:200] for seg in q10.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in seg for seg in pushed)
+    assert any("l_returnflag" in seg for seg in pushed)
+
+
 def test_pii_and_repetition_are_scan_local(spark, sf_dir):
     """PII redaction and intra-doc repetition are pure projections —
     zero Exchanges; at 100 TB they fuse into the scan stage."""

@@ -210,3 +210,21 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
         docs, shingle_n=4, min_jaccard=0.0, max_shingle_df=None
     ).toPandas()
     assert len(uncapped) >= 40 * 39 // 2  # the quadratic blowup the cap kills
+
+
+def test_new_queries_deterministic_across_runs(spark):
+    """Same query twice must produce identical frames — catches
+    nondeterministic orderings/partial aggs in the round-4 additions."""
+    from tests.parity import canonicalize
+
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "q_pii_redact", "q_decontaminate", "q_domain_cap",
+        "q_stratified_sample", "q_token_topk", "q_sequence_pack",
+        "q_tpch_q7", "q_tpch_q10", "q_tpch_q14",
+    ):
+        a = canonicalize(QUERIES[name](spark, sf).toPandas())
+        b = canonicalize(QUERIES[name](spark, sf).toPandas())
+        assert a == b, f"{name} nondeterministic across runs"
