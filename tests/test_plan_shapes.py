@@ -231,3 +231,24 @@ def test_multimodal_ops_are_shuffle_free(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles"
         assert "MapInPandas" in plan
+
+
+def test_no_query_plans_python_row_udfs_or_cartesian(spark, sf_dir):
+    """Engine-wide invariant: NO registered query may plan a row-at-a-time
+    Python UDF (BatchEvalPython), an un-keyed cartesian product, or an
+    unexpected Arrow UDF. The only sanctioned Python surfaces are the
+    multimodal mapInPandas stubs and the streaming applyInPandasWithState
+    path (not registered here)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        bad = [
+            marker
+            for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"slow-path operators in plans: {offenders}"

@@ -176,3 +176,37 @@ def test_foreach_batch_twin_sink_exactly_once(spark, stream_dirs):
     assert spark.read.parquet(pq_dir + "/batch_id=*").count() == expected
     assert spark.read.json(js_dir + "/batch_id=*").count() == expected
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateless_curation_ops_run_in_streaming_mode(spark):
+    """The scan-local curation projections (PII redaction, repetition
+    score) must be streamable unchanged: same plan on readStream, output
+    equal to the batch run over the same files."""
+    import pandas as pd  # noqa: F401  (parity of imports with module head)
+
+    from weightlifting_wod_etl_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tmp = tempfile.mkdtemp(prefix="wod_curation_stream_")
+    in_dir = os.path.join(tmp, "in")
+    docs.coalesce(2).write.parquet(in_dir)
+
+    def redact(df):
+        t = F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com"),
+        )
+        red = F.regexp_replace(
+            t, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        )
+        return df.select("doc_id", F.md5(red).alias("redacted_md5"))
+
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    got = _run_stream(
+        spark, redact(stream), os.path.join(tmp, "ckpt"), "curation_out"
+    ).collect()
+    want = {r.doc_id: r.redacted_md5 for r in redact(docs).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert want[r.doc_id] == r.redacted_md5
+    shutil.rmtree(tmp, ignore_errors=True)
