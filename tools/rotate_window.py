@@ -1,0 +1,60 @@
+"""Propose the next _WINDOW_PRIORITY for queries_registry.py.
+
+The external correctness driver verifies only the FIRST 50 registered
+queries. This tool diffs every CORRECTNESS_r*.json against the current
+registry and prints a priority list that puts (1) never-verified queries,
+(2) least-recently-verified queries, in front — so the window rotates
+until every query has been green at least once, then keeps cycling by
+staleness.
+
+Usage:  python tools/rotate_window.py [--window 50]
+Paste the output over _WINDOW_PRIORITY before a round's first commit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    args = ap.parse_args()
+
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    # last round each query was verified green (rows+schema+hash all true)
+    last_green: dict[str, int] = {}
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    for path in rounds:
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+
+    # sort: never-green first, then stalest green, stable by name
+    ranked = sorted(
+        QUERIES, key=lambda q: (last_green.get(q, -1), q)
+    )
+    never = [q for q in ranked if q not in last_green]
+    print(f"# window={args.window}  total={len(QUERIES)}  "
+          f"never-green={len(never)}  rounds-seen={len(rounds)}")
+    if never:
+        print("# never verified green:", ", ".join(never))
+    print("_WINDOW_PRIORITY = [")
+    for q in ranked[: args.window]:
+        tag = "never" if q not in last_green else f"last green r{last_green[q]:02d}"
+        print(f'    "{q}",  # {tag}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
