@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -210,3 +211,50 @@ def test_stateless_curation_ops_run_in_streaming_mode(spark):
     for r in got:
         assert want[r.doc_id] == r.redacted_md5
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_completion_notification_listener(spark, stream_dirs):
+    """OP22: the notification listener records started → progress →
+    terminated for a pipeline run, with row counts covering the input."""
+    import json as _json
+
+    from weightlifting_wod_etl_spark.streaming.notify import notify_on_completion
+
+    src, in_dir, ckpt = stream_dirs
+    tmp = tempfile.mkdtemp(prefix="wod_notify_")
+    log = os.path.join(tmp, "notifications.jsonl")
+    listener = notify_on_completion(spark, log)
+    try:
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir)
+            .select("event_id")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("notify_out")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        deadline = time.time() + 30
+        events = []
+        while time.time() < deadline:
+            if os.path.exists(log):
+                events = [_json.loads(l) for l in open(log)]
+                if any(e["event"] == "terminated" for e in events):
+                    break
+            time.sleep(0.5)
+        kinds = {e["event"] for e in events}
+        assert {"started", "progress", "terminated"} <= kinds, kinds
+        rows = sum(
+            e.get("num_input_rows", 0) for e in events if e["event"] == "progress"
+        )
+        assert rows == src.count()
+        terminated = [e for e in events if e["event"] == "terminated"]
+        assert terminated[-1]["exception"] is None
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(tmp, ignore_errors=True)
