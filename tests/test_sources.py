@@ -133,3 +133,75 @@ class TestJsonDLQ:
         df = read_jsonl_with_bad_records_path(spark, jsonl_dir, schema, dlq)
         rows = df.filter("doc_id IS NOT NULL").collect()
         assert {r.doc_id for r in rows} == {1, 2, 5}
+
+
+class TestCredentialsResolution:
+    """OP24: option > secrets_file > env > anonymous, fail-open at
+    every step (reference handler.py:23-85)."""
+
+    def test_explicit_options_win(self, tmp_path):
+        from weightlifting_wod_etl_spark.sources.credentials import resolve_credentials
+
+        sf = tmp_path / "s.json"
+        sf.write_text('{"username": "from_secret", "password": "sp"}')
+        got = resolve_credentials(
+            {"username": "explicit", "password": "ep", "secrets_file": str(sf)},
+            env={"WOD_API_USERNAME": "envu", "WOD_API_PASSWORD": "envp"},
+        )
+        assert got == ("explicit", "ep")
+
+    def test_secrets_file_beats_env(self, tmp_path):
+        from weightlifting_wod_etl_spark.sources.credentials import resolve_credentials
+
+        sf = tmp_path / "s.json"
+        sf.write_text('{"username": "from_secret", "password": "sp"}')
+        got = resolve_credentials(
+            {"secrets_file": str(sf)},
+            env={"WOD_API_USERNAME": "envu", "WOD_API_PASSWORD": "envp"},
+        )
+        assert got == ("from_secret", "sp")
+
+    def test_corrupt_secrets_falls_through_to_env(self, tmp_path):
+        from weightlifting_wod_etl_spark.sources.credentials import resolve_credentials
+
+        sf = tmp_path / "s.json"
+        sf.write_text("{not json")
+        got = resolve_credentials(
+            {"secrets_file": str(sf)},
+            env={"WOD_API_USERNAME": "envu", "WOD_API_PASSWORD": "envp"},
+        )
+        assert got == ("envu", "envp")
+
+    def test_fail_open_anonymous(self, tmp_path):
+        from weightlifting_wod_etl_spark.sources.credentials import (
+            basic_auth_header,
+            resolve_credentials,
+        )
+
+        got = resolve_credentials(
+            {"secrets_file": str(tmp_path / "missing.json")}, env={}
+        )
+        assert got == (None, None)
+        assert basic_auth_header(*got) == {}
+
+    def test_auth_header_shape(self):
+        from weightlifting_wod_etl_spark.sources.credentials import basic_auth_header
+
+        h = basic_auth_header("u", "p")
+        assert h == {"Authorization": "Basic dTpw"}
+
+    def test_reader_resolves_credentials(self, spark, tmp_path):
+        """The wod_posts reader carries resolved credentials without
+        breaking the pages_dir transport."""
+        import json as _json
+
+        from weightlifting_wod_etl_spark.sources.rest_posts import _PostsReader
+
+        d = tmp_path / "pages"
+        d.mkdir()
+        (d / "page-1.json").write_text(_json.dumps([{"id": 1, "slug": "s"}]))
+        r = _PostsReader(
+            {"pages_dir": str(d), "username": "u", "password": "p"}
+        )
+        assert r.credentials == ("u", "p")
+        assert len(list(r.read(r.partitions()[0]))) == 1

@@ -77,6 +77,10 @@ class _PostsReader(DataSourceReader):
         self.per_page = int(options.get("per_page", 10))
         self.start_page = int(options.get("start_page", 1))
         self.max_pages = int(options.get("max_pages", 0))  # 0 = discover
+        # OP24: option > secrets_file > env > anonymous (fail-open)
+        from .credentials import resolve_credentials
+
+        self.credentials = resolve_credentials(options)
 
     def _discover_pages(self) -> list[int]:
         if self.max_pages:
@@ -104,8 +108,13 @@ class _PostsReader(DataSourceReader):
             # Reference URL shape, services/invictus_api_service.py:54
             import urllib.request
 
+            from .credentials import basic_auth_header
+
             url = f"{self.endpoint}&per_page={self.per_page}&page={page}"
-            with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310
+            req = urllib.request.Request(  # noqa: S310
+                url, headers=basic_auth_header(*self.credentials)
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
                 posts = json.load(resp)
         return posts[: self.per_page]
 
