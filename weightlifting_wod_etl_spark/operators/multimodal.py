@@ -72,6 +72,11 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("features", ArrayType(FloatType())),
+        # the raw first-word digest as an exact integer: float32 features
+        # lose the low 8 bits of the 32-bit word, so value-level
+        # verification uses this lossless column (oracle reconstructs it
+        # from substr(sha256-hex, 1, 8))
+        StructField("feature0_u32", LongType()),
     ]
 )
 
@@ -101,6 +106,11 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
                 for i in range(n_feat)
             ]
 
+        def _u32(payload: bytes) -> int:
+            return int.from_bytes(
+                _hashlib.sha256(payload).digest()[:4], "big"
+            )
+
         for pdf in it:
             payloads = pdf[payload_col]
             yield pd.DataFrame(
@@ -108,6 +118,7 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
                     "media_id": pdf[id_col].astype("int64"),
                     "n_bytes": payloads.map(len).astype("int64"),
                     "features": payloads.map(_features),
+                    "feature0_u32": payloads.map(_u32).astype("int64"),
                 }
             )
 

@@ -399,18 +399,27 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features")  # no oracle: mapInPandas stub decoder
+@register(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           ('0x' || substr(sha256(text), 1, 8))::UBIGINT::BIGINT AS feature0_u32
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-parallel feature extraction over binary payloads
-    (mapInPandas + Arrow). Decoder is the deterministic sha256 stub —
-    rows-only check by design (codec libs absent in this environment)."""
+    (mapInPandas + Arrow) with a FULL oracle: the stub decoder's first
+    feature word is sha256(payload)[0:4] as a big-endian uint32
+    (operators/multimodal.py), which the oracle reconstructs via hex
+    arithmetic — so the Python-worker path (schema, Arrow batching,
+    digest computation) is value-hash-checked. The float32 ``features``
+    column itself is derived from the same words (u32 / 2^32); comparing
+    the lossless integer avoids float32 round-to-nearest hazards."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("feature_0"),
-    )
+    return feats.select("media_id", "n_bytes", "feature0_u32")
 
 
 @register("q_approx_distinct")  # no oracle: HLL sketch differs per engine
