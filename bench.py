@@ -46,23 +46,35 @@ HEADLINE = [
     "q_outer_join_dist",
     "q_count_distinct",
     "q_window_frames",
+    # round-4 additions — regression-tracked from birth (VERDICT r4 §next.4)
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_sequence_pack",
+    "q_pii_redact",
+    "q_decontaminate",
+    "q_curation_pipeline",
 ]
 
 
-def _best_prior_timings() -> dict[str, float]:
+def _best_prior_timings(sf_val: float | str) -> dict[str, float]:
     """Per-query best timings across prior rounds' BENCH_r*.json artifacts
-    (driver wrapper format: {"parsed": {"queries": {...}}}). Used for the
-    regression diff; silently empty when no prior artifact parses."""
+    (driver wrapper format: {"parsed": {"queries": {...}}}), restricted to
+    artifacts recorded at the SAME scale factor — a ratio across different
+    sf values is meaningless and would fire (or mask) the regression alarm
+    spuriously. Silently empty when no prior artifact parses."""
     import glob
 
     best: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))):
         try:
             with open(path) as f:
-                parsed = (json.load(f).get("parsed") or {}).get("queries") or {}
+                parsed = json.load(f).get("parsed") or {}
         except (OSError, json.JSONDecodeError):
             continue
-        for name, sec in parsed.items():
+        if parsed.get("sf") != sf_val:
+            continue
+        for name, sec in (parsed.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best[name] = min(best.get(name, float("inf")), float(sec))
     return best
@@ -99,9 +111,15 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    # Regression diff vs the best prior round: ratio per query, loud (but
-    # non-fatal — stderr) on >2x so a silent perf cliff can't ship unnoticed.
-    prior = _best_prior_timings()
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    # Regression diff vs the best prior round AT THIS sf: ratio per query,
+    # loud (but non-fatal — stderr) on >2x so a perf cliff can't ship unnoticed.
+    prior = _best_prior_timings(sf_val)
     vs_prev = {
         name: round(sec / prior[name], 3)
         for name, sec in timings.items()
@@ -115,11 +133,6 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),

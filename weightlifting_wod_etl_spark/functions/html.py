@@ -9,16 +9,19 @@ semantically equivalent for WordPress-style content where block structure
 is reflected in source newlines (the reference's own fixtures are).
 
 ``strip_html_fidelity`` is the real-parser mode: an Arrow-batched
-pandas_udf over BeautifulSoup when importable, else the stdlib
-``html.parser`` state machine (still a true tokenizer — handles attribute
-values containing ``>``, comments, CDATA, and script/style bodies that the
-regex path cannot). Use it when inputs are not under your control; keep
-the expression path for trusted WordPress-style corpora.
+pandas_udf over the stdlib ``html.parser`` state machine (a true
+tokenizer — handles attribute values containing ``>``, comments, CDATA,
+and script/style bodies that the regex path cannot). It is deliberately
+pinned to the stdlib backend: an optional bs4 path would change output
+depending on what happens to be installed on the executors (bs4's
+``get_text("\\n")`` breaks at inline tags too), and a query's result must
+not depend on cluster packaging. Use fidelity mode when inputs are not
+under your control; keep the expression path for trusted WordPress-style
+corpora.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -108,37 +111,25 @@ def _strip_one_stdlib(html_text: str) -> str:
     return text.strip()
 
 
-def _strip_one_bs4(html_text: str) -> str:
-    import re
-
-    from bs4 import BeautifulSoup  # type: ignore[import-not-found]
-
-    soup = BeautifulSoup(html_text, "html.parser")
-    for tag in soup(list(_SKIP_CONTENT_TAGS)):
-        tag.decompose()
-    text = soup.get_text("\n")
-    text = re.sub(r"[ \t]*\n[ \t]*", "\n", text)
-    text = re.sub(r"\n{2,}", "\n", text)
-    return text.strip()
-
-
 def strip_html_fidelity(html: Column) -> Column:
     """Real-parser visible-text projection (reference ``handler.py:166-190``
-    semantics). BeautifulSoup when installed, stdlib ``html.parser``
-    otherwise — resolved once per executor batch, not per row. Arrow-batched
-    pandas_udf: the slow path by design (~10-50x the regex projection) —
-    reserve it for corpora where markup is adversarial or unvetted.
+    semantics), pinned to the stdlib ``html.parser`` backend so output is
+    identical on every executor regardless of installed packages.
+    Arrow-batched pandas_udf: the slow path by design (~10-50x the regex
+    projection) — reserve it for corpora where markup is adversarial or
+    unvetted.
     """
+    # pandas imported here, not at module top, so the pure-expression
+    # strip_html path keeps zero Python-side dependencies
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _strip(batch: pd.Series) -> pd.Series:
-        try:
-            import bs4  # noqa: F401
+    def _strip(batch):
+        return batch.map(
+            lambda v: _strip_one_stdlib(v) if v is not None else None
+        )
 
-            one = _strip_one_bs4
-        except ImportError:
-            one = _strip_one_stdlib
-        return batch.map(lambda v: one(v) if v is not None else None)
-
-    return _strip(html)
+    # real class objects (not string annotations): pandas_udf's eval-type
+    # inference resolves hints against module globals, where pd is absent
+    _strip.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return pandas_udf(_strip, "string")(html)

@@ -23,8 +23,11 @@ A corrupt or unreadable secrets file falls through to the next source
 from __future__ import annotations
 
 import json
+import logging
 import os
 from collections.abc import Mapping
+
+log = logging.getLogger(__name__)
 
 
 def resolve_credentials(
@@ -37,6 +40,15 @@ def resolve_credentials(
     pwd = options.get("password")
     if user and pwd:
         return user, pwd
+    if bool(user) != bool(pwd):
+        # half-configured explicit creds are almost always a deployment
+        # mistake — surface it loudly before falling through (fail-open)
+        log.warning(
+            "explicit credentials are partial (username %s, password %s); "
+            "falling through to secrets file / environment",
+            "set" if user else "missing",
+            "set" if pwd else "missing",
+        )
 
     secrets_file = options.get("secrets_file")
     if secrets_file:
@@ -58,11 +70,20 @@ def resolve_credentials(
     return None, None
 
 
-def basic_auth_header(user: str | None, pwd: str | None) -> dict[str, str]:
+def basic_auth_header(
+    user: str | None, pwd: str | None, url: str | None = None
+) -> dict[str, str]:
     """Authorization header for the endpoint transport; empty when
-    anonymous (fail-open)."""
+    anonymous (fail-open). When the endpoint URL is known and is plain
+    http, the Basic token would travel in cleartext — warn loudly (the
+    transport may still be a TLS-terminating proxy, so we don't refuse)."""
     if not user or not pwd:
         return {}
+    if url and url.lower().startswith("http://"):
+        log.warning(
+            "attaching Basic credentials to a non-https endpoint (%s): "
+            "the token is sent in cleartext", url.split("?", 1)[0]
+        )
     import base64
 
     token = base64.b64encode(f"{user}:{pwd}".encode()).decode("ascii")

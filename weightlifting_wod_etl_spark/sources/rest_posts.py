@@ -112,7 +112,7 @@ class _PostsReader(DataSourceReader):
 
             url = f"{self.endpoint}&per_page={self.per_page}&page={page}"
             req = urllib.request.Request(  # noqa: S310
-                url, headers=basic_auth_header(*self.credentials)
+                url, headers=basic_auth_header(*self.credentials, url=url)
             )
             with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
                 posts = json.load(resp)
