@@ -9,7 +9,9 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
-SF_SMOKE = "/root/testdata/sf0.001"
+# sf0.001 keeps the pre-commit sweep fast; override to run the same suite
+# at the driver's correctness scale (sf0.01) before shipping a new query
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 

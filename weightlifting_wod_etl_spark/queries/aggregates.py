@@ -8,7 +8,7 @@ results are order-free and engine-exact at any parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import to_fixed
@@ -472,5 +472,175 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.sum(revenue_fixed) / F.lit(10000.0)),
                 4,
             ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: one quarter of orders having
+    at least one lineitem shipped after the order date (EXISTS adapted to
+    this schema's columns — no commitdate/receiptdate in the testdata).
+
+    EXISTS plans as a LEFT SEMI join on orderkey with the non-equi ship-
+    date predicate attached to the join — no row multiplication, no
+    distinct; the quarter filter pushes into the orders scan; the final
+    agg keys on the 5-value priority (partial combine makes the tiny-key
+    skew irrelevant)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(round(l_extendedprice / l_quantity * 10000)::BIGINT) AS unit_fp
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT l_partkey, l_suppkey, unit_fp
+        FROM cost
+        QUALIFY row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY unit_fp, l_suppkey) = 1
+    )
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           b.unit_fp / 10000.0 AS unit_cost
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier per part, adapted to this schema
+    (no partsupp table — observed unit price from lineitem stands in for
+    ps_supplycost).
+
+    Unit prices go through integer fixed-point (×10⁴) BEFORE any min, so
+    the winner is chosen on exact BIGINTs and ties resolve by suppkey —
+    a float min would be engine-portable but its equality-to-best filter
+    would not. Plan: (partkey,suppkey) pre-agg shrinks lineitem to the
+    supply matrix before the partkey window (one Exchange each); the two
+    dimension joins carry only one row per part, and AQE picks
+    broadcast vs shuffle by size."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit_fp = to_fixed(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_fp).alias("unit_fp")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_fp", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            (F.col("unit_fp") / F.lit(10000.0)).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical co-moments per group: Pearson correlation, sample
+    stddev, sample covariance — the profile pass a feature-engineering
+    pipeline runs before normalizing columns.
+
+    All three are single-pass streaming aggregates (Welford-style merge
+    in both engines — numerically stable, so cross-engine drift stays
+    ~1e-12 and the 4-6 digit rounding is safe); one shuffle on a 3-value
+    key, partial-combined map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qp"
+        ),
+    )
+
+
+@register(
+    "q_ntile_bucket",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT o_orderpriority, bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-group quartile assignment (ntile) + per-bucket price bands —
+    the partitioned flavor of quantile bucketing.
+
+    Deliberately PARTITIONED ntile: a global ORDER BY window would plan a
+    single-partition sort (the classic 100 TB killer); per-priority
+    windows keep every sort partition-local. For an unpartitioned global
+    ntile at scale, use approx-quantile cut points + a broadcast range
+    join instead (see q_histogram). Total order inside each window via
+    the orderkey tiebreak makes bucket assignment engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )

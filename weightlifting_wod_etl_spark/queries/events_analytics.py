@@ -1,0 +1,208 @@
+"""Event-log analytics — funnels, cohorts, arg-extremum, gap statistics.
+
+The product-analytics query family the reference's event pipeline feeds
+downstream (SURVEY §2.2 events surface): staged funnel conversion, weekly
+retention cohorts, per-group argmax, and inter-event gap statistics. All
+four are single-key shuffles on ``user_id``/``event_type`` — bounded,
+uniform keys that hold at 100 TB; no global sorts, no driver loops.
+
+Determinism: time arithmetic stays in exact integer microseconds
+(``unix_micros``), counts are BIGINT, and the only double ops are single
+IEEE divisions performed identically in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..queries_registry import register
+
+
+@register(
+    "q_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), c AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM v
+    ), p AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM c
+    ), u AS (
+        SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+               min(t_purchase) AS t_purchase
+        FROM p GROUP BY 1
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           count(t_view)::BIGINT AS n_viewed,
+           count(t_click)::BIGINT AS n_clicked_after_view,
+           count(t_purchase)::BIGINT AS n_purchased_after_click
+    FROM u
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage's timestamp is
+    the earliest qualifying event STRICTLY AFTER the prior stage (the
+    sequence constraint product funnels need, not mere per-type counts).
+
+    The three stage columns are chained windows over the SAME partition
+    key, so Catalyst plans one Exchange on user_id and stacks three
+    Window operators on it — per-user state never re-shuffles. The final
+    global count is a single-row aggregate (partial counts combine
+    map-side)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = e.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH weeks AS (
+        SELECT user_id, date_trunc('week', ts) AS wk
+        FROM events GROUP BY 1, 2
+    ), w2 AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        FROM weeks
+    )
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           ((epoch_us(wk) - epoch_us(cohort_wk)) // 604800000000)::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_active
+    FROM w2 GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-active week,
+    counted in every later week they return. The classic growth query a
+    training-data engine's event sink must answer.
+
+    Plan: distinct (user, week) FIRST — collapses the fact table to at
+    most |users|×|weeks| rows before any window — then a user-partitioned
+    window for the cohort week, then the small (cohort, offset) agg.
+    Week arithmetic is exact integer µs (week starts are 604800e6-aligned
+    after date_trunc), so no float rounding can split a cohort."""
+    e = load_table(spark, sf_dir, "events")
+    weeks = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    )
+    w = Window.partitionBy("user_id")
+    w2 = weeks.withColumn("cohort_wk", F.min("wk").over(w))
+    offset_us = F.unix_micros("wk") - F.unix_micros("cohort_wk")
+    return (
+        w2.groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (offset_us / F.lit(604800000000)).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "q_argmax_events",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, round(value * 100)::BIGINT * 100000000 + event_id)
+               ::BIGINT AS top_event_id,
+           arg_min(event_id, round(value * 100)::BIGINT * 100000000 + event_id)
+               ::BIGINT AS bottom_event_id,
+           round(max(round(value * 100)::BIGINT) / 100.0, 2) AS max_value,
+           count(*)::BIGINT AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extremum aggregation (max_by / min_by): the event carrying the
+    extreme value per type — a pure hash-aggregate, no sort and no window
+    (contrast q_window_rank's row_number top-N).
+
+    Ties are broken exactly: the ordering key packs fixed-point cents and
+    the unique event_id into one BIGINT ((cents << ~27b) + id), so max_by
+    is total-ordered and engine-portable — never argmax over raw doubles,
+    whose ties would be resolved by arrival order. Packing bound: |id| <
+    1e8 and |value| < 9e8, asserted nowhere because the synthetic domain
+    is ~1e6/1e3; a production deployment would widen to a struct key."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = cents * F.lit(100000000) + F.col("event_id")
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", key).cast("bigint").alias("top_event_id"),
+        F.min_by("event_id", key).cast("bigint").alias("bottom_event_id"),
+        F.round(F.max(cents) / F.lit(100.0), 2).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_event_gap_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           count(gap_us)::BIGINT AS n_gaps,
+           round(sum(gap_us) / count(gap_us) / 1000000.0, 6) AS avg_gap_s,
+           max(gap_us)::BIGINT AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (lag over a total order) — the
+    dwell-time / liveness profile behind sessionization threshold tuning.
+
+    One Exchange on user_id serves both the lag window and the groupBy
+    (same key — Catalyst reuses the partitioning). Gaps are exact integer
+    µs; the average's two divisions are performed in the same order as
+    the oracle so the double is bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count("gap_us") / F.lit(1000000.0), 6).alias(
+            "avg_gap_s"
+        ),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

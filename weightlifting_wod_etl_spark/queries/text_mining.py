@@ -1,0 +1,278 @@
+"""Corpus mining — TF-IDF, bigrams, character-trigram entropy, passage
+dedup, canonical-representative selection.
+
+The inverted-index-shaped half of the LLM curation surface (SURVEY §2 M6):
+everything here tokenizes with the corpus convention (single-space split,
+matching q_token_count / q_token_topk), explodes map-side, and aggregates
+with bounded keys — term, n-gram, passage-hash — that stay uniform at
+100 TB. No Python UDFs anywhere; all token manipulation is Catalyst
+``split``/``transform``/``sequence`` higher-order functions inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..queries_registry import register
+
+
+@register(
+    "q_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
+    ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) = 1
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-characteristic term per document by TF-IDF — the inverted-
+    index aggregation of a corpus indexer (tf per (doc,term), df per
+    term, score join, per-doc argmax).
+
+    Plan: one shuffle on (doc,term) for tf, one on term for df; the IDF
+    side is vocabulary-sized so it BROADCASTS back onto tf (at web scale
+    a vocabulary still fits executor memory after the df-floor a real
+    indexer applies; if not, AQE falls back to shuffle join). The per-doc
+    winner is row_number over (tfidf, term) — fully tie-broken.
+    Determinism: tf·ln(N/df) is computed from exact BIGINTs with one ln
+    and one multiply, same op order as the oracle; ties on the rounded
+    score resolve by term."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+@register(
+    "q_bigram_topk",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ), b AS (
+        SELECT w, unnest(range(1, len(w))) AS i FROM t
+    )
+    SELECT w[i] || ' ' || w[i + 1] AS bigram, count(*)::BIGINT AS n
+    FROM b
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — collocation head for stop-phrase
+    and boilerplate detection (the 2-gram sibling of q_token_topk).
+
+    Bigrams are minted map-side by a codegen'd transform over sequence
+    (no self-join of token positions — that would shuffle the exploded
+    token table twice); the groupBy partial-aggregates before one
+    bounded-key shuffle; ORDER+LIMIT plans as TakeOrderedAndProject, so
+    nothing global is ever sorted."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            # CASE guard: sequence(1, 0) would be DESCENDING in Spark
+            # ([1, 0]) and mint two bogus bigrams for single-token docs
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) > 1 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+                " ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q_trigram_entropy",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, substr(text, i, 3) AS gram, count(*)::BIGINT AS c
+        FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_grams,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM cnt GROUP BY 1
+    """,
+)
+def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document — the language-
+    agnostic gibberish/boilerplate detector (low entropy = repeated
+    boilerplate, high = random bytes; natural text sits in a band).
+
+    Uses H = ln(n) − Σc·ln(c)/n so the aggregate needs only exact integer
+    counts plus one ln per distinct gram — no per-row probability
+    division whose float error would depend on combine order. Trigrams
+    are minted map-side (codegen transform over sequence); both
+    aggregations key on (doc, gram) / doc — uniform at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            # CASE guard: sequence(1, 0) would be DESCENDING in Spark and
+            # emit out-of-range substring positions for docs < 3 chars
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "q_passage_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), chunks AS (
+        SELECT doc_id, w,
+               unnest(range(0, ((len(w) + 15) // 16))) AS chunk_idx
+        FROM t
+    ), p AS (
+        SELECT doc_id, chunk_idx,
+               md5(array_to_string(w[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' '))
+                   AS passage_hash
+        FROM chunks
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, passage_hash
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY passage_hash
+                               ORDER BY doc_id, chunk_idx) = 1
+    """,
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: documents split into fixed 16-token
+    passages, each passage kept only at its FIRST corpus occurrence
+    (ordered by doc_id, chunk_idx) — the sub-document analog of exact
+    dedup that removes boilerplate repeated across documents.
+
+    The only shuffle keys on passage_hash (md5 — uniform by
+    construction, no salting needed); first-occurrence is row_number
+    over an explicit total order, not a nondeterministic dropDuplicates.
+    Chunking is a codegen transform+slice, map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    passages = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 16.0)"
+                " as int) - 1), i -> concat_ws(' ', slice(split(text, ' '),"
+                " i * 16 + 1, 16)))"
+            )
+        ).alias("chunk_idx", "passage"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(F.col("passage").cast("binary")).alias("passage_hash"),
+    )
+    w = Window.partitionBy("passage_hash").orderBy("doc_id", "chunk_idx")
+    return (
+        passages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "passage_hash")
+    )
+
+
+@register(
+    "q_canonical_rep",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, n_chars,
+               md5(substr(text, 1, 64)) AS grp
+        FROM documents
+    )
+    SELECT grp,
+           doc_id AS rep_doc_id,
+           n_chars AS rep_n_chars,
+           count(*) OVER (PARTITION BY grp)::BIGINT AS n_members
+    FROM g
+    QUALIFY row_number() OVER (PARTITION BY grp
+                               ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def q_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: group candidate duplicates (by
+    64-char prefix fingerprint) and keep the best member per group —
+    longest document, ties to the smallest doc_id. This is the KEEP
+    decision that closes a dedup pipeline (clusters → one survivor),
+    applied here to a cheap prefix blocking key.
+
+    One shuffle on the group fingerprint serves both the member count
+    and the ranked winner (same Window partition — Catalyst plans a
+    single Exchange). Selection is a total order (n_chars DESC, doc_id),
+    never first()/dropDuplicates arrival order."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("grp"),
+    )
+    wp = Window.partitionBy("grp")
+    wr = wp.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        g.withColumn("n_members", F.count(F.lit(1)).over(wp).cast("bigint"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_n_chars"),
+            "n_members",
+        )
+    )

@@ -55,11 +55,13 @@ from .queries import (  # noqa: E402,F401
     core,
     curation_ext,
     dates_clean,
+    events_analytics,
     functions_surface,
     joins_dedup,
     llm_ops,
     relational_ext,
     sampling,
+    text_mining,
     text_sessionize,
     wod_e2e,
 )
@@ -126,9 +128,9 @@ _WINDOW_PRIORITY = [
     "q_ntile_bucket",
     "q_funnel_conversion",
     "q_retention_cohort",
-    "q_topk_per_group",
+    "q_argmax_events",
     "q_event_gap_stats",
-    "q_paragraph_dedup",
+    "q_passage_dedup",
     "q_tfidf_topk",
     "q_bigram_topk",
     "q_canonical_rep",
