@@ -54,6 +54,14 @@ HEADLINE = [
     "q_pii_redact",
     "q_decontaminate",
     "q_curation_pipeline",
+    # round-5 additions
+    "q_tpch_q4",
+    "q_min_cost_supplier",
+    "q_funnel_conversion",
+    "q_retention_cohort",
+    "q_tfidf_topk",
+    "q_passage_dedup",
+    "q_trigram_entropy",
 ]
 
 

@@ -228,3 +228,41 @@ def test_new_queries_deterministic_across_runs(spark):
         a = canonicalize(QUERIES[name](spark, sf).toPandas())
         b = canonicalize(QUERIES[name](spark, sf).toPandas())
         assert a == b, f"{name} nondeterministic across runs"
+
+
+def test_ngram_cap_drops_stop_phrase_but_keeps_planted_pair(spark):
+    """The max_shingle_df cap must drop the corpus-hot stop-phrase bucket
+    (the k²/2 blowup source) while keeping a planted rare near-dup pair —
+    i.e. the cap removes quadratic cost, not recall on real near-dups.
+    70 docs share a 6-token boilerplate tail (3 hot 4-gram shingles, df=70
+    > cap=64); docs 1000/1001 share 6 rare shingles (jaccard 0.75)."""
+    from weightlifting_wod_etl_spark.operators.minhash import ngram_jaccard_pairs
+
+    hot = [
+        (i, f"u{i} v{i} w{i} x{i} follow us on social media now")
+        for i in range(70)
+    ]
+    planted = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    df = spark.createDataFrame(hot + planted, ["doc_id", "text"])
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, max_shingle_df=64).collect()
+    }
+    assert (1000, 1001) in capped
+    hot_ids = {i for i, _ in hot}
+    assert not any(a in hot_ids and b in hot_ids for a, b in capped), (
+        "stop-phrase bucket should be dropped by the df cap"
+    )
+
+    # sanity: with the cap disabled the hot pairs DO appear, proving the
+    # cap (not the jaccard threshold) is what removed them
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, max_shingle_df=None).collect()
+    }
+    assert (1000, 1001) in uncapped
+    assert any(a in hot_ids and b in hot_ids for a, b in uncapped)

@@ -11,12 +11,18 @@ Scale design (the whole point of LSH at 100 TB):
     a band — at threshold-tuned (K, B) that is a vanishing fraction of the
     N² pair space.
 
-Portability: the "hash family" is 8-hex-digit slices of
+Portability: the DEFAULT "hash family" is 8-hex-digit slices of
 ``md5(shingle) || md5('1:' || shingle)`` compared lexicographically —
 deterministic, engine-agnostic (any SQL engine computes the identical hex),
 which is what makes the DuckDB oracle possible, and 2 md5 calls per shingle
-instead of one per (seed, shingle). A production deployment would swap in
-``xxhash64`` for speed; the operator shape is unchanged.
+instead of one per (seed, shingle).
+
+``hash_family="xxhash64"`` is the production fast path: Spark's native
+seeded xxhash64 (pure JVM long arithmetic, no hex string ever
+materialized) with numeric array_min — same operator shape, same plan,
+Spark-only hashes. Select it per session via
+``spark.conf.set("spark.wod_etl.hash_family", "xxhash64")``; the md5
+default keeps every oracle hash-green.
 """
 
 from __future__ import annotations
@@ -63,6 +69,12 @@ def _hash_slice(seed: int):
     return lambda h: F.substring(h, 1 + 8 * seed, 8)
 
 
+def _xx_seeded(seed: int):
+    """One-arg lambda factory for the xxhash64 family (same two-arg-lambda
+    trap as _hash_slice: the seed must be closed over, not a default arg)."""
+    return lambda x: F.xxhash64(F.lit(seed), x)
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
     """K min-hashes: per seed, the lexicographic min of hash-slice k over
     the shingles (see ``_combined_md5``). K ≤ 8 with two md5s of material.
@@ -92,7 +104,10 @@ def band_keys(sig_cols: list[Column | str], rows_per_band: int) -> Column:
 
 
 def band_keys_from_shingles(
-    shingle_col: Column, num_hashes: int, rows_per_band: int
+    shingle_col: Column,
+    num_hashes: int,
+    rows_per_band: int,
+    hash_family: str = "md5",
 ) -> Column:
     """All B band keys as ONE expression over the let-bound shingle array.
 
@@ -100,7 +115,27 @@ def band_keys_from_shingles(
     them into band keys looks clean but CollapseProject inlines the shingle
     construction into every one of the K references — the whole shingle
     pipeline runs K times. Binding the array once keeps it single-pass.
+
+    ``hash_family="xxhash64"`` swaps the md5 hex slices for seeded native
+    xxhash64 (one JVM long per (seed, shingle), numeric min) — the fast
+    path when oracle portability isn't needed.
     """
+
+    if hash_family == "xxhash64":
+
+        def inner_xx(sh: Column) -> Column:
+            sigs = [
+                F.array_min(F.transform(sh, _xx_seeded(seed)))
+                for seed in range(num_hashes)
+            ]
+            return F.array(
+                *[
+                    F.concat_ws("|", *sigs[i : i + rows_per_band])
+                    for i in range(0, num_hashes, rows_per_band)
+                ]
+            )
+
+        return _let(shingle_col, inner_xx)
 
     assert num_hashes <= 8, "one _combined_md5 yields 8 hash slices"
 
@@ -150,15 +185,23 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 LSH band, with exact
-    Jaccard computed on the shingle sets for verification."""
+    Jaccard computed on the shingle sets for verification.
+
+    ``hash_family``: "md5" (default, oracle-portable) or "xxhash64"
+    (native JVM fast path — same plan shape, different candidate hash
+    family, so pair sets may differ at the margin as any LSH re-seed
+    would)."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
     sh = sh.filter(F.size("shingles") > 0)
     banded = sh.select(
         id_col,
         F.posexplode(
-            band_keys_from_shingles(F.col("shingles"), num_hashes, rows_per_band)
+            band_keys_from_shingles(
+                F.col("shingles"), num_hashes, rows_per_band, hash_family
+            )
         ).alias("band_idx", "band_key"),
     )
     # Pairs are generated INSIDE each band bucket (groupBy + array pair
@@ -247,21 +290,49 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprint(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """SimHash: per-bit majority vote over token hashes → integer fingerprint.
 
-    Bit j's vote is whether HEX DIGIT j of ``md5(token)`` is below '8' — an
-    unbiased coin per (token, bit) from ONE md5 per token (md5's 32 hex
-    digits cover bits ≤ 32; a seeded-md5-per-bit family costs `bits`×
-    the hashing for no extra independence we need). Pure string ops, so any
-    engine reproduces it. Tokens are weighted by frequency (explode keeps
-    duplicates). One shuffle: groupBy(doc).
+    Default family: bit j's vote is whether HEX DIGIT j of ``md5(token)``
+    is below '8' — an unbiased coin per (token, bit) from ONE md5 per token
+    (md5's 32 hex digits cover bits ≤ 32; a seeded-md5-per-bit family costs
+    `bits`× the hashing for no extra independence we need). Pure string
+    ops, so any engine reproduces it.
+
+    ``hash_family="xxhash64"``: bit j's vote is bit j of the token's
+    native xxhash64 — one JVM long hash per token, votes are shift/mask
+    arithmetic, no hex strings (the fast path; fingerprints differ from
+    the md5 family as any re-seed would).
+
+    Tokens are weighted by frequency (explode keeps duplicates). One
+    shuffle: groupBy(doc).
     """
-    assert bits <= 32, "hex-digit vote family provides 32 independent bits"
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).select(F.col(id_col), F.md5("tok").alias("h"))
+    )
+    if hash_family == "xxhash64":
+        assert bits <= 63, "xxhash64 vote family provides 63 usable bits"
+        toks = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        votes = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+        agg = toks.groupBy(id_col).agg(*votes)
+        fp = None
+        for j in range(bits):
+            term = F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        return agg.select(F.col(id_col), fp.cast("bigint").alias("fingerprint"))
+    assert bits <= 32, "hex-digit vote family provides 32 independent bits"
+    toks = toks.select(F.col(id_col), F.md5("tok").alias("h"))
     votes = [
         F.sum(
             F.when(F.substring(F.col("h"), j + 1, 1) < "8", 1).otherwise(-1)

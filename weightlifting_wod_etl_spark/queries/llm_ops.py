@@ -66,9 +66,15 @@ _SHINGLED_CTE = """
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands×2) candidate pairs with exact-Jaccard verify.
-    Signatures are per-row expressions; only band keys shuffle."""
+    Signatures are per-row expressions; only band keys shuffle.
+
+    ``spark.wod_etl.hash_family=xxhash64`` selects the native fast path
+    (bench-only — the DuckDB oracle encodes the portable md5 default)."""
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, num_hashes=8, rows_per_band=2, shingle_n=3)
+    family = spark.conf.get("spark.wod_etl.hash_family", "md5")
+    return lsh_candidate_pairs(
+        docs, num_hashes=8, rows_per_band=2, shingle_n=3, hash_family=family
+    )
 
 
 @register(
@@ -94,9 +100,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per doc + fingerprint-cluster sizes
-    (near-dups collide; the per-bit hash family is portable md5 votes)."""
+    (near-dups collide; the per-bit hash family is portable md5 votes —
+    ``spark.wod_etl.hash_family=xxhash64`` selects the native fast path,
+    bench-only since the oracle encodes the md5 family)."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprint(docs, bits=16)
+    family = spark.conf.get("spark.wod_etl.hash_family", "md5")
+    fp = simhash_fingerprint(docs, bits=16, hash_family=family)
     w = Window.partitionBy("fingerprint")
     return fp.select(
         "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("cluster_size")
