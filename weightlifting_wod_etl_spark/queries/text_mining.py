@@ -60,9 +60,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
-    )
+    # df is derived FROM tf, not from a second pass over tok: tf's rows are
+    # already the distinct (doc, term) pairs, so count(*) per term == the
+    # document frequency — and ReuseExchange dedups tf's shuffle between
+    # this branch and the score join (the corpus is exploded ONCE).
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")
@@ -147,31 +149,53 @@ def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     agnostic gibberish/boilerplate detector (low entropy = repeated
     boilerplate, high = random bytes; natural text sits in a band).
 
-    Uses H = ln(n) − Σc·ln(c)/n so the aggregate needs only exact integer
-    counts plus one ln per distinct gram — no per-row probability
-    division whose float error would depend on combine order. Trigrams
-    are minted map-side (codegen transform over sequence); both
-    aggregations key on (doc, gram) / doc — uniform at scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            # CASE guard: sequence(1, 0) would be DESCENDING in Spark and
-            # emit out-of-range substring positions for docs < 3 chars
-            F.expr(
-                "CASE WHEN length(text) >= 3 THEN"
-                " transform(sequence(1, length(text) - 2),"
-                " i -> substring(text, i, 3))"
-                " ELSE array() END"
-            )
-        ).alias("gram"),
+    Uses H = ln(n) − Σc·ln(c)/n so only exact integer run counts feed the
+    logs. Implementation is ENTIRELY per-row — sort the gram array, find
+    run starts, fold run lengths — so the operator needs ZERO shuffles.
+    At sf0.1 this ties the exploded (doc,gram)+groupBy alternative
+    (~2.7 s both — gram minting dominates locally), but the alternative
+    shuffles one row PER CHARACTER of the corpus, so at 100 TB it moves
+    the entire corpus through the wire while this shape moves nothing.
+    ``let`` binds each intermediate array once (CollapseProject would
+    otherwise re-sort per reference)."""
+    from ..functions.expr import let
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
     )
-    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    return cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_grams"),
-        F.round(
-            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
-        ).alias("entropy"),
+
+    def over_sorted(s: F.Column) -> F.Column:
+        n = F.size(s)
+        # 1-based indices where a new run of equal grams begins
+        starts = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(s, i) != F.element_at(s, i - 1)
+            ),
+        )
+
+        def over_starts(st: F.Column) -> F.Column:
+            k = F.size(st)
+            runlens = F.transform(
+                F.sequence(F.lit(1), k),
+                lambda j: F.when(
+                    j == k, n + 1 - F.element_at(st, j)
+                ).otherwise(F.element_at(st, j + 1) - F.element_at(st, j)),
+            )
+            sum_clnc = F.aggregate(
+                runlens,
+                F.lit(0.0),
+                lambda acc, c: acc + c * F.log(c),
+            )
+            return F.round(F.log(n) - sum_clnc / n, 6)
+
+        return let(starts, over_starts)
+
+    return docs.select(
+        "doc_id",
+        (F.length("text") - 2).cast("bigint").alias("n_grams"),
+        let(F.array_sort(grams), over_sorted).alias("entropy"),
     )
 
 
