@@ -252,3 +252,53 @@ def test_no_query_plans_python_row_udfs_or_cartesian(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"slow-path operators in plans: {offenders}"
+
+
+def test_trigram_entropy_is_shuffle_free(spark, sf_dir):
+    """The per-row run-length fold must plan ZERO exchanges — the whole
+    point vs the explode+groupBy shape that shuffles one row per corpus
+    character."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_trigram_entropy"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """Three chained stage windows + the per-user agg must share ONE
+    Exchange on user_id (plus the single-row final agg's)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_funnel_conversion"](spark, sf_dir))
+    # exchanges: hashpartitioning(user_id) once + SinglePartition for the
+    # global one-row aggregate — anything more means a window re-shuffled
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_passage_dedup_single_hash_shuffle(spark, sf_dir):
+    """Chunking is map-side; the only hash exchange keys on passage_hash."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_passage_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "passage_hash" in plan.split("Exchange hashpartitioning")[1][:200]
+
+
+def test_tfidf_winner_uses_window_group_limit(spark, sf_dir):
+    """The per-doc rank<=1 filter must push as WindowGroupLimit (partial
+    top-k before the doc shuffle), and the idf side must broadcast."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_tfidf_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_canonical_rep_shares_one_group_exchange(spark, sf_dir):
+    """Member-count window and winner window partition on the same key —
+    one Exchange serves both."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_canonical_rep"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
