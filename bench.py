@@ -62,6 +62,7 @@ HEADLINE = [
     "q_tfidf_topk",
     "q_passage_dedup",
     "q_trigram_entropy",
+    "q_scd2_snapshot",
 ]
 
 

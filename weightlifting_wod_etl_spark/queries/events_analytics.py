@@ -206,3 +206,55 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@register(
+    "q_scd2_snapshot",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to
+    FROM changes
+    """,
+)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse an event stream
+    into state intervals — a row per CHANGE of state with
+    [valid_from, valid_to) bounds, open-ended for the current state. The
+    temporal-table operator every warehouse load needs (and the batch
+    analog of streaming state tracking).
+
+    Both windows (change detection lag, interval-close lead) partition on
+    user_id with the same total order, so Catalyst plans ONE Exchange and
+    one sort for the whole query. Interval bounds render as formatted
+    strings so parquet timestamp precision can't flip the hash."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+    )
