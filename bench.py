@@ -63,6 +63,8 @@ HEADLINE = [
     "q_passage_dedup",
     "q_trigram_entropy",
     "q_scd2_snapshot",
+    "q_tpch_q9",
+    "q_tpch_q19",
 ]
 
 

@@ -644,3 +644,100 @@ def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
+               - round(p.p_retailprice * 0.1 * l.l_quantity * 10000)::BIGINT)
+               / 10000.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: revenue minus a retail-price
+    cost proxy (no partsupp table in this schema) per supplier nation and
+    order year, restricted to '%red%' parts.
+
+    The widest join matrix in the suite — lineitem against part, supplier,
+    nation, and orders simultaneously. The selective LIKE prunes part
+    FIRST (pushed to its scan); nation broadcasts; both profit terms are
+    rounded to fixed-point INDIVIDUALLY before the subtraction so the sum
+    is order-free and engine-exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    rev_fixed = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    cost_fixed = to_fixed(
+        F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity"), 4
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (F.sum(rev_fixed - cost_fixed) / F.lit(10000.0)).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle="""
+    SELECT sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)
+               / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 5 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive discounted-revenue: three brand/size/
+    quantity predicate branches OR-ed across the lineitem⋈part join.
+
+    The disjunction mixes columns from BOTH sides, so it must evaluate
+    post-join — but Catalyst still derives the implied single-side
+    prefilters (brand IN (...), size/quantity range hulls) and pushes
+    them into the scans, shrinking both join inputs; verify with
+    .explain (PushedFilters on both scans). Single-row fixed-point agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(10, 40)
+    )
+    rev_fixed = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg((F.sum(rev_fixed) / F.lit(10000.0)).alias("revenue"))
+    )

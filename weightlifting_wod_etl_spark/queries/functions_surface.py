@@ -176,3 +176,39 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_max",
         )
     )
+
+
+@register(
+    "q_rank_fns",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           dense_rank() OVER w::BIGINT AS drnk,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 10) OVER w::BIGINT AS tenth_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: dense_rank / percent_rank / cume_dist /
+    nth_value over one shared partitioned sort (complements q_window_rank's
+    row_number and q_ntile_bucket's ntile).
+
+    All four share a single WINDOW clause — one Exchange + one sort serve
+    every function. The orderkey tiebreak makes the order total, so the
+    RANGE-framed nth_value/cume_dist see identical peer groups in both
+    engines; percent_rank's (rank−1)/(n−1) is one exact IEEE division."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 10).over(w).cast("bigint").alias("tenth_key"),
+    )
