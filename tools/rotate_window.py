@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=50)
     args = ap.parse_args()
 
-    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+    from weightlifting_wod_etl_spark.queries_registry import _WINDOW_TAIL, QUERIES
 
     # last round each query was verified green (rows+schema+hash all true)
     last_green: dict[str, int] = {}
@@ -40,13 +40,18 @@ def main() -> None:
                 if isinstance(res, dict) and res.get("hash_match"):
                     last_green[name] = max(last_green.get(name, 0), rnd)
 
-    # sort: never-green first, then stalest green, stable by name
+    # sort: never-green first, then stalest green, stable by name.
+    # _WINDOW_TAIL queries are rows-only BY DESIGN — they can never
+    # hash-match, so they must never consume a window slot (they would
+    # otherwise rank first forever as "never green").
     ranked = sorted(
-        QUERIES, key=lambda q: (last_green.get(q, -1), q)
+        (q for q in QUERIES if q not in _WINDOW_TAIL),
+        key=lambda q: (last_green.get(q, -1), q),
     )
     never = [q for q in ranked if q not in last_green]
     print(f"# window={args.window}  total={len(QUERIES)}  "
-          f"never-green={len(never)}  rounds-seen={len(rounds)}")
+          f"never-green={len(never)}  rounds-seen={len(rounds)}  "
+          f"tail(excluded)={list(_WINDOW_TAIL)}")
     if never:
         print("# never verified green:", ", ".join(never))
     print("_WINDOW_PRIORITY = [")
