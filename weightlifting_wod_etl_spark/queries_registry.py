@@ -80,7 +80,9 @@ from .queries import (  # noqa: E402,F401
 #
 # Round-5 window: 4 never-green-but-fixable (q_multimodal_features gets its
 # oracle this round; the TPC-H trio was registered past the r4 window) +
-# 33 stale last-green-r03 + 13 new-this-round.
+# 29 stale last-green-r03 + 17 new-this-round (so NOTHING added this round
+# waits a round for driver evidence). Rotated out to make room:
+# q_json_fns/q_map_fns/q_string_fns/q_set_ops — locally green, re-front r6.
 _WINDOW_PRIORITY = [
     # never driver-green, fixable (rotate_window.py r5 output)
     "q_multimodal_features",
@@ -95,11 +97,9 @@ _WINDOW_PRIORITY = [
     "q_dedup_exact",
     "q_grouping_sets",
     "q_histogram",
-    "q_json_fns",
     "q_kv_upsert_dedup",
     "q_lang_id",
     "q_limit_offset",
-    "q_map_fns",
     "q_percentile",
     "q_pivot_wide",
     "q_quality_score",
@@ -107,10 +107,8 @@ _WINDOW_PRIORITY = [
     "q_rollup",
     "q_scalar_subquery",
     "q_scan_project",
-    "q_set_ops",
     "q_skew_agg",
     "q_skew_join",
-    "q_string_fns",
     "q_text_stats",
     "q_token_count",
     "q_tpch_q1",
@@ -135,6 +133,10 @@ _WINDOW_PRIORITY = [
     "q_bigram_topk",
     "q_canonical_rep",
     "q_trigram_entropy",
+    "q_scd2_snapshot",
+    "q_tpch_q9",
+    "q_tpch_q19",
+    "q_rank_fns",
 ]
 
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
