@@ -302,3 +302,13 @@ def test_canonical_rep_shares_one_group_exchange(spark, sf_dir):
 
     plan = _plan(QUERIES["q_canonical_rep"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_windows_share_one_exchange_and_sort(spark, sf_dir):
+    """Change-detection lag and interval-close lead partition and order
+    identically — one Exchange and ONE sort must serve both windows."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_scd2_snapshot"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") == 1
