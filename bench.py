@@ -65,6 +65,9 @@ HEADLINE = [
     "q_scd2_snapshot",
     "q_tpch_q9",
     "q_tpch_q19",
+    "q_resample_ffill",
+    "q_rolling_range",
+    "q_session_concurrency",
 ]
 
 

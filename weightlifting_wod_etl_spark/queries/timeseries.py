@@ -1,0 +1,214 @@
+"""Time-series operators — gap-filled resampling, time-range rolling
+windows, session concurrency.
+
+The regular-grid half of event analytics (queries/events_analytics.py is
+the irregular half): downsample to a daily grid with forward fill, roll
+aggregates over wall-clock ranges rather than row counts, and project
+interval overlap onto bucketed load curves. Everything keys its shuffles
+on ``user_id`` or a time bucket — bounded, uniform, 100 TB-safe; spines
+are minted map-side with ``sequence`` (never a driver-side date loop).
+
+Determinism: grid points come from exact date_trunc'd timestamps, "last
+value of the day" is a row_number over a total order (never ``last()``
+arrival order), and rolling sums use integer-cents fixed point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import to_fixed
+from ..io import load_table
+from ..queries_registry import register
+
+
+@register(
+    "q_resample_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, value
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ), bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           round(last_value(round(d.value * 100)::BIGINT IGNORE NULLS) OVER (
+                     PARTITION BY s.user_id ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) / 100.0,
+                 2) AS value_ffill
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular event stream to a per-user DAILY grid and
+    forward-fill gaps with the last observed value — the gap-filling
+    operator behind every time-series feature table.
+
+    The grid is minted with ``sequence(min_day, max_day)`` per user —
+    map-side after a tiny per-user bounds agg, never a driver loop or a
+    calendar cross join (a global spine × users cross join would be
+    |days|·|users| rows BEFORE pruning; per-user sequences materialize
+    only the rows that exist). All three stages (daily last-value, spine,
+    forward-fill window) shuffle on user_id alone. "Last value of the
+    day" is row_number over (ts, event_id) DESC — a total order."""
+    e = load_table(spark, sf_dir, "events")
+    wday = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("day"), "ts",
+                 "event_id", "value")
+        .withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", to_fixed("value").alias("cents"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                F.last("cents", ignorenulls=True).over(wfill) / F.lit(100.0), 2
+            ).alias("value_ffill"),
+        )
+    )
+
+
+@register(
+    "q_rolling_range",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(sum(round(value * 100)::BIGINT) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 / 100.0,
+                 2) AS rolling_1h
+    FROM events
+    """,
+)
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour sum per user — a RANGE frame over WALL-CLOCK time,
+    not row counts (q_window_frames covers ROWS frames): each row sums
+    every event in its trailing hour, however many rows that is.
+
+    Spark range frames need a numeric ordering column, so the frame is
+    [unix_micros − 3600e6, unix_micros] — exactly DuckDB's
+    ``RANGE INTERVAL 1 HOUR PRECEDING``. Equal-timestamp peers are IN the
+    frame in both engines (range semantics), so no tiebreak is needed for
+    the sum itself; event_id merely labels output rows. One Exchange on
+    user_id; summands are integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.sum(to_fixed("value")).over(w) / F.lit(100.0), 2).alias(
+            "rolling_1h"
+        ),
+    )
+
+
+@register(
+    "q_session_concurrency",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id,
+               ts
+        FROM marked
+    ), intervals AS (
+        SELECT user_id, session_id,
+               date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM sess GROUP BY 1, 2
+    ), hours AS (
+        SELECT user_id, session_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM intervals
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour,
+           count(*)::BIGINT AS active_sessions,
+           count(DISTINCT user_id)::BIGINT AS active_users
+    FROM hours GROUP BY 1
+    """,
+)
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load curve: 30-minute-gap sessions (the flagship
+    sessionizer's semantics) projected onto hourly buckets — how many
+    sessions and users were active each hour. The capacity-planning view
+    of interval overlap, O(sessions × span-hours) instead of the
+    O(sessions²) interval self-join.
+
+    Session detection shuffles on user_id (shared lag + running-sum
+    window); the hour expansion is a map-side ``sequence`` explode over
+    each session's [first, last] hour; the final agg keys on the hour
+    bucket — time-uniform by construction."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    marked = e.select("user_id", "ts", "event_id").withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = intervals.select(
+        "user_id",
+        "session_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
+            "hour"
+        ),
+    )
+    return hours.groupBy(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("active_sessions"),
+        F.count_distinct("user_id").alias("active_users"),
+    )

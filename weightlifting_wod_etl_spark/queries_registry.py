@@ -63,6 +63,7 @@ from .queries import (  # noqa: E402,F401
     sampling,
     text_mining,
     text_sessionize,
+    timeseries,
     wod_e2e,
 )
 
