@@ -266,3 +266,40 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.sum("quality"), 4).alias("sum_quality"),
     )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round(least(1.0, n_chars / 2000.0), 6) AS keep_prob
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+          < least(1.0, n_chars / 2000.0) * 4294967296
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept with
+    probability proportional to a per-row weight (here a length proxy,
+    capped at 1), decided by comparing its md5-derived uniform in [0, 2^32)
+    against weight·2^32 — the importance-sampling primitive for corpus
+    mixing, upweighting high-quality documents without any RNG state.
+
+    Same content-addressed guarantees as q_hash_sample (stable across
+    reruns, repartitions, corpus growth) but with a CONTINUOUS per-row
+    rate rather than one global threshold. Scan-local: no shuffle, no
+    seed, nothing global — the predicate is pure row arithmetic at any
+    scale. The u32-vs-weight·2^32 comparison is exact-integer on one side
+    and a single IEEE multiply on the other, so the kept set is
+    bit-identical in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return docs.filter(u32 < weight * F.lit(4294967296.0)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(weight, 6).alias("keep_prob"),
+    )
