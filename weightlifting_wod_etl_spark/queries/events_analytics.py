@@ -1,10 +1,10 @@
-"""Event-log analytics — funnels, cohorts, arg-extremum, gap statistics.
+"""Event-log analytics — funnels, cohorts, arg-extremum, gap statistics,
+SCD2 snapshots, z-score normalization.
 
 The product-analytics query family the reference's event pipeline feeds
-downstream (SURVEY §2.2 events surface): staged funnel conversion, weekly
-retention cohorts, per-group argmax, and inter-event gap statistics. All
-four are single-key shuffles on ``user_id``/``event_type`` — bounded,
-uniform keys that hold at 100 TB; no global sorts, no driver loops.
+downstream (SURVEY §2.2 events surface). Every query here is a
+single-key shuffle on ``user_id``/``event_type`` — bounded, uniform keys
+that hold at 100 TB; no global sorts, no driver loops.
 
 Determinism: time arithmetic stays in exact integer microseconds
 (``unix_micros``), counts are BIGINT, and the only double ops are single
