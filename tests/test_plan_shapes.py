@@ -312,3 +312,30 @@ def test_scd2_windows_share_one_exchange_and_sort(spark, sf_dir):
     plan = _plan(QUERIES["q_scd2_snapshot"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") == 1
+
+
+def test_weighted_sample_is_scan_local(spark, sf_dir):
+    """Per-row keep-probability sampling must plan zero exchanges — pure
+    row arithmetic over the scan."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_weighted_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_zscore_broadcasts_stats_back(spark, sf_dir):
+    """Group stats reduce to |groups| rows then broadcast onto the fact
+    table — one hash exchange (the agg), never a stats window that would
+    re-shuffle every fact row onto 5 hot partitions."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_zscore_normalize"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_rolling_range_single_user_exchange(spark, sf_dir):
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_rolling_range"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
