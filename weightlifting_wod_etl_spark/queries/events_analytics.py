@@ -304,3 +304,48 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
+               AS p_next
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (prev → next counts and conditional probabilities) — the sequence-
+    mining aggregate behind journey analysis and next-action models.
+
+    Transitions are minted by one lag window on user_id; the count keys on
+    a |types|² = 25-cell matrix (partial combine makes the key skew
+    irrelevant); the row-conditional probability is a window over the
+    25-row AGGREGATE, not the fact table. p_next's division is one IEEE
+    op on exact BIGINTs, ordered identically in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wrow), 6).alias(
+            "p_next"
+        ),
+    )

@@ -377,3 +377,73 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_words", F.lit(-1)).alias("n_words"),
         "batch",
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ), v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               (round(o_totalprice * 100)::BIGINT * 11) // 10 AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    )
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           v1.cents / 100.0 AS old_price, v2.cents / 100.0 AS new_price
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.cents <> v2.cents OR v1.o_orderstatus <> v2.o_orderstatus
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two versions of a table (simulated by
+    date-sliced + price-bumped views of orders) compared into an
+    insert/update/delete changelog — the table-diff operator that feeds
+    incremental downstream syncs.
+
+    A single FULL OUTER join on the primary key, change detection as a
+    post-join filter — one co-partitioned shuffle per side, no row
+    explosion; at 100 TB both snapshots would be bucketed on the key so
+    even that Exchange disappears (io.write_bucketed). The simulated
+    price bump stays in INTEGER CENTS with floor division — a
+    ``round(price * 1.1, 2)`` on doubles lands on .xx5 boundaries where
+    Spark's exact-decimal and a scaled-double rounding disagree (16 rows
+    at sf0.01), exactly the drift the fixed-point rule exists to kill."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = to_fixed("o_totalprice")
+    v1 = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("status1"),
+        cents.alias("cents1"),
+    )
+    v2 = o.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderstatus").alias("status2"),
+        F.floor(cents * F.lit(11) / F.lit(10)).cast("long").alias("cents2"),
+    )
+    joined = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    changed = joined.filter(
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("cents1") != F.col("cents2"))
+        | (F.col("status1") != F.col("status2"))
+    )
+    return changed.select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        (F.col("cents1") / F.lit(100.0)).alias("old_price"),
+        (F.col("cents2") / F.lit(100.0)).alias("new_price"),
+    )
