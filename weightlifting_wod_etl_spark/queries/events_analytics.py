@@ -271,7 +271,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1
     )
     SELECT e.event_id, e.event_type,
-           round((e.value - s.mean_v) / s.sd_v, 4) AS z
+           round((e.value - s.mean_v) / nullif(s.sd_v, 0), 4) AS z
     FROM events e JOIN stats s USING (event_type)
     """,
 )
@@ -286,7 +286,10 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffle every fact row onto 5 hot partitions. The mean is exact
     integer cents / n; stddev is the engines' numerically stable
     single-pass aggregate (cross-engine drift ~1e-12, absorbed by the
-    4-digit rounding)."""
+    4-digit rounding). A zero-variance group divides by nullif(sd,0) in
+    BOTH engines so it yields NULL z on each side — without the guard
+    Spark's Divide returns NULL but DuckDB (IEEE float division) returns
+    ±Inf, and the hashes would diverge on a constant-valued group."""
     e = load_table(spark, sf_dir, "events")
     stats = e.groupBy("event_type").agg(
         (F.sum(to_fixed("value")) / F.count(F.lit(1)) / F.lit(100.0)).alias(
@@ -299,9 +302,11 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - F.col("mean_v")) / F.col("sd_v"), 4).alias(
-                "z"
-            ),
+            F.round(
+                (F.col("value") - F.col("mean_v"))
+                / F.nullif(F.col("sd_v"), F.lit(0.0)),
+                4,
+            ).alias("z"),
         )
     )
 

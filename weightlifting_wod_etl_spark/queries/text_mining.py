@@ -157,7 +157,15 @@ def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles one row PER CHARACTER of the corpus, so at 100 TB it moves
     the entire corpus through the wire while this shape moves nothing.
     ``let`` binds each intermediate array once (CollapseProject would
-    otherwise re-sort per reference)."""
+    otherwise re-sort per reference).
+
+    Cross-engine note: Σc·ln(c) is summed here in sorted-run order while
+    the DuckDB oracle sums over hash-aggregate groups in arbitrary order;
+    double addition is non-associative, so the two sums can differ by
+    ~1 ulp before the shared round(…, 6). Same accepted-drift class as
+    corr/stddev (hash-green at sf0.01); if a future corpus lands a
+    knife-edge value, widen the rounding margin rather than reordering
+    the fold."""
     from ..functions.expr import let
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
