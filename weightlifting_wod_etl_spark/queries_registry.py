@@ -79,65 +79,89 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-5 window: 4 never-green-but-fixable (q_multimodal_features gets its
-# oracle this round; the TPC-H trio was registered past the r4 window) +
-# 29 stale last-green-r03 + 17 new-this-round (so NOTHING added this round
-# waits a round for driver evidence). Rotated out to make room:
-# q_json_fns/q_map_fns/q_string_fns/q_set_ops — locally green, re-front r6.
+# Round-6 window: 7 never-driver-checked round-5 late additions first, then
+# the 4 rotated-out-in-r5 fn-surface queries (last green r03 — two rounds of
+# drift), then the 7 queries PLANNED for round 6 named up front (unregistered
+# names are skipped harmlessly, so late-landing additions can never fall past
+# the window again — the round-5 hole's process fix), then the stalest
+# r4-green set: the reference's semantic core (sessionize/wod pipeline/date
+# ops), the streaming batch analogs, and the minhash/similarity family.
+# Remaining r4-greens are listed past slot 50 as buffer (they fill in if a
+# planned query slips) and lead the r7 rotation otherwise.
 _WINDOW_PRIORITY = [
-    # never driver-green, fixable (rotate_window.py r5 output)
-    "q_multimodal_features",
-    "q_tpch_q7",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    # stale: last green r03, pre-dating the NTZ fix and round-4's changes
-    "q_array_fns",
-    "q_clean_normalize",
-    "q_cube",
-    "q_dedup_antijoin",
-    "q_dedup_exact",
-    "q_grouping_sets",
-    "q_histogram",
-    "q_kv_upsert_dedup",
-    "q_lang_id",
-    "q_limit_offset",
-    "q_percentile",
-    "q_pivot_wide",
-    "q_quality_score",
-    "q_regex_filter",
-    "q_rollup",
-    "q_scalar_subquery",
-    "q_scan_project",
-    "q_skew_agg",
-    "q_skew_join",
-    "q_text_stats",
-    "q_token_count",
-    "q_tpch_q1",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_unpivot",
-    "q_window_frames",
-    "q_window_rank",
-    # new this round — never verified (registered later in round 5)
-    "q_tpch_q4",
-    "q_min_cost_supplier",
-    "q_corr_stats",
-    "q_ntile_bucket",
-    "q_funnel_conversion",
-    "q_retention_cohort",
-    "q_argmax_events",
-    "q_event_gap_stats",
-    "q_passage_dedup",
-    "q_tfidf_topk",
-    "q_bigram_topk",
-    "q_canonical_rep",
-    "q_trigram_entropy",
-    "q_scd2_snapshot",
-    "q_tpch_q9",
-    "q_tpch_q19",
-    "q_rank_fns",
+    # never driver-checked (registered past the r5 window; rotate_window.py)
+    "q_event_transitions",
+    "q_resample_ffill",
+    "q_rolling_range",
+    "q_session_concurrency",
+    "q_snapshot_diff",
+    "q_weighted_sample",
+    "q_zscore_normalize",
+    # stale: last green r03 (rotated out in r5 to make room)
+    "q_json_fns",
+    "q_map_fns",
+    "q_set_ops",
+    "q_string_fns",
+    # NEW in round 6 — named before they register so they land in-window
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q22",
+    "q_quantile_bound",
+    "q_tdigest_quantile",
+    # stalest r4-green: reference semantic core + streaming batch analogs
+    "q_sessionize_text",
+    "q_group_concat",
+    "q_wod_pipeline",
+    "q_date_extract",
+    "q_date_spine",
+    "q_explode_lines",
+    "q_weekly_rollup",
+    "q_sessionize_events",
+    "q_tumbling_window",
+    "q_sliding_window",
+    # stalest r4-green: minhash/similarity family
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_cosine_topk",
+    "q_ann_lsh_bucket",
+    "q_ann_ivf",
+    "q_embed_neardup",
+    "q_doc_fingerprint",
+    "q_dup_clusters",
+    "q_rolling_hash",
+    # stalest r4-green: one representative per remaining family
+    "q_asof_join",
+    "q_range_join",
+    "q_pii_redact",
+    "q_decontaminate",
+    "q_curation_pipeline",
+    "q_hash_sample",
+    "q_dataset_split",
+    "q_binary_meta",
+    "q_media_resize",
+    "q_frame_sample",
+    "q_semi_join",
+    "q_null_semantics",
+    # past-window buffer: remaining r4-greens, front of the r7 rotation
+    "q_anti_scalar_sub",
+    "q_chunk_bounds",
+    "q_corpus_mixture",
+    "q_count_distinct",
+    "q_date_fns",
+    "q_decimal_agg",
+    "q_domain_cap",
+    "q_full_outer",
+    "q_intradoc_repetition",
+    "q_outer_join_dist",
+    "q_sequence_pack",
+    "q_set_ops_all",
+    "q_stratified_sample",
+    "q_token_chunks",
+    "q_token_topk",
+    "q_union_by_name",
 ]
 
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
