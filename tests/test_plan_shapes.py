@@ -339,3 +339,50 @@ def test_rolling_range_single_user_exchange(spark, sf_dir):
 
     plan = _plan(QUERIES["q_rolling_range"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_ext_no_cartesian_or_nested_loop(spark, sf_dir):
+    """The round-6 TPC-H shapes must plan pure hash/broadcast joins —
+    even the Q15 scalar-max (a 1-row cross join) must compile to an
+    equi-join via the filter's equality, never a nested loop."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    for name in ("q_tpch_q8", "q_tpch_q12", "q_tpch_q13", "q_tpch_q15",
+                 "q_tpch_q16", "q_tpch_q17", "q_tpch_q21"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Cartesian" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_tpch_q8_broadcasts_dims(spark, sf_dir):
+    """Nation/region (and at test SF the other dims) ride broadcast; the
+    plan must not shuffle a dimension onto the fact join keys."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_tpch_q8"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Cartesian" not in plan
+
+
+def test_tpch_q13_outer_join_keeps_every_customer(spark, sf_dir):
+    """The priority exclusion must live in the join condition, keeping
+    the join outer: Σ custdist == |customer| exactly (a WHERE-clause
+    exclusion would silently drop customers whose every order is
+    excluded). The testdata has no zero-order customer, so the invariant
+    is checked as mass conservation rather than presence of c_count=0."""
+    from weightlifting_wod_etl_spark.io import load_table
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    dist = QUERIES["q_tpch_q13"](spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in dist) == n_cust
+
+
+def test_tpch_q21_reuses_orderkey_exchange(spark, sf_dir):
+    """All three correlation legs key on l_orderkey; the executed plan
+    must shuffle lineitem a bounded number of times (semi + anti legs
+    share scans/exchanges, no per-leg rescan explosion)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_tpch_q21"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -1,0 +1,436 @@
+"""TPC-H shapes Q8/Q12/Q13/Q15/Q16/Q17/Q21 adapted to this schema.
+
+Round 5 landed Q1-Q10/Q14/Q18/Q19 (aggregates.py) and the Q2/Q22 shapes
+(q_min_cost_supplier, q_anti_scalar_sub). This module closes the remaining
+canonical shapes the testdata's columns can express: the national market
+share (Q8), the late-line priority split (Q12), the customer order-count
+distribution (Q13), the top-supplier scalar-max (Q15), the
+supplier-relationship counts (Q16), the small-quantity correlated-average
+filter (Q17), and the waiting-supplier double-correlation (Q21).
+
+Schema adaptations (no partsupp / shipmode / commitdate / receiptdate /
+phone / container in the driver testdata): "late" means
+``l_shipdate > o_orderdate`` (same convention as q_tpch_q4); the supplier
+relationship is the observed distinct (l_partkey, l_suppkey) pairs (same
+as q_min_cost_supplier); categorical stand-ins are called out per query.
+
+All money math uses integer fixed-point (functions/money.py) so sums are
+order-free and engine-exact at any parallelism; correlated-average
+comparisons are cross-multiplied into pure int64 predicates so no float
+threshold can flip a boundary row between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import to_fixed
+from ..io import load_table
+from ..queries_registry import register
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
+           round(
+             sum(CASE WHEN sn.n_name = 'NATION_7'
+                      THEN round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
+                      ELSE 0 END)
+             / sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT),
+             6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN region r    ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'AMERICA'
+      AND p.p_type = 'LARGE'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of the revenue on 'LARGE'
+    parts sold to AMERICA-region customers over two years, the fraction
+    supplied from NATION_7, per order year.
+
+    The deepest join tree in the suite (7-way). Plan: the 25-row nation
+    dim is joined twice under two aliases (customer side filters through
+    the 5-row region, supplier side carries the name for the CASE) — both
+    broadcast, as is region; part/customer/supplier are data-proportional
+    and left to AQE. The only guaranteed shuffles are the two fact-fact
+    equi-joins (lineitem↔orders on orderkey, then ↔customer on custkey).
+    The share is exact-int ×10⁴ revenue sums divided once — one IEEE op,
+    identical in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nation = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_fp = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(p, l.l_partkey == p.p_partkey)
+    )
+    nation_fp = F.when(F.col("supp_nation") == "NATION_7", rev_fp).otherwise(F.lit(0))
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev_fp.alias("rev_fp"),
+            nation_fp.alias("nation_fp"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(F.sum("nation_fp") / F.sum("rev_fp"), 6).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag IN ('A', 'R')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style late-shipment priority split: one year of
+    late-shipped lines (shipdate past the order date — the schema's
+    lateness convention), counted as urgent-priority vs the rest, per
+    line status. l_returnflag IN ('A','R') stands in for the shipmode
+    IN-list of the original.
+
+    Plan: both year bounds and the IN-list push into the lineitem scan;
+    the non-equi lateness predicate rides ON the orderkey equi-join (no
+    row multiplication, filtered during the join); the final agg keys on
+    the 2-value linestatus, map-side-combined to 2 rows per task before
+    the (tiny) exchange — key skew is irrelevant by the time it ships."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_returnflag").isin("A", "R")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed 0, 1, 2, … qualifying orders. The priority exclusion
+    stands in for the original's comment-pattern exclusion and must live
+    in the JOIN condition, not a WHERE — in the WHERE it would silently
+    turn the outer join inner and drop the 0-order customers.
+
+    Plan: count(o_orderkey) counts non-null matches only, so the
+    never-ordered customers keep c_count = 0 through the left join. The
+    first agg keys on custkey (row-per-customer, combine-friendly); the
+    second keys on the ~tens-of-values c_count — a 2-level shrinking
+    aggregation, each exchange strictly smaller than the last."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                   "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)
+                   AS total_fp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_fp / 10000.0 AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_fp = (SELECT max(total_fp) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with the maximum
+    quarterly revenue — the create-view + scalar-max shape.
+
+    The equality-to-max is the trap: on float revenue the winner can
+    differ per engine in the last ulp, so the max and the comparison both
+    run on the exact ×10⁴ BIGINT sums and only the WINNING row's revenue
+    is converted to double for display. Plan: one combine-friendly agg
+    per suppkey, a 1-row max broadcast back over the revenue frame
+    (cross-join of a single row — no correlated rescan), and the supplier
+    dim joined only to the surviving row(s), left to AQE (broadcasts a
+    1-row build side)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev_fp = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    revenue = l.groupBy("l_suppkey").agg(F.sum(rev_fp).alias("total_fp"))
+    best = revenue.agg(F.max("total_fp").alias("best_fp"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_fp") == F.col("best_fp"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_fp") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+           count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 14, 23, 45)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-relationship counts: distinct suppliers
+    able to supply each qualifying (brand, type, size) bucket. The
+    observed (l_partkey, l_suppkey) pairs stand in for partsupp (as in
+    q_min_cost_supplier); negative account balance stands in for the
+    original's complaints pattern.
+
+    Plan: the pair-distinct keys on (partkey, suppkey) — the one
+    fact-sized exchange, partially combined map-side. The complaint
+    exclusion is a broadcast LEFT ANTI (the bad-supplier list is tiny and
+    none of its keys are NULL, so anti-join = NOT IN here; a nullable
+    subquery would need the null-aware plan). The part filters prune
+    before the join, and count(DISTINCT) over the already-distinct pairs
+    adds no extra expand."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH brand_parts AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
+    ), part_avg AS (
+        SELECT l.l_partkey,
+               sum(round(l.l_quantity * 100)::BIGINT) AS qty_cents_sum,
+               count(*) AS n
+        FROM lineitem l JOIN brand_parts b ON l.l_partkey = b.p_partkey
+        GROUP BY 1
+    )
+    SELECT round(
+             sum(round(l.l_extendedprice * 100)::BIGINT) / 100.0 / 7.0,
+             2) AS avg_yearly
+    FROM lineitem l
+    JOIN part_avg a ON l.l_partkey = a.l_partkey
+    WHERE round(l.l_quantity * 100)::BIGINT * 5 * a.n < a.qty_cents_sum
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: yearly-averaged
+    revenue on lines whose quantity is below 20% of their part's average
+    quantity. p_type = 'SMALL' stands in for the original's container
+    filter.
+
+    The correlated AVG decorrelates into a per-part (sum, count) agg —
+    but the 20% threshold is where engines diverge on floats, so the
+    comparison is cross-multiplied into pure int64:
+    ``qty < 0.2 * sum/n  ⟺  qty_cents * 5 * n < sum_cents``. No float is
+    compared; boundary rows cannot flip. Plan: the brand part list prunes
+    lineitem BEFORE the per-part agg (semi-ish inner join on the filtered
+    dim), the tiny per-part aggregate joins back onto the same pruned
+    lines (AQE broadcasts it), and one exact cents-sum finishes — the
+    fact table never shuffles on anything but partkey."""
+    bp = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(bp, F.col("l_partkey") == bp.p_partkey)
+        .drop("p_partkey")
+    )
+    part_avg = l.groupBy("l_partkey").agg(
+        F.sum(to_fixed("l_quantity")).alias("qty_cents_sum"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        l.join(part_avg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(
+            to_fixed("l_quantity") * F.lit(5) * F.col("n") < F.col("qty_cents_sum")
+        )
+        .agg(
+            F.round(
+                F.sum(to_fixed("l_extendedprice")) / F.lit(100.0) / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON l1.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: late lines on
+    finalized multi-supplier orders where that supplier was the ONLY late
+    one — the double-correlated EXISTS / NOT EXISTS shape (lateness =
+    shipped past the order date, the schema's convention).
+
+    Plan: both correlations decorrelate onto the SAME key (orderkey), as
+    LEFT SEMI (some other supplier on the order) then LEFT ANTI (no other
+    late supplier). The anti side pre-joins lineitem to the finalized
+    orders so 'late' is evaluated before the anti-join, keeping its build
+    side a fraction of lineitem; all three legs hash-partition on
+    orderkey, so AQE can reuse the exchange rather than reshuffling. The
+    supplier dim attaches after both correlations — only surviving rows
+    pay the name join."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -64,6 +64,7 @@ from .queries import (  # noqa: E402,F401
     text_mining,
     text_sessionize,
     timeseries,
+    tpch_ext,
     wod_e2e,
 )
 
@@ -103,11 +104,13 @@ _WINDOW_PRIORITY = [
     "q_set_ops",
     "q_string_fns",
     # NEW in round 6 — named before they register so they land in-window
+    "q_tpch_q8",
     "q_tpch_q12",
     "q_tpch_q13",
+    "q_tpch_q15",
     "q_tpch_q16",
     "q_tpch_q17",
-    "q_tpch_q22",
+    "q_tpch_q21",
     "q_quantile_bound",
     "q_tdigest_quantile",
     # stalest r4-green: reference semantic core + streaming batch analogs
