@@ -386,3 +386,29 @@ def test_tpch_q21_reuses_orderkey_exchange(spark, sf_dir):
 
     plan = _plan(QUERIES["q_tpch_q21"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_tdigest_centroids_only_cross_the_wire(spark, sf_dir):
+    """The digest pipeline must build scan-locally (MapInPandas with no
+    exchange beneath it) and shuffle only centroid rows into the per-group
+    merge (FlatMapGroupsInPandas). The extra exchanges belong to the
+    exact-percentile verification harness, not the sketch path."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_tdigest_quantile"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # stage 1 is scan-local: nothing may shuffle between scan and digest
+    map_subtree = plan.split("MapInPandas")[1]
+    assert "Exchange" not in map_subtree.split("FileScan")[0].rsplit("+-", 1)[-1]
+
+
+def test_quantile_bound_reduces_before_join(spark, sf_dir):
+    """Both sides (sketch agg, counts-first exact percentiles) reduce to
+    |groups| rows before a broadcast join — the fact table never shuffles
+    raw rows on the join key."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_quantile_bound"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "Cartesian" not in plan

@@ -1,0 +1,211 @@
+"""Quantile sketches, verified against exact percentiles via band checks.
+
+Exact percentiles are the correctness gold standard but shuffle one row
+per distinct (group, value) pair; at 100 TB the default is a mergeable
+sketch whose wire volume is independent of row count. A sketch's output
+can't hash-match an oracle directly (the approximation is engine-
+specific), so these queries verify the thing the sketch GUARANTEES
+instead: the estimate must land inside a generous exact-percentile band
+(rank error ≤1.6% for K=128 vs a ±5-percentile-point band, ≤0.01% for
+accuracy=10000 vs a ±10-point band). Spark computes the booleans
+genuinely — estimate vs exact bands, both its own; the DuckDB oracle
+asserts the guaranteed outcome (TRUE) plus the exact per-group counts and
+(for the built-in) the exact dyadic percentiles themselves. A sketch
+regression (lost mass, broken merge, rank drift) flips a boolean or a
+count and the driver's value-hash catches it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.money import to_fixed
+from ..io import load_table
+from ..operators.percentile import exact_percentiles
+from ..operators.tdigest import DEFAULT_K, make_digest_fns
+from ..queries_registry import register
+
+
+@register(
+    "q_quantile_bound",
+    oracle="""
+    WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents
+               FROM events)
+    SELECT event_type,
+           quantile_cont(cents, [0.25, 0.5, 0.75])[1]::DOUBLE / 100.0 AS p25,
+           quantile_cont(cents, [0.25, 0.5, 0.75])[2]::DOUBLE / 100.0 AS p50,
+           quantile_cont(cents, [0.25, 0.5, 0.75])[3]::DOUBLE / 100.0 AS p75,
+           count(*)::BIGINT AS n_items,
+           TRUE AS approx_in_band
+    FROM c
+    GROUP BY event_type
+    """,
+)
+def q_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in quantile sketch (``percentile_approx``, a KLL-family
+    rank sketch) cross-checked against exact percentiles, per group.
+
+    Outputs the EXACT dyadic p25/p50/p75 (hash-verified values, same
+    engine-exactness argument as q_percentile) plus ``approx_in_band``:
+    the sketch's p50 estimate must land between the exact p40 and p60.
+    accuracy=10000 bounds rank error at 0.01% — four orders of magnitude
+    inside the band — so the boolean is deterministically TRUE unless the
+    sketch itself breaks. Plan: the sketch agg is one combine-friendly
+    pass (constant-size buffers); the exact side is the counts-first
+    percentile operator; both reduce to |groups| rows before a broadcast
+    join — the fact table is scanned twice but never shuffled raw."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", to_fixed("value").alias("__cents")
+    )
+    exact = exact_percentiles(
+        e, ["event_type"], "__cents", [0.25, 0.4, 0.5, 0.6, 0.75]
+    )
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("__cents", 0.5, 10000).alias("approx_p50")
+    )
+    return (
+        exact.join(F.broadcast(approx), "event_type")
+        .select(
+            "event_type",
+            (F.col("p25") / F.lit(100.0)).alias("p25"),
+            (F.col("p50") / F.lit(100.0)).alias("p50"),
+            (F.col("p75") / F.lit(100.0)).alias("p75"),
+            "n_items",
+            (
+                (F.col("approx_p50") >= F.col("p40"))
+                & (F.col("approx_p50") <= F.col("p60"))
+            ).alias("approx_in_band"),
+        )
+    )
+
+
+_DIGEST_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("means", ArrayType(DoubleType())),
+        StructField("weights", ArrayType(DoubleType())),
+    ]
+)
+
+_EST_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_digest", LongType()),
+        StructField("q50_est", DoubleType()),
+        StructField("q90_est", DoubleType()),
+    ]
+)
+
+
+@register(
+    "q_tdigest_quantile",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_items,
+           TRUE AS q50_in_band,
+           TRUE AS q90_in_band
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom mergeable centroid digest (operators/tdigest.py) built
+    scan-locally and merged per group — the 100 TB quantile path.
+
+    Stage 1 (mapInPandas, ZERO shuffle): each task folds its Arrow
+    batches into one ≤K-centroid digest per group incrementally — memory
+    is K centroids + one batch, never the partition's raw values. Stage 2
+    (applyInPandas after the only exchange): per group, merge the ≤K·tasks
+    centroid rows and read q50/q90 off the merged digest. Only centroids
+    cross the wire — shuffle volume is O(groups · tasks · K), independent
+    of row count.
+
+    Verification: ``n_items`` is the digest's total weight (unit weights
+    sum exactly in doubles below 2^53, so lost or duplicated mass changes
+    an exact integer the oracle counts directly) and each estimate must
+    land inside the exact ±5-percentile-point band (digest rank error
+    ≲2/K = 1.6%). Raw estimates are NOT output — batch boundaries are
+    nondeterministic, so only the band booleans (stable under ±1.6% rank
+    wobble) and the exact count are hashed."""
+    build_digest, merge_digests, digest_quantile = make_digest_fns(DEFAULT_K)
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def part_digests(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        acc: dict[str, tuple] = {}
+        for pdf in batches:
+            for etype, grp in pdf.groupby("event_type"):
+                d = build_digest(grp["value"].to_numpy())
+                prev = acc.get(etype)
+                acc[etype] = d if prev is None else merge_digests([prev, d])
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "event_type": list(acc),
+                    "means": [m.tolist() for m, _ in acc.values()],
+                    "weights": [w.tolist() for _, w in acc.values()],
+                }
+            )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        parts = [
+            (np.asarray(m, dtype=np.float64), np.asarray(w, dtype=np.float64))
+            for m, w in zip(pdf["means"], pdf["weights"])
+        ]
+        means, weights = merge_digests(parts)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_digest": [int(round(float(weights.sum())))],
+                "q50_est": [digest_quantile(means, weights, 0.5)],
+                "q90_est": [digest_quantile(means, weights, 0.9)],
+            }
+        )
+
+    est = (
+        e.mapInPandas(part_digests, _DIGEST_SCHEMA)
+        .groupBy("event_type")
+        .applyInPandas(merge_group, _EST_SCHEMA)
+    )
+    bands = exact_percentiles(
+        e.select("event_type", to_fixed("value").alias("__cents")),
+        ["event_type"],
+        "__cents",
+        [0.45, 0.55, 0.85, 0.95],
+    ).select(
+        "event_type",
+        (F.col("p45") / F.lit(100.0)).alias("q50_lo"),
+        (F.col("p55") / F.lit(100.0)).alias("q50_hi"),
+        (F.col("p85") / F.lit(100.0)).alias("q90_lo"),
+        (F.col("p95") / F.lit(100.0)).alias("q90_hi"),
+    )
+    return (
+        est.join(F.broadcast(bands), "event_type")
+        .select(
+            "event_type",
+            F.col("n_digest").alias("n_items"),
+            (
+                (F.col("q50_est") >= F.col("q50_lo"))
+                & (F.col("q50_est") <= F.col("q50_hi"))
+            ).alias("q50_in_band"),
+            (
+                (F.col("q90_est") >= F.col("q90_lo"))
+                & (F.col("q90_est") <= F.col("q90_hi"))
+            ).alias("q90_in_band"),
+        )
+    )

@@ -61,6 +61,7 @@ from .queries import (  # noqa: E402,F401
     llm_ops,
     relational_ext,
     sampling,
+    sketches,
     text_mining,
     text_sessionize,
     timeseries,
