@@ -68,6 +68,21 @@ HEADLINE = [
     "q_resample_ffill",
     "q_rolling_range",
     "q_session_concurrency",
+    # round-5 late additions, benched from round 6 (VERDICT r5 §next.3)
+    "q_weighted_sample",
+    "q_zscore_normalize",
+    "q_event_transitions",
+    "q_snapshot_diff",
+    # round-6 additions — regression-tracked from birth
+    "q_tpch_q8",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q21",
+    "q_quantile_bound",
+    "q_tdigest_quantile",
 ]
 
 
