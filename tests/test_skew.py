@@ -76,3 +76,87 @@ def test_salt_deterministic(spark):
     assert rows.any_diff is False
     assert 0 <= rows.lo and rows.hi <= 15
     assert rows.nd > 8  # salt actually spreads
+
+
+def test_planted_hot_key_spreads_over_buckets(spark):
+    """Planted 10%-hot-key proof of the SCALE.md skew claims, measured as
+    partition-row counts (deterministic), not wall time (noisy).
+
+    A naive exchange on the bare key funnels every hot-key row into ONE
+    post-shuffle partition — the at-scale straggler. The salted exchange
+    on (key, salt) must cut the max partition by the bucket spread."""
+    from weightlifting_wod_etl_spark.operators.skew import (
+        deterministic_salt,
+        salted_groupby,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(997)))
+        .alias("key"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+
+    def max_partition_rows(frame):
+        return (
+            frame.select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    naive_max = max_partition_rows(df.repartition(32, "key"))
+    salted_max = max_partition_rows(
+        df.withColumn("__salt", deterministic_salt("uid", 16)).repartition(
+            32, "key", "__salt"
+        )
+    )
+    assert naive_max >= 0.10 * n  # the hot key really is a straggler
+    assert salted_max < 0.06 * n  # spread over the 16 salt buckets
+    assert salted_max < 0.5 * naive_max
+
+    # and the two-phase plan stays row-identical on the skewed data
+    direct = (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+        .orderBy("key")
+        .collect()
+    )
+    salted = (
+        salted_groupby(
+            df,
+            keys=["key"],
+            aggs=[("v", "count", "n"), ("v", "max", "mx")],
+            salt_on="uid",
+            buckets=16,
+        )
+        .orderBy("key")
+        .collect()
+    )
+    assert direct == salted
+
+
+def test_salted_groupby_phase1_exchange_carries_salt(spark, sf_dir):
+    """Plan-shape pin: phase 1's exchange must partition on (key, salt) —
+    if Catalyst ever collapsed the two-phase agg back to the bare key the
+    skew protection would silently vanish."""
+    from weightlifting_wod_etl_spark.operators.skew import salted_groupby
+
+    ev = _events(spark, sf_dir)
+    plan = (
+        salted_groupby(
+            ev,
+            keys=["user_id"],
+            aggs=[("value", "sum", "s")],
+            salt_on="event_id",
+            buckets=16,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    first_exchange = plan.split("Exchange hashpartitioning(")[-1][:200]
+    assert "__salt" in first_exchange
