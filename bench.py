@@ -83,6 +83,9 @@ HEADLINE = [
     "q_tpch_q21",
     "q_quantile_bound",
     "q_tdigest_quantile",
+    "q_hll_bound",
+    "q_hll_union",
+    "q_bigram_lm_score",
 ]
 
 

@@ -209,3 +209,84 @@ def q_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q90_in_band"),
         )
     )
+
+
+@register(
+    "q_hll_bound",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS hll_in_band
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count per group, band-checked against the
+    exact count — the oracle-bearing upgrade of q_approx_distinct (which
+    stays registered as the raw rows-only sketch output).
+
+    ``approx_count_distinct`` at rsd=0.01 is asked to stay within ±5%
+    (5σ) of the exact count; at the testdata's cardinalities the sketch
+    runs in sparse mode and is near-exact, so the boolean is
+    deterministically TRUE unless the sketch regresses. The exact count
+    rides the same aggregate (hash-verified value); at 100 TB you would
+    DROP the exact column and keep the sketch — constant-size buffers,
+    no expand — which is the point this query certifies."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("n_hll"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_hll") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_in_band"),
+        )
+    )
+
+
+@register(
+    "q_hll_union",
+    oracle="""
+    SELECT count(DISTINCT user_id)::BIGINT AS n_exact,
+           TRUE AS union_in_band
+    FROM events
+    """,
+)
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the Datasketches HLL surface: one sketch
+    per event_type (hll_sketch_agg), unioned (hll_union_agg) into a
+    global estimate that must land within ±5% of the exact global
+    distinct — users appear under several event types, so a broken union
+    would overcount their overlap and blow the band.
+
+    This is the 100 TB architecture for COUNT(DISTINCT) over any
+    grouping: partial sketches are tiny (2^lgK registers), merge is
+    associative, and re-aggregation to coarser groupings never rescans
+    the fact table. The exact twin (count_distinct) exists here only as
+    the verification harness."""
+    e = load_table(spark, sf_dir, "events")
+    union_est = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_union")
+        )
+    )
+    exact = e.agg(F.count_distinct("user_id").alias("n_exact"))
+    return (
+        exact.join(F.broadcast(union_est))
+        .select(
+            "n_exact",
+            (
+                F.abs(F.col("n_union") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("union_in_band"),
+        )
+    )

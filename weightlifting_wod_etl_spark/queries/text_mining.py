@@ -308,3 +308,79 @@ def q_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "q_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), b AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)
+    ), c2 AS (
+        SELECT bg, count(*) AS n2 FROM b GROUP BY 1
+    ), c1 AS (
+        SELECT w1, count(*) AS n1 FROM b GROUP BY 1
+    )
+    SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(ln(c2.n2) - ln(c1.n1)), 6) AS avg_logp
+    FROM b JOIN c2 USING (bg) JOIN c1 USING (w1)
+    GROUP BY 1
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score per document —
+    the statistical quality gate that flags boilerplate (high avg log-
+    probability) and gibberish (low) without any external model. Score =
+    mean ln P(w_i | w_{i-1}) under corpus MLE.
+
+    One explode serves everything (the tfidf lesson): bigram counts AND
+    history counts both aggregate from the same (doc, w1, bigram)
+    relation — the history denominator is the count of w1 in NON-FINAL
+    positions, which is the proper bigram-MLE normalizer (P sums to 1
+    per history) and avoids a second corpus-wide unigram explode.
+    Every document bigram exists in the corpus counts by construction,
+    so pure MLE needs no smoothing and ln() sees exact integers. The
+    history count never re-aggregates the corpus at all: c(w1) =
+    Σ n(w1·) over the bigram-count AGGREGATE (split_part recovers the
+    history from the bigram key — tokens are space-split so the bigram
+    contains exactly one space), a vocab²-sized input. Only the bigram
+    count and the final per-doc mean touch corpus-sized data; both
+    count frames broadcast back onto the probe. Cross-engine drift: the
+    per-doc mean sums IEEE doubles in engine order — ~1 ulp, absorbed
+    by round(…, 6) (the corr/stddev accepted class)."""
+    from ..functions.expr import let
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    b = docs.select(
+        "doc_id",
+        F.explode(
+            let(
+                w,
+                lambda arr: F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("w1"),
+                        F.concat_ws(
+                            " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                        ).alias("bg"),
+                    ),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.bg")
+    c2 = b.groupBy("bg").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy(
+        F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("n2").alias("n1"))
+    return (
+        b.join(c2, "bg")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("n2") - F.log("n1")), 6).alias("avg_logp"),
+        )
+    )

@@ -114,6 +114,9 @@ _WINDOW_PRIORITY = [
     "q_tpch_q21",
     "q_quantile_bound",
     "q_tdigest_quantile",
+    "q_hll_bound",
+    "q_hll_union",
+    "q_bigram_lm_score",
     # stalest r4-green: reference semantic core + streaming batch analogs
     "q_sessionize_text",
     "q_group_concat",
