@@ -86,6 +86,8 @@ HEADLINE = [
     "q_hll_bound",
     "q_hll_union",
     "q_bigram_lm_score",
+    "q_embed_centroid",
+    "q_lateral_topk",
 ]
 
 

@@ -412,3 +412,25 @@ def test_quantile_bound_reduces_before_join(spark, sf_dir):
     plan = _plan(QUERIES["q_quantile_bound"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "Cartesian" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL sort+limit must decorrelate into a rank
+    window with WindowGroupLimit (partial top-k before the exchange) —
+    never a per-outer-row rescan (nested loop / cartesian)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_lateral_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embed_centroid_single_bounded_exchange(spark, sf_dir):
+    """The posexplode must partial-combine map-side down to the
+    |labels|x|dim| key space before one exchange."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_embed_centroid"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final

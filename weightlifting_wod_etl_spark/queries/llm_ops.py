@@ -542,3 +542,55 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex("frame_payload")).alias("digest_hex"),
         "n_src_bytes",
     )
+
+
+@register(
+    "q_embed_centroid",
+    oracle="""
+    WITH x AS (
+        SELECT label, embedding::DOUBLE[] AS e,
+               unnest(range(1, 65)) AS i
+        FROM embeddings
+    )
+    SELECT label::BIGINT AS label, (i - 1)::BIGINT AS pos,
+           round(sum(round(e[i] * 1000000)::BIGINT)
+                 / count(*) / 1000000.0, 6) AS c,
+           count(*)::BIGINT AS n_vecs
+    FROM x
+    GROUP BY 1, 2
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long format — the class prototype
+    behind centroid-based dedup, IVF coarse quantizers, and semantic
+    drift monitoring.
+
+    Element-wise mean via posexplode + (label, pos) aggregate: the key
+    space is |labels|·dim (bounded, uniform), and partial combine folds
+    the corpus-sized explode down to that key space map-side before the
+    one exchange — at 100 TB the wire carries |labels|·dim·tasks partial
+    sums, not vectors. Components go through ×10⁶ fixed-point before the
+    sum (float32 inputs are exactly representable), so the mean is exact
+    integer arithmetic divided once — bit-identical in both engines. A
+    wide-format centroid (one array row per label) would be
+    ``array_agg(c ORDER BY pos)`` on top; long format keeps the oracle
+    exact and the shuffle key uniform."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    return (
+        pos.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(
+                # cast BEFORE the multiply: float32 × int would stay single
+                # precision in Spark while the oracle multiplies doubles
+                F.sum(F.round(F.col("val").cast("double") * 1000000).cast("long"))
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

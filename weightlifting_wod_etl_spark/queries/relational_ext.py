@@ -447,3 +447,46 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents1") / F.lit(100.0)).alias("old_price"),
         (F.col("cents2") / F.lit(100.0)).alias("new_price"),
     )
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k: the two richest customers per nation via
+    ``DataFrame.lateralJoin`` with an ``.outer()`` correlated reference —
+    the per-row-subquery surface SQL users reach for before they learn
+    window functions.
+
+    The interesting part is what Catalyst does with it: the correlated
+    sort+limit DECORRELATES into a rank-window plan with WindowGroupLimit
+    (per-partition partial top-k BEFORE the exchange), one hash exchange
+    on the join key, zero nested loops — identical at-scale shape to the
+    hand-written row_number()<=k idiom (q_domain_cap), proving the
+    lateral API costs nothing over the manual rewrite. Ties on the
+    double acctbal break by custkey in both engines; no arithmetic, so
+    no float drift."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    top2 = (
+        cust.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return nation.lateralJoin(top2).select(
+        "n_name", "c_custkey", "c_acctbal"
+    )

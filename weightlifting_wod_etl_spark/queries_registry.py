@@ -117,6 +117,8 @@ _WINDOW_PRIORITY = [
     "q_hll_bound",
     "q_hll_union",
     "q_bigram_lm_score",
+    "q_embed_centroid",
+    "q_lateral_topk",
     # stalest r4-green: reference semantic core + streaming batch analogs
     "q_sessionize_text",
     "q_group_concat",
