@@ -88,6 +88,7 @@ HEADLINE = [
     "q_bigram_lm_score",
     "q_embed_centroid",
     "q_lateral_topk",
+    "q_window_dedup",
 ]
 
 

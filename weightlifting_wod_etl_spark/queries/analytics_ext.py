@@ -14,7 +14,7 @@ higher-order function, whole-stage codegen, zero Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import to_fixed
@@ -295,4 +295,43 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "status").alias("status"),
         F.element_at(m, "prio").alias("prio"),
         F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "q_window_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type, time_bucket(INTERVAL '1 hour', ts)
+        ORDER BY ts, event_id) = 1
+    """,
+)
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) per hour — the batch analog of
+    streaming ``dropDuplicatesWithinWatermark`` (streaming/dedup state
+    keyed the same way; the 1-hour bucket is the watermark horizon). The
+    driver can't observe a running stream, so this pins the dedup
+    SEMANTICS the streaming path shares: keep-first under an explicit
+    (ts, event_id) total order — never arrival-order dropDuplicates,
+    whose winner changes run to run.
+
+    Plan: one exchange on the dedup key (user, type, hour) with
+    WindowGroupLimit pushing the rank filter map-side; at 100 TB the key
+    space grows with users × hours, so no key is ever hot."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
     )

@@ -119,6 +119,7 @@ _WINDOW_PRIORITY = [
     "q_bigram_lm_score",
     "q_embed_centroid",
     "q_lateral_topk",
+    "q_window_dedup",
     # stalest r4-green: reference semantic core + streaming batch analogs
     "q_sessionize_text",
     "q_group_concat",
