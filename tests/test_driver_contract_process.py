@@ -1,0 +1,66 @@
+"""Process pins for the external driver contract.
+
+Two invariants that have bitten before:
+
+1. The driver's session is not ours and may carry a hostile timezone;
+   the registry wrapper must re-pin UTC on every invocation or every
+   date/timestamp query silently shifts (CORRECTNESS r03 class).
+2. The driver checks only the FIRST 50 registered queries, so anything
+   never driver-checked must lead the registration order — round 5
+   shipped 7 queries past the window because late additions weren't
+   re-ranked (VERDICT r5 §missing.1). This test derives "never checked"
+   from the CORRECTNESS_r*.json artifacts themselves, so it enforces the
+   rotation protocol automatically in every future round.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+DRIVER_WINDOW = 50
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_hostile_session_timezone_is_repinned(spark, sf_dir):
+    """Driver pattern: conf may be hostile BEFORE queries() is called;
+    the wrapper must pin UTC so results match a clean-UTC run."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    def run(name):
+        return sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+
+    names = ["q_window_dedup", "q_tumbling_window", "q_date_extract"]
+    baseline = {n: run(n) for n in names}
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hostile = {n: run(n) for n in names}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for n in names:
+        assert hostile[n] == baseline[n], f"{n} shifted under hostile TZ"
+
+
+def test_never_driver_checked_queries_lead_the_window():
+    """Every registered query that has no row in any CORRECTNESS_r*.json
+    (and is not rows-only-by-design) must sit inside the driver's 50-slot
+    window, so it gets its first driver row next round instead of
+    waiting unverified."""
+    from weightlifting_wod_etl_spark.queries_registry import (
+        _WINDOW_TAIL,
+        QUERIES,
+    )
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    never = [q for q in QUERIES if q not in seen and q not in _WINDOW_TAIL]
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    stranded = [q for q in never if q not in window]
+    assert not stranded, (
+        f"{len(stranded)} never-driver-checked queries registered past the "
+        f"{DRIVER_WINDOW}-slot window: {stranded} — re-rank _WINDOW_PRIORITY "
+        "(tools/rotate_window.py) so new queries get driver evidence"
+    )
