@@ -89,6 +89,10 @@ HEADLINE = [
     "q_embed_centroid",
     "q_lateral_topk",
     "q_window_dedup",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_fuzzy_dedup",
+    "q_cumulative_distinct",
 ]
 
 

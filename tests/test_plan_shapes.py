@@ -434,3 +434,69 @@ def test_embed_centroid_single_bounded_exchange(spark, sf_dir):
     plan = _plan(QUERIES["q_embed_centroid"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_tpch_q11_single_fact_scan_window_total(spark, sf_dir):
+    """Q11's grand total must be a global window over the part-level
+    aggregate, NOT a scalar-subquery branch: Spark plans are trees, so a
+    second consumer of the supply subtree would rescan the fact (exchange
+    reuse does not bridge the extra aggregation level). Pin: exactly one
+    lineitem scan, the SinglePartition exchange ships aggregate rows, and
+    no join materializes the threshold."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_tpch_q11"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the single-partition input is the partkey aggregate, not raw lines
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert below.index("HashAggregate(keys=[l_partkey") < below.index("FileScan")
+
+
+def test_tpch_q20_is_pure_semi_join_chain(spark, sf_dir):
+    """Q20's nest decorrelates to LEFT SEMI joins end-to-end (part filter
+    into lineitem, majority set + nation set into supplier) — no Existence
+    joins, no nested loop, and the per-part total is a window over the
+    aggregated qty matrix (one extra Exchange at most), not a second
+    fact-table pass."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_tpch_q20"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # one scan of lineitem only: majority derives from the agg, not a rescan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_fuzzy_dedup_joins_on_block_key(spark, sf_dir):
+    """The levenshtein self-join must be an equi-join on the block key
+    (the inequality + distance land as join conditions/filters) — an
+    unblocked all-pairs nested loop is the exact scale failure the
+    blocking exists to prevent."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_fuzzy_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # JVM expression, not a Python UDF
+    assert "BatchEvalPython" not in plan
+
+
+def test_cumulative_distinct_aggregates_before_global_window(spark, sf_dir):
+    """Entity first-seen collapses via partial-aggregable min BEFORE any
+    single-partition work: the global running-sum window (the deliberate
+    SinglePartition) must sit above daily aggregates, and the fact-sized
+    shuffles key on the entity, never ship raw events to one partition."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_cumulative_distinct"](spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 1  # the calendar window
+    # raw events shuffle on entity keys (uniform, partial-aggregated)...
+    assert "hashpartitioning(user_id" in plan
+    # ...and the single-partition exchange's INPUT subtree (children print
+    # after the parent) is day-level aggregate rows, never raw events
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert below.index("HashAggregate(keys=[day") < below.index("FileScan")

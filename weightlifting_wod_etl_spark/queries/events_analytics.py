@@ -354,3 +354,73 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     )
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    ), u AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+    ), p AS (
+        SELECT user_id, event_type, min(date_trunc('day', ts)) AS day
+        FROM events GROUP BY 1, 2
+    ), nu AS (
+        SELECT day, count(*)::BIGINT AS new_users FROM u GROUP BY 1
+    ), np AS (
+        SELECT day, count(*)::BIGINT AS new_pairs FROM p GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           coalesce(nu.new_users, 0)::BIGINT AS new_users,
+           (sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day))::BIGINT
+               AS cum_users,
+           coalesce(np.new_pairs, 0)::BIGINT AS new_pairs,
+           (sum(coalesce(np.new_pairs, 0)) OVER (ORDER BY d.day))::BIGINT
+               AS cum_pairs
+    FROM days d LEFT JOIN nu USING (day) LEFT JOIN np USING (day)
+    """,
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding distinct counts — per activity day, how many NEVER-seen
+    users and (user, event_type) pairs appeared, and the running totals.
+    The growth-curve / vocabulary-saturation operator (for a corpus: new
+    domains or new n-grams per ingest day).
+
+    A naive `count(DISTINCT x) OVER (ORDER BY day)` is quadratic state;
+    this is the scale formulation: distinct-ness collapses to ONE row per
+    entity (min first-seen day — a plain partial-aggregable min keyed on
+    the entity), daily counts aggregate that tiny set, and the running
+    sum runs over the DAILY aggregate — bounded by the calendar (≤ a few
+    thousand rows at any corpus size), so the single-partition global
+    window is a deliberate non-cost, not a skew hazard. Every fact-sized
+    shuffle keys on the entity id (uniform); ints throughout."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id", "event_type"
+    )
+    days = e.select("day").distinct()
+    nu = (
+        e.groupBy("user_id").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    np_ = (
+        e.groupBy("user_id", "event_type").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("new_pairs"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(nu, "day", "left")
+        .join(np_, "day", "left")
+        .select(
+            "day",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.coalesce("new_pairs", F.lit(0)).alias("new_pairs"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+            "new_pairs",
+            F.sum("new_pairs").over(w).alias("cum_pairs"),
+        )
+    )

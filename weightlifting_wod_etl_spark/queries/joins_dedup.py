@@ -322,3 +322,55 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lag(cents).over(w_ord) / F.lit(100.0)).alias("prev_total"),
         (F.lead(cents).over(w_ord) / F.lit(100.0)).alias("next_total"),
     )
+
+
+@register(
+    "q_fuzzy_dedup",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, count(*)::BIGINT AS cnt,
+               regexp_extract(p_name, '(\\S+)$', 1) AS blk
+        FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: candidate merge pairs of part names within
+    edit distance 3, blocked on the trailing token — the classic
+    blocking+edit-distance entity-resolution shape (and the string-metric
+    sibling of the MinHash/SimHash token-set near-dups).
+
+    Scale shape: the quadratic comparison NEVER touches the raw table —
+    names are first collapsed to a distinct-name frequency table (tiny
+    relative to any corpus: vocabulary, not volume), and pairs form only
+    WITHIN a block, so cost is Σ|block|² over a key chosen to keep blocks
+    small, not |names|². The self-join shuffles on the block key alone;
+    `levenshtein` is a JVM codegen'd exact int — no float, no UDF. At
+    100 TB the same plan holds: frequency table ≪ memory, broadcast
+    self-join per block, skew bounded by the largest block (pick a finer
+    block key — last token + length band — if one token dominates)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("blk", F.regexp_extract("p_name", r"(\S+)$", 1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(b, (a.blk == b.blk_b) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist", "cnt_a", "cnt_b")
+    )

@@ -1,12 +1,15 @@
-"""TPC-H shapes Q8/Q12/Q13/Q15/Q16/Q17/Q21 adapted to this schema.
+"""TPC-H shapes Q8/Q11/Q12/Q13/Q15/Q16/Q17/Q20/Q21 adapted to this schema.
 
 Round 5 landed Q1-Q10/Q14/Q18/Q19 (aggregates.py) and the Q2/Q22 shapes
 (q_min_cost_supplier, q_anti_scalar_sub). This module closes the remaining
 canonical shapes the testdata's columns can express: the national market
-share (Q8), the late-line priority split (Q12), the customer order-count
-distribution (Q13), the top-supplier scalar-max (Q15), the
-supplier-relationship counts (Q16), the small-quantity correlated-average
-filter (Q17), and the waiting-supplier double-correlation (Q21).
+share (Q8), the important-supply-value threshold (Q11), the late-line
+priority split (Q12), the customer order-count distribution (Q13), the
+top-supplier scalar-max (Q15), the supplier-relationship counts (Q16),
+the small-quantity correlated-average filter (Q17), the dominant-share
+supplier nest (Q20), and the waiting-supplier double-correlation (Q21) —
+with Q11 and Q20, all 22 canonical TPC-H query shapes now have an
+oracle-verified adaptation in the suite.
 
 Schema adaptations (no partsupp / shipmode / commitdate / receiptdate /
 phone / container in the driver testdata): "late" means
@@ -22,7 +25,7 @@ threshold can flip a boundary row between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import to_fixed
@@ -433,4 +436,134 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+    WITH supply AS (
+        SELECT l.l_partkey,
+               sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
+                  ) AS value_fp
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY 1
+    )
+    SELECT l_partkey AS p_partkey, value_fp / 10000.0 AS supply_value
+    FROM supply
+    WHERE value_fp * 1000 > (SELECT sum(value_fp) FROM supply)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important supply value: parts whose NATION_3
+    supply value exceeds 0.1% of that nation's total — the
+    scalar-subquery-threshold shape over an aggregated supply matrix
+    (lineitem revenue stands in for partsupp cost×qty, which the testdata
+    lacks; same adaptation as q_min_cost_supplier).
+
+    Plan: the 4-supplier nation dim broadcasts into the lineitem scan, so
+    the only real shuffle is the partkey aggregation — and the national
+    filter prunes ~96% of lineitem BEFORE it. The grand total is a GLOBAL
+    window over the part-level aggregate: a separate scalar-subquery
+    branch would rescan the fact (Spark plans are trees — the shared
+    supply subtree executes once per consumer, and exchange reuse does
+    not bridge an extra aggregation level), whereas the window costs one
+    SinglePartition exchange of (partkey, int64) rows — bounded by the
+    part VOCABULARY, not corpus volume. Threshold compare is pure int64
+    (value×1000 > total) — no float epsilon can flip a boundary part in
+    either engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    rev_fp = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    supply = (
+        l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev_fp).alias("value_fp"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        supply.withColumn("total_fp", F.sum("value_fp").over(w_all))
+        .filter(F.col("value_fp") * 1000 > F.col("total_fp"))
+        .select(
+            "p_partkey", (F.col("value_fp") / F.lit(10000.0)).alias("supply_value")
+        )
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH qty AS (
+        SELECT l_partkey, l_suppkey,
+               sum(round(l_quantity * 100)::BIGINT) AS qty_fp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        GROUP BY 1, 2
+    ), majority AS (
+        SELECT DISTINCT l_suppkey FROM qty q
+        WHERE q.qty_fp * 2 > (SELECT sum(qty_fp) FROM qty q2
+                              WHERE q2.l_partkey = q.l_partkey)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM majority)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style dominant-share suppliers: AMERICA-region suppliers
+    who shipped a MAJORITY (>50%) of some SMALL part's 1996 volume — the
+    nested-semi-join shape (availqty > ½·shipped becomes share > ½ of the
+    part's observed annual volume, since the testdata has no partsupp).
+
+    Plan: the part-type filter semi-joins into the lineitem scan (2000-row
+    build side, broadcast), the year predicate pushes to parquet, and the
+    (partkey, suppkey) agg + per-part total share one partkey shuffle —
+    the window total is computed over the already-aggregated qty matrix,
+    not the fact. The majority set is tiny and broadcasts into the
+    20-supplier dim as a LEFT SEMI; the 2:1 share test is pure int64."""
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    qty = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(to_fixed("l_quantity", 2)).alias("qty_fp")
+    )
+    part_total = Window.partitionBy("l_partkey")
+    majority = (
+        qty.withColumn("part_fp", F.sum("qty_fp").over(part_total))
+        .filter(F.col("qty_fp") * 2 > F.col("part_fp"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    amer_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey"
+    )
+    return (
+        s.join(F.broadcast(amer_nations), s.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(majority), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
     )

@@ -120,6 +120,16 @@ _WINDOW_PRIORITY = [
     "q_embed_centroid",
     "q_lateral_topk",
     "q_window_dedup",
+    # NEW in round 6, second batch (registered before this rotation edit):
+    # Q11/Q20 complete all 22 canonical TPC-H shapes; fuzzy dedup and
+    # expanding-distinct add curation/analytics surface. They take the 4
+    # window slots previously held by the per-family representative buffer
+    # (q_asof_join/q_range_join/q_pii_redact/q_decontaminate — r4-green
+    # cumulatively, re-proven by the local parity suite every run).
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_fuzzy_dedup",
+    "q_cumulative_distinct",
     # stalest r4-green: reference semantic core + streaming batch analogs
     "q_sessionize_text",
     "q_group_concat",
