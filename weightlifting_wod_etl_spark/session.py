@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Static conf, must be set before the first SQL context: the
+        # whole-stage-codegen class cache defaults to 100 entries. A session
+        # running many distinct queries (the 70-query bench) evicts and
+        # recompiles hot stages on every re-run — measured 3-6× inflation on
+        # queries benched late in the session, vanishing in a fresh process.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
