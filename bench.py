@@ -93,6 +93,10 @@ HEADLINE = [
     "q_tpch_q20",
     "q_fuzzy_dedup",
     "q_cumulative_distinct",
+    "q_ewma",
+    "q_mad_anomaly",
+    "q_cms_estimate",
+    "q_pagerank",
 ]
 
 

@@ -75,3 +75,60 @@ def connected_components(
         if changed.isEmpty():
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank by fixed-round power iteration.
+
+    Returns ``(node, r)`` for every node in the edge list. Each round is
+    the same two-shuffle primitive as :func:`connected_components`: join
+    ranks onto edges by src (contribution = r·w/wout), re-aggregate by
+    dst. Both shuffles key on the node id, so AQE reuses the exchange
+    layout across rounds; ``localCheckpoint`` truncates the per-round
+    lineage growth. No dangling-mass redistribution: callers on graphs
+    with sink nodes should add the uniform-teleport term themselves —
+    keeping the operator a pure expression of the iteration makes its
+    semantics portable (the SQL oracle unrolls the identical formula).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    norm = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
+    ).localCheckpoint()
+
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select("dst", (F.col("r") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_r"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("in_r", F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

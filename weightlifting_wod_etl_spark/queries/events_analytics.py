@@ -424,3 +424,157 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_pairs").over(w).alias("cum_pairs"),
         )
     )
+
+
+@register(
+    "q_mad_anomaly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, round(value * 100)::BIGINT AS cents FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS m50 FROM e GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, abs(e.cents - m.m50) AS dev
+        FROM e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS d50 FROM dev GROUP BY 1
+    )
+    SELECT dv.event_type,
+           m.m50 / 100.0 AS median_v,
+           a.d50 / 100.0 AS mad_v,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN dv.dev > 3 * a.d50 THEN 1 ELSE 0 END)::BIGINT
+               AS n_anomalies
+    FROM dev dv JOIN mad a USING (event_type) JOIN med m USING (event_type)
+    GROUP BY 1, m.m50, a.d50
+    """,
+)
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per event type, the median and the
+    median-absolute-deviation (MAD) of value, and how many events sit
+    beyond the 3×MAD fence — the outlier filter that, unlike z-scores
+    (q_zscore_normalize), is itself immune to the outliers it hunts.
+
+    Both medians are EXACT at scale via the counts-first percentile
+    operator (operators/percentile.py): shuffle volume is distinct
+    (group, value) pairs, never raw rows — F.percentile/median would
+    buffer whole groups on single reducers. Stats reduce to |groups| rows
+    and broadcast back twice; the fence itself is exact arithmetic: cents
+    are ints, the median is a half-integer, deviations are half-integers,
+    MAD is a quarter-integer, and 3×MAD stays exactly representable — so
+    the > comparison cannot flip between engines and no rounding margin
+    is needed anywhere."""
+    from ..operators.percentile import exact_percentiles
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", to_fixed("value").alias("cents")
+    )
+    med = exact_percentiles(e, ["event_type"], "cents", [0.5], out_prefix="m").select(
+        "event_type", F.col("m50")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "m50", F.abs(F.col("cents") - F.col("m50")).alias("dev")
+    )
+    mad = exact_percentiles(dev, ["event_type"], "dev", [0.5], out_prefix="d").select(
+        "event_type", F.col("d50")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "m50", "d50")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("d50"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            (F.col("m50") / F.lit(100.0)).alias("median_v"),
+            (F.col("d50") / F.lit(100.0)).alias("mad_v"),
+            "n_events",
+            "n_anomalies",
+        )
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS next,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), edges AS (
+        SELECT prev AS src, next AS dst, count(*)::DOUBLE AS w
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), nn AS (
+        SELECT count(*)::DOUBLE AS n FROM nodes
+    ), norm AS (
+        SELECT e.src, e.dst, e.w / sum(e.w) OVER (PARTITION BY e.src) AS p
+        FROM edges e
+    ), r0 AS (
+        SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+    ), r1 AS (
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(r0.r * m.p), 0) AS r
+        FROM nodes nd
+        LEFT JOIN norm m ON m.dst = nd.node
+        LEFT JOIN r0 ON r0.node = m.src
+        GROUP BY 1
+    ), r2 AS (
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(r1.r * m.p), 0) AS r
+        FROM nodes nd
+        LEFT JOIN norm m ON m.dst = nd.node
+        LEFT JOIN r1 ON r1.node = m.src
+        GROUP BY 1
+    ), r3 AS (
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(r2.r * m.p), 0) AS r
+        FROM nodes nd
+        LEFT JOIN norm m ON m.dst = nd.node
+        LEFT JOIN r2 ON r2.node = m.src
+        GROUP BY 1
+    )
+    SELECT node AS event_type, round(r, 6) AS pagerank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (edges =
+    q_event_transitions' Markov counts): which states the per-user event
+    streams gravitate toward. The second ITERATIVE graph operator after
+    connected components — power iteration as a driver loop over
+    DataFrame rounds (operators/graph.py:pagerank), the shape GraphX/
+    Pregel users port to DataFrames.
+
+    3 fixed rounds, damping 0.85, no dangling redistribution (every
+    observed type has outgoing transitions). Each round shuffles on the
+    node id twice (join ranks→edges, re-agg by dst) with localCheckpoint
+    truncating lineage — at 100 TB node count, the same loop holds; only
+    round count grows with desired convergence. The oracle unrolls the
+    identical three rounds as chained CTEs. Contribution sums are IEEE
+    doubles in engine order — ~1 ulp drift, absorbed by round(6) (the
+    repo's accepted-drift convention for non-fixed-point float aggs)."""
+    from ..operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("dst_t"),
+            F.lag("event_type").over(w).alias("src_t"),
+        )
+        .filter(F.col("src_t").isNotNull())
+        .groupBy("src_t", "dst_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, src="src_t", dst="dst_t", weight="w", iters=3)
+    return ranks.select(
+        F.col("node").alias("event_type"), F.round("r", 6).alias("pagerank")
+    )

@@ -290,3 +290,117 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_in_band"),
         )
     )
+
+
+@register(
+    "q_cms_estimate",
+    oracle="""
+    WITH vocab AS (
+        SELECT t.tok, count(*)::BIGINT AS n
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY 1
+    ), hashes AS (
+        SELECT * FROM (VALUES (0), (1), (2), (3)) h(k)
+    ), cells AS (
+        SELECT h.k,
+               ('0x' || substr(md5(h.k::VARCHAR || ':' || v.tok), 1, 8))::UBIGINT
+                 % 64 AS bucket,
+               sum(v.n)::BIGINT AS c
+        FROM vocab v, hashes h
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT * FROM (VALUES ('join'), ('hash'), ('customer'),
+                              ('window'), ('spark')) p(tok)
+    ), est AS (
+        SELECT p.tok, min(c.c)::BIGINT AS cms_est
+        FROM probes p
+        JOIN hashes h ON TRUE
+        JOIN cells c
+          ON c.k = h.k
+         AND c.bucket = ('0x' || substr(md5(h.k::VARCHAR || ':' || p.tok), 1, 8)
+                        )::UBIGINT % 64
+        GROUP BY 1
+    )
+    SELECT p.tok, coalesce(v.n, 0)::BIGINT AS exact_n, e.cms_est,
+           (e.cms_est - coalesce(v.n, 0))::BIGINT AS overcount
+    FROM probes p
+    JOIN est e USING (tok)
+    LEFT JOIN vocab v USING (tok)
+    """,
+)
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream: a 4×64 counter
+    matrix (4 md5-derived hash rows, 64 buckets), probed for five tokens —
+    estimate = min over rows of the probed cell, always ≥ the true count.
+    The frequency-sketch sibling of the HLL cardinality queries: mergeable
+    constant-size state for heavy-hitter / frequency queries over streams.
+
+    Scale shape: the token stream collapses to a (token, n) VOCABULARY
+    first (one shuffle keyed on token — volume = distinct tokens), the 4×
+    hash expansion runs over the vocabulary (never the corpus), and the
+    sketch itself is 256 rows. Probing broadcasts. Hashes are the same
+    portable md5-hex-slice family as MinHash/weighted sampling, so both
+    engines materialize the IDENTICAL sketch — est, exact, and overcount
+    are all exact ints, hash-compared with no tolerance band."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+
+    def bucket(k: int, tok) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{k}:"), tok)), 1, 8), 16, 10
+            ).cast("long")
+            % 64
+        )
+
+    cells = (
+        vocab.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            bucket(k, F.col("tok")).alias("bucket"),
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("cell"),
+            "n",
+        )
+        .groupBy(F.col("cell.k").alias("k"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.sum("n").alias("c"))
+    )
+    probes = spark.createDataFrame(
+        [("join",), ("hash",), ("customer",), ("window",), ("spark",)], ["tok"]
+    )
+    probe_cells = probes.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), bucket(k, F.col("tok")).alias("bucket"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "cell.k", "cell.bucket")
+    est = (
+        probe_cells.join(F.broadcast(cells), ["k", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.join(F.broadcast(vocab.join(F.broadcast(probes), "tok")), "tok", "left")
+        .select(
+            "tok",
+            F.coalesce("n", F.lit(0)).alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.coalesce("n", F.lit(0))).alias("overcount"),
+        )
+    )

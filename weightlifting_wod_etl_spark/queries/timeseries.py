@@ -212,3 +212,66 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("active_sessions"),
         F.count_distinct("user_id").alias("active_users"),
     )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, round(value * 100)::BIGINT AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           (((((((
+             cents * 1.0
+             + coalesce(lag(cents, 1) OVER w * 0.5, 0))
+             + coalesce(lag(cents, 2) OVER w * 0.25, 0))
+             + coalesce(lag(cents, 3) OVER w * 0.125, 0))
+             + coalesce(lag(cents, 4) OVER w * 0.0625, 0))
+             + coalesce(lag(cents, 5) OVER w * 0.03125, 0))
+             + coalesce(lag(cents, 6) OVER w * 0.015625, 0))
+             + coalesce(lag(cents, 7) OVER w * 0.0078125, 0))
+           / ((((((((
+             1.0
+             + CASE WHEN lag(cents, 1) OVER w IS NULL THEN 0 ELSE 0.5 END)
+             + CASE WHEN lag(cents, 2) OVER w IS NULL THEN 0 ELSE 0.25 END)
+             + CASE WHEN lag(cents, 3) OVER w IS NULL THEN 0 ELSE 0.125 END)
+             + CASE WHEN lag(cents, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END)
+             + CASE WHEN lag(cents, 5) OVER w IS NULL THEN 0 ELSE 0.03125 END)
+             + CASE WHEN lag(cents, 6) OVER w IS NULL THEN 0 ELSE 0.015625 END)
+             + CASE WHEN lag(cents, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END)
+             * 100.0) AS ewma
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.5) of each user's value
+    stream over the last 8 observations — the smoothing operator behind
+    rate limiting, trend features, and anomaly baselines.
+
+    The recursive EWMA (yₜ = α·xₜ + (1-α)·yₜ₋₁) is sequential state; the
+    scale formulation truncates the geometric tail at 8 terms (weight
+    < 0.4% beyond that) so it becomes 8 ``lag`` reads over ONE per-user
+    window — a single Exchange + Sort, no self-join, no state carried
+    across rows. α=½ is chosen so every weight is an exact dyadic
+    (2⁻ᵈ): weight·cents products and their partial sums are all
+    exactly-representable doubles, making the whole expression
+    bit-deterministic across engines with NO rounding margin — only the
+    final division is a (deterministic) IEEE op."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", to_fixed("value").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("cents") * F.lit(1.0)
+    den = F.lit(1.0)
+    for d in range(1, 8):
+        lagged = F.lag("cents", d).over(w)
+        num = num + F.coalesce(lagged * F.lit(0.5**d), F.lit(0))
+        den = den + F.when(lagged.isNull(), F.lit(0)).otherwise(F.lit(0.5**d))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        (num / (den * F.lit(100.0))).alias("ewma"),
+    )

@@ -130,6 +130,15 @@ _WINDOW_PRIORITY = [
     "q_tpch_q20",
     "q_fuzzy_dedup",
     "q_cumulative_distinct",
+    # NEW in round 6, third batch: EWMA smoothing, MAD anomaly fences,
+    # count-min sketch, weighted PageRank. In-window per the invariant that
+    # never-driver-checked queries must not wait a round
+    # (test_driver_contract_process.py); the displaced tail of the minhash
+    # family (r4-green, re-proven locally every run) moves to the buffer.
+    "q_ewma",
+    "q_mad_anomaly",
+    "q_cms_estimate",
+    "q_pagerank",
     # stalest r4-green: reference semantic core + streaming batch analogs
     "q_sessionize_text",
     "q_group_concat",
@@ -165,7 +174,11 @@ _WINDOW_PRIORITY = [
     "q_frame_sample",
     "q_semi_join",
     "q_null_semantics",
-    # past-window buffer: remaining r4-greens, front of the r7 rotation
+    # past-window buffer, front of the r7 rotation. With the third batch
+    # in-window, slots 47-50 of the minhash block above (q_embed_neardup /
+    # q_doc_fingerprint / q_dup_clusters / q_rolling_hash) now fall past the
+    # window and land here implicitly (r4-green cumulatively, re-proven by
+    # the local parity suite every run); then the remaining r4-greens.
     "q_anti_scalar_sub",
     "q_chunk_bounds",
     "q_corpus_mixture",
