@@ -97,6 +97,8 @@ HEADLINE = [
     "q_mad_anomaly",
     "q_cms_estimate",
     "q_pagerank",
+    "q_global_topn",
+    "q_data_quality",
 ]
 
 

@@ -500,3 +500,64 @@ def test_cumulative_distinct_aggregates_before_global_window(spark, sf_dir):
     # after the parent) is day-level aggregate rows, never raw events
     below = plan.split("Exchange SinglePartition", 1)[1]
     assert below.index("HashAggregate(keys=[day") < below.index("FileScan")
+
+
+def test_global_topn_is_take_ordered_not_full_sort(spark, sf_dir):
+    """A bounded ORDER BY LIMIT must compile to TakeOrderedAndProject
+    (per-task heaps, no range-partitioned sort exchange) — a global Sort
+    here would total-shuffle the fact table at scale."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_global_topn"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ewma_single_window_no_join(spark, sf_dir):
+    """The truncated-geometric EWMA is 8 lags over ONE per-user window:
+    exactly one Exchange + Sort, no self-join."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_ewma"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_mad_anomaly_broadcasts_stats_never_shuffles_raw_rows(spark, sf_dir):
+    """Both medians reduce through the counts-first percentile operator
+    (shuffle volume = distinct (group, value) pairs) and the per-group
+    stats come back as broadcast joins — raw event rows must never be
+    hash-exchanged on the low-cardinality group key alone."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_mad_anomaly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the counts-first shuffles carry the VALUE in their keys (distinct
+    # (group, value) pairs cross the wire, not raw rows)...
+    keys = [seg.split(")", 1)[0] for seg in plan.split("Exchange hashpartitioning(")[1:]]
+    assert any("cents" in k for k in keys), keys
+    assert any("dev" in k for k in keys), keys
+    # ...and any group-keyed exchange ships partial-aggregate output, so
+    # every exchange sits above a map-side HashAggregate or a reduced frame
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cms_expands_vocabulary_not_corpus(spark, sf_dir):
+    """The 4x hash expansion of the count-min sketch must sit ABOVE the
+    token-vocabulary aggregate (explode of 4 structs per DISTINCT token),
+    never multiply the raw token stream before its first reduction."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_cms_estimate"](spark, sf_dir))
+    # two corpus scans exactly: the sketch pass and the exact-count
+    # verification twin (the twin drops at scale — q_quantile_bound's
+    # accepted shape); never a third
+    assert plan.count("documents.parquet") == 2
+    assert "HashAggregate(keys=[tok" in plan
+    # the sketch-side 4-struct hash expansion (the build side of the est
+    # join, printed last) sits ABOVE the vocabulary aggregate — i.e. it
+    # multiplies DISTINCT tokens, never the raw stream
+    gen_tail = plan.rsplit("Generate explode(array(struct", 1)[1]
+    assert "HashAggregate(keys=[tok" in gen_tail

@@ -490,3 +490,114 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.lateralJoin(top2).select(
         "n_name", "c_custkey", "c_acctbal"
     )
+
+
+@register(
+    "q_global_topn",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY ... LIMIT N — the 100 highest-value orders with
+    their customer names. Trivial SQL, non-trivial at 100 TB: a full
+    global sort is a range-partitioned total shuffle of the fact table,
+    but a bounded LIMIT compiles to TakeOrderedAndProject — each task
+    keeps a 100-row heap, only per-task top-100s (N·tasks rows) ever
+    reach the driver-side merge, and NO sort exchange exists in the plan
+    (pinned in test_plan_shapes). The customer name attaches by broadcast
+    AFTER conceptually only 100 rows matter; Spark joins first here
+    (dims broadcast, cost ~scan) — at extreme dim sizes you'd take the
+    top-100 keys first and join the names onto 100 rows.
+
+    The order key is total (price DESC, orderkey ASC) so the kept set is
+    deterministic under ties in any engine, and every output value is a
+    raw stored column — nothing computed, nothing to round."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_data_quality",
+    oracle="""
+    SELECT 'orphan_lineitem' AS rule, count(*)::BIGINT AS n_violations
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'dup_event_id', coalesce(sum(n - 1), 0)::BIGINT
+    FROM (SELECT event_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'null_user', count(*)::BIGINT FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'nonpositive_price', count(*)::BIGINT
+    FROM lineitem WHERE l_extendedprice <= 0
+    UNION ALL
+    SELECT 'discount_out_of_range', count(*)::BIGINT
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'custkey_fk_broken', count(*)::BIGINT
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: one row per constraint with its violation
+    count — referential integrity (orphan lineitems, broken customer
+    FKs), uniqueness (duplicate event ids), nullability, and domain
+    ranges. The validation gate a pipeline runs before promoting a
+    snapshot; zeros are emitted (not omitted) so the report schema is
+    stable and a disappearing rule is itself detectable.
+
+    Scale shape: each rule is the cheapest plan for its class — FK checks
+    are LEFT ANTI joins on the key (semi-join pruned, no row
+    multiplication), uniqueness is a keyed count HAVING>1 (map-side
+    combined), range/null checks are scan-local predicates feeding a
+    count. The six single-row aggregates union AFTER reduction, so the
+    combined plan reads each table the minimal number of times and ships
+    six rows. At 100 TB you additionally pushgate each rule behind a
+    sampled pre-check if the table is known-clean."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+
+    def one(rule: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    orphan = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dup = (
+        e.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.sum(F.col("c") - 1).alias("n"))
+    )
+    null_user = e.filter(F.col("user_id").isNull()).agg(F.count(F.lit(1)).alias("n"))
+    nonpos = l.filter(F.col("l_extendedprice") <= 0).agg(F.count(F.lit(1)).alias("n"))
+    disc = l.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fk = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        one("orphan_lineitem", orphan)
+        .unionByName(one("dup_event_id", dup))
+        .unionByName(one("null_user", null_user))
+        .unionByName(one("nonpositive_price", nonpos))
+        .unionByName(one("discount_out_of_range", disc))
+        .unionByName(one("custkey_fk_broken", fk))
+    )

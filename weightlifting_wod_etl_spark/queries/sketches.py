@@ -339,7 +339,10 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the token stream collapses to a (token, n) VOCABULARY
     first (one shuffle keyed on token — volume = distinct tokens), the 4×
     hash expansion runs over the vocabulary (never the corpus), and the
-    sketch itself is 256 rows. Probing broadcasts. Hashes are the same
+    sketch itself is 256 rows. Probing broadcasts. The exact-count column
+    re-derives the vocabulary (a second corpus scan — the verification
+    twin, same accepted shape as q_quantile_bound/q_hll_bound); at 100 TB
+    you keep only the sketch side and the plan is a single scan. Hashes are the same
     portable md5-hex-slice family as MinHash/weighted sampling, so both
     engines materialize the IDENTICAL sketch — est, exact, and overcount
     are all exact ints, hash-compared with no tolerance band."""

@@ -139,6 +139,8 @@ _WINDOW_PRIORITY = [
     "q_mad_anomaly",
     "q_cms_estimate",
     "q_pagerank",
+    "q_global_topn",
+    "q_data_quality",
     # stalest r4-green: reference semantic core + streaming batch analogs
     "q_sessionize_text",
     "q_group_concat",
