@@ -561,3 +561,20 @@ def test_cms_expands_vocabulary_not_corpus(spark, sf_dir):
     # multiplies DISTINCT tokens, never the raw stream
     gen_tail = plan.rsplit("Generate explode(array(struct", 1)[1]
     assert "HashAggregate(keys=[tok" in gen_tail
+
+
+def test_hll_bound_dedups_before_sketch_no_distinct_rewrite(spark, sf_dir):
+    """The exact twin must come from a functionless (group, user) dedup
+    aggregate, NEVER from count(DISTINCT) mixed into the sketch agg —
+    Catalyst's distinct-rewrite would carry the rsd=0.01 HLL buffer
+    (1640 longs) as per-(group, user) grouping state (measured 4× slower
+    at sf0.1)."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_hll_bound"](spark, sf_dir))
+    assert "count(distinct" not in plan
+    # the pair-keyed dedup aggregates carry no aggregate functions
+    for seg in plan.split("HashAggregate(keys=[event_type")[1:]:
+        head = seg.split("output=[", 1)[0]
+        if ", user_id" in seg.split("]", 1)[0]:
+            assert "approx_count_distinct" not in head, head

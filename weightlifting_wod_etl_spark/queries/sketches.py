@@ -229,15 +229,24 @@ def q_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_count_distinct`` at rsd=0.01 is asked to stay within ±5%
     (5σ) of the exact count; at the testdata's cardinalities the sketch
     runs in sparse mode and is near-exact, so the boolean is
-    deterministically TRUE unless the sketch regresses. The exact count
-    rides the same aggregate (hash-verified value); at 100 TB you would
-    DROP the exact column and keep the sketch — constant-size buffers,
-    no expand — which is the point this query certifies."""
+    deterministically TRUE unless the sketch regresses.
+
+    Plan note: the two measures must NOT share one ``agg`` — mixing a
+    DISTINCT aggregate with the sketch makes Catalyst's distinct-rewrite
+    carry the rsd=0.01 HLL buffer (1640 longs!) as grouping state through
+    a per-(group, user) pre-aggregate: measured 1.5 s vs 0.35 s at sf0.1.
+    Instead the stream dedups to distinct (group, user) pairs first (one
+    map-side-combined shuffle), then ONE tiny agg computes exact=count(*)
+    and feeds the sketch exactly once per surviving row — HLL is
+    duplicate-insensitive, so the estimate is unchanged. At 100 TB you
+    DROP the exact column and the dedup stage, keeping the single-pass
+    constant-buffer sketch — which is the point this query certifies."""
     e = load_table(spark, sf_dir, "events")
+    dedup = e.groupBy("event_type", "user_id").agg(F.lit(1).alias("__one"))
     return (
-        e.groupBy("event_type")
+        dedup.groupBy("event_type")
         .agg(
-            F.count_distinct("user_id").alias("n_exact"),
+            F.count(F.lit(1)).alias("n_exact"),
             F.approx_count_distinct("user_id", 0.01).alias("n_hll"),
         )
         .select(
