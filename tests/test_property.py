@@ -266,3 +266,137 @@ def test_ngram_cap_drops_stop_phrase_but_keeps_planted_pair(spark):
     }
     assert (1000, 1001) in uncapped
     assert any(a in hot_ids and b in hot_ids for a, b in uncapped)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(u != v for u, v, _ in es)),
+)
+@settings(**_SETTINGS)
+def test_pagerank_mass_conservation_and_bruteforce(spark, edges):
+    """On a graph with no dangling nodes, ranks sum to 1 after every
+    round, and the 3-round result matches a numpy power iteration."""
+    from weightlifting_wod_etl_spark.operators.graph import pagerank
+
+    # drop self-loop-only noise, dedupe parallel edges by summing weight
+    agg: dict[tuple[int, int], int] = {}
+    for u, v, w in edges:
+        if u != v:
+            agg[(u, v)] = agg.get((u, v), 0) + w
+    nodes = sorted({n for e in agg for n in e})
+    # close the graph: give every sink a uniform out-edge set so no
+    # dangling mass leaks (the operator documents no-dangling semantics)
+    srcs = {u for (u, _) in agg}
+    for n in nodes:
+        if n not in srcs:
+            for m in nodes:
+                if m != n:
+                    agg[(n, m)] = 1
+    edf = spark.createDataFrame(
+        [(u, v, float(w)) for (u, v), w in agg.items()], ["src", "dst", "w"]
+    )
+    got = {r.node: r.r for r in pagerank(edf, iters=3).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for (u, v), w in agg.items():
+        P[idx[u], idx[v]] = w
+    P = P / P.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = 0.15 / n + 0.85 * (P.T @ r)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
+
+
+@given(
+    toks=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_count_min_never_undercounts(spark, toks):
+    """CMS guarantee: for EVERY key, est = min over hash rows of its cell
+    >= the true count (cells only ever add counts of colliding keys)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    tdf = spark.createDataFrame(pd.DataFrame({"tok": toks}))
+    vocab = tdf.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+
+    def bucket(k, tok):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{k}:"), tok)), 1, 8), 16, 10)
+            .cast("long") % 8  # tiny width forces collisions
+        )
+
+    cells = (
+        vocab.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(k).alias("k"), bucket(k, F.col("tok")).alias("b"))
+                    for k in range(4)
+                ])
+            ).alias("c"),
+            "n",
+        )
+        .groupBy("c.k", "c.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    probe = vocab.select(
+        "tok", "n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("k"), bucket(k, F.col("tok")).alias("b"))
+                for k in range(4)
+            ])
+        ).alias("c"),
+    ).select("tok", "n", "c.k", "c.b")
+    est = (
+        probe.join(cells, ["k", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    )
+    exact = {t: toks.count(t) for t in set(toks)}
+    assert len(est) == len(exact)
+    for r in est:
+        assert r.est >= r.n == exact[r.tok], (r.tok, r.est, r.n)
+
+
+def test_mad_fence_robust_to_planted_outlier(spark):
+    """Why MAD over z-score: planting one extreme outlier must flag
+    exactly that outlier and leave the median/MAD stats (computed from
+    the clean mass) essentially unmoved — while the same outlier drags a
+    mean/stddev fence enough to mask itself."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.percentile import exact_percentiles
+
+    base = [float(v) for v in range(100, 200)]  # clean uniform mass
+    planted = base + [1e6]
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["x"] * len(planted), "cents": planted})
+    )
+    med = exact_percentiles(df, ["g"], "cents", [0.5], out_prefix="m")
+    row = med.collect()[0]
+    assert 100 <= row.m50 <= 200  # median unmoved by the outlier
+    dev = df.join(med.select("g", "m50"), "g").select(
+        "g", F.abs(F.col("cents") - F.col("m50")).alias("dev")
+    )
+    mad = exact_percentiles(dev, ["g"], "dev", [0.5], out_prefix="d").collect()[0]
+    n_out = dev.filter(F.col("dev") > 3 * mad.d50).count()
+    assert n_out == 1  # exactly the planted point sits past the fence
+    # contrast: mean/std fence half-masks itself — std explodes with the
+    # outlier, so the SAME 3-sigma rule built from contaminated moments
+    # still flags the point but its threshold is ~1000x looser than MAD's
+    stats = df.agg(
+        F.mean("cents").alias("mu"), F.stddev_pop("cents").alias("sd")
+    ).collect()[0]
+    assert stats.sd > 1000 * mad.d50
