@@ -205,3 +205,84 @@ class TestCredentialsResolution:
         )
         assert r.credentials == ("u", "p")
         assert len(list(r.read(r.partitions()[0]))) == 1
+
+
+class TestStreamingPosts:
+    """wod_posts as a micro-batch stream: page-cursor offsets, restart
+    resume, and contiguity (a gap pauses the cursor instead of skipping)."""
+
+    def _write_page(self, d, page, n=2):
+        posts = [
+            {
+                "id": page * 100 + i,
+                "date": f"2021-02-{page:02d}T08:00:00",
+                "slug": f"s-{page}-{i}",
+                "title": f"T {page}-{i}",
+                "content": f"<p>{page}-{i}</p>",
+                "link": f"https://example.test/{page}/{i}",
+                "categories": [1],
+            }
+            for i in range(n)
+        ]
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(d, f"page-{page}.json"), "w") as f:
+            f.write(_json.dumps(posts))
+
+    def _drain(self, spark, d, ckpt, out):
+        # file sink (memory sink cannot recover from a checkpoint)
+        q = (
+            spark.readStream.format("wod_posts")
+            .option("pages_dir", d)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    def test_offset_resume_and_contiguous_cursor(self, posts_reader, tmp_path):
+        spark = posts_reader
+        d, ckpt = str(tmp_path / "pages"), str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        import os as _os
+
+        _os.makedirs(d)
+        self._write_page(d, 1)
+        self._write_page(d, 2)
+        # page 4 lands BEFORE page 3: the cursor must stop at the gap
+        self._write_page(d, 4)
+        got = self._drain(spark, d, ckpt, out)
+        assert {r.page for r in got.select("page").collect()} == {1, 2}
+        # the gap fills: a restarted stream resumes from the offset log
+        # and picks up pages 3 and 4 exactly once (total rows 4 pages x 2)
+        self._write_page(d, 3)
+        got = self._drain(spark, d, ckpt, out)
+        assert sorted(r.page for r in got.select("page").collect()) == [
+            1, 1, 2, 2, 3, 3, 4, 4,
+        ]
+
+    def test_stream_rows_match_batch_rows(self, posts_reader, pages_dir, tmp_path):
+        spark = posts_reader
+        ckpt, out = str(tmp_path / "ckpt2"), str(tmp_path / "out2")
+        streamed = self._drain(spark, pages_dir, ckpt, out)
+        got = [
+            (r.post_id, r.slug, r.page)
+            for r in streamed.select("post_id", "slug", "page")
+            .orderBy("post_id")
+            .collect()
+        ]
+        want = [
+            (r.post_id, r.slug, r.page)
+            for r in spark.read.format("wod_posts")
+            .option("pages_dir", pages_dir)
+            .load()
+            .select("post_id", "slug", "page")
+            .orderBy("post_id")
+            .collect()
+        ]
+        assert got == want

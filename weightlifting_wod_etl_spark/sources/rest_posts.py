@@ -36,7 +36,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -138,8 +143,49 @@ class _PostsReader(DataSourceReader):
             )
 
 
+class _PostsStreamReader(DataSourceStreamReader):
+    """Micro-batch page tailing — the reference's scheduled poll (OP21:
+    EventBridge cron → fetch new posts) as a Structured Streaming source.
+
+    The offset is the page cursor: ``{"next_page": N}`` means pages below
+    N are committed. ``latestOffset`` advances over the CONTIGUOUS run of
+    pages present on disk — a page landing out of order moves the cursor
+    only once its predecessors exist, so a restart can never skip a page
+    (exactly-once across restarts comes from Spark's offset log; the
+    pages themselves are immutable). Each micro-batch plans one partition
+    per new page — identical parallelism, fetch, and row shape as the
+    batch reader, so the same pipeline definition backfills (batch) and
+    tails (stream)."""
+
+    def __init__(self, options: dict):
+        self._inner = _PostsReader(options)
+        if not self._inner.pages_dir:
+            raise ValueError("wod_posts streaming requires 'pages_dir'")
+
+    def initialOffset(self) -> dict:
+        return {"next_page": self._inner.start_page}
+
+    def latestOffset(self) -> dict:
+        p = self._inner.start_page
+        while os.path.exists(os.path.join(self._inner.pages_dir, f"page-{p}.json")):
+            p += 1
+        return {"next_page": p}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _PagePartition(p) for p in range(start["next_page"], end["next_page"])
+        ]
+
+    def read(self, partition: _PagePartition):
+        return self._inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # pages are immutable files; nothing to acknowledge
+
+
 class PaginatedPostsDataSource(DataSource):
-    """``spark.read.format("wod_posts").option("pages_dir", ...)``."""
+    """``spark.read.format("wod_posts").option("pages_dir", ...)`` for
+    batch, ``spark.readStream.format("wod_posts")`` for page tailing."""
 
     @classmethod
     def name(cls) -> str:
@@ -150,6 +196,9 @@ class PaginatedPostsDataSource(DataSource):
 
     def reader(self, schema) -> _PostsReader:
         return _PostsReader(self.options)
+
+    def streamReader(self, schema) -> _PostsStreamReader:
+        return _PostsStreamReader(self.options)
 
 
 def register_posts_source(spark) -> None:
