@@ -81,15 +81,17 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-6 window: 7 never-driver-checked round-5 late additions first, then
-# the 4 rotated-out-in-r5 fn-surface queries (last green r03 — two rounds of
-# drift), then the 7 queries PLANNED for round 6 named up front (unregistered
-# names are skipped harmlessly, so late-landing additions can never fall past
-# the window again — the round-5 hole's process fix), then the stalest
+# Round-6 window (final composition — 50 slots): 7 never-driver-checked
+# round-5 late additions, then the 4 rotated-out-in-r5 fn-surface queries
+# (last green r03), then the 25 queries ADDED in round 6 (three batches, all
+# registered before this ranking was finalized — the round-5 hole's process
+# fix, enforced by test_driver_contract_process.py), then the stalest
 # r4-green set: the reference's semantic core (sessionize/wod pipeline/date
-# ops), the streaming batch analogs, and the minhash/similarity family.
-# Remaining r4-greens are listed past slot 50 as buffer (they fill in if a
-# planned query slips) and lead the r7 rotation otherwise.
+# ops), the streaming batch analogs, and the head of the minhash/similarity
+# family (minhash_lsh/simhash/ngram_jaccard/cosine_topk close the window;
+# the family's remaining six — ann_lsh_bucket through rolling_hash — were
+# displaced past slot 50 by the in-round additions and lead the r7 rotation
+# together with the remaining r4-green buffer below).
 _WINDOW_PRIORITY = [
     # never driver-checked (registered past the r5 window; rotate_window.py)
     "q_event_transitions",
