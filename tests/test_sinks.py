@@ -147,3 +147,59 @@ def test_binary_file_source_feeds_multimodal(spark, tmp):
     feats = extract_features(files)
     rows = {r.media_id: r.n_bytes for r in feats.collect()}
     assert rows == {i: 100 + i for i in range(5)}
+
+
+def test_kv_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp):
+    """Dynamic-partition upsert contract: an increment touching one date
+    must leave every other date partition's files byte-identical on disk
+    (same file set, same mtimes) while merging LWW winners in the touched
+    one."""
+    import os as _os
+
+    from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+    path = _os.path.join(tmp, "kv_part")
+    v1 = spark.createDataFrame(
+        [
+            ("2021-01-03", "am", 1, "a"),
+            ("2021-01-04", "am", 1, "b"),
+            ("2021-01-05", "am", 1, "c"),
+        ],
+        ["date", "session", "version", "payload"],
+    )
+    kv_upsert_parquet(
+        v1, path, key_cols=["date", "session"], order_cols=["version"],
+        partition_by=["date"],
+    )
+
+    def files(day):
+        d = _os.path.join(path, f"date={day}")
+        return sorted(
+            (f, _os.path.getmtime(_os.path.join(d, f)))
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_04, before_05 = files("2021-01-04"), files("2021-01-05")
+    v2 = spark.createDataFrame(
+        [("2021-01-03", "am", 2, "a2"), ("2021-01-03", "pm", 1, "x")],
+        ["date", "session", "version", "payload"],
+    )
+    kv_upsert_parquet(
+        v2, path, key_cols=["date", "session"], order_cols=["version"],
+        partition_by=["date"],
+    )
+    # untouched partitions: identical file sets and mtimes
+    assert files("2021-01-04") == before_04
+    assert files("2021-01-05") == before_05
+    # touched partition merged last-writer-wins, new key appended
+    got = {
+        (str(r.date), r.session): (r.version, r.payload)  # partition col is
+        for r in spark.read.parquet(path).collect()  # type-inferred to DATE
+    }
+    assert got == {
+        ("2021-01-03", "am"): (2, "a2"),
+        ("2021-01-03", "pm"): (1, "x"),
+        ("2021-01-04", "am"): (1, "b"),
+        ("2021-01-05", "am"): (1, "c"),
+    }

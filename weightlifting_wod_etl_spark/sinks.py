@@ -74,8 +74,50 @@ def kv_upsert_parquet(
     """Last-writer-wins keyed table: union existing + incoming, keep one row
     per key by a TOTAL order, rewrite. The engine-side equivalent of the
     reference's per-record DynamoDB putItem (OP18) with deterministic
-    survivor choice."""
+    survivor choice.
+
+    With ``partition_by``, the upsert is INCREMENTAL: only the partitions
+    whose values appear in the incoming batch are read (partition-pruned
+    scan), merged, and replaced (``partitionOverwriteMode=dynamic``) —
+    untouched partitions' files are never rewritten, so a daily increment
+    against a 100 TB table costs O(increment), not O(table). Keys must not
+    move between partitions (partition cols ⊆ key semantics), the same
+    contract a Delta/Iceberg MERGE keyed on ``key_cols`` would carry.
+
+    The affected-partition value list is collected to the driver — bounded
+    by the increment's distinct partition tuples (e.g. days in the batch),
+    never by table or batch row count."""
+    from functools import reduce
+
     spark = df.sparkSession
+    if partition_by and os.path.exists(path):
+        parts = df.select(*partition_by).distinct().collect()
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == r[c] for c in partition_by],
+                )
+                for r in parts
+            ],
+        )
+        existing = spark.read.parquet(path).filter(pred)
+        merged = existing.unionByName(df, allowMissingColumns=True)
+        winners = exact_dedup(
+            merged, key_cols=key_cols, order_cols=[F.col(c).desc() for c in order_cols]
+        )
+        # materialize before writing (Spark refuses to overwrite a path it
+        # is reading); volume = affected partitions only
+        winners = winners.localCheckpoint()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            winners.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         merged = existing.unionByName(df, allowMissingColumns=True)
@@ -84,9 +126,9 @@ def kv_upsert_parquet(
     winners = exact_dedup(
         merged, key_cols=key_cols, order_cols=[F.col(c).desc() for c in order_cols]
     )
-    # rewrite via a temp dir: parquet has no transactional MERGE without a
-    # table format (Delta/Iceberg); at cluster scale this function would be
-    # a Delta MERGE INTO keyed on key_cols
+    # full rewrite via a temp dir (first write, or unpartitioned table):
+    # parquet has no transactional MERGE without a table format; at cluster
+    # scale this branch would be a Delta MERGE INTO keyed on key_cols
     tmp = path + "__staging"
     w = winners.write.mode("overwrite")
     if partition_by:
