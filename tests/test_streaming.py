@@ -258,3 +258,157 @@ def test_completion_notification_listener(spark, stream_dirs):
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState driver worker requires google.protobuf "
+    "(absent in this container); processor logic is covered by "
+    "test_tws_processor_logic_with_fake_state",
+)
+def test_transform_with_state_sessionizer_stream(spark, stream_dirs):
+    """transformWithStateInPandas flavor: same gap sessions as the batch
+    truth, on the Spark 4 arbitrary-state API (RocksDB-backed, event-time
+    close timers)."""
+    from weightlifting_wod_etl_spark.operators.sessionize import gap_sessionize
+    from weightlifting_wod_etl_spark.streaming.sessions import tws_gap_sessionize
+
+    src, in_dir, ckpt = stream_dirs
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_stream(
+            spark,
+            tws_gap_sessionize(stream, watermark="1 minute"),
+            ckpt + "_tws",
+            "tws_out",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    batch_df = gap_sessionize(
+        src.select("user_id", "ts", "value"),
+        ts_col="ts",
+        partition_cols=["user_id"],
+        gap_seconds=1800,
+        tiebreak_cols=["value"],
+    )
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, float(r.sum_value))
+        for r in batch_df.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    matched = 0
+    for r in got:
+        key = (r.user_id, r.session_start)
+        if key in batch:
+            assert batch[key][0] == r.n_events
+            matched += 1
+    assert matched >= len(got) * 0.9
+
+
+def test_tws_processor_logic_with_fake_state():
+    """Drive the transformWithState session processor directly with fake
+    handle/state/timer objects: mid-stream gap closes emit, state carries
+    across batches, a stale timer is ignored, and a ripe timer flushes
+    the final open session and clears state."""
+    import pandas as pd
+
+    from weightlifting_wod_etl_spark.streaming.sessions import (
+        make_gap_session_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ts_ms):
+            self.timers.append(ts_ms)
+
+    class FakeExpiredTimer:
+        def __init__(self, ms):
+            self._ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self._ms
+
+    proc = make_gap_session_processor(gap_seconds=1800)
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def hours(h):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)
+
+    # batch 1: two events 10 min apart, then a 2 h gap, then one event
+    b1 = pd.DataFrame(
+        {"ts": [hours(0), hours(1 / 6), hours(2)], "value": [1.0, 2.0, 4.0]}
+    )
+    out1 = pd.concat(list(proc.handleInputRows((7,), iter([b1]), None)))
+    assert len(out1) == 1  # the 2-event session closed by the gap
+    assert out1.iloc[0].n_events == 2 and out1.iloc[0].sum_value == 3.0
+    assert handle.state.exists()  # the h=2 event stays open in state
+    assert handle.timers  # close timer armed
+
+    # batch 2: extends the open session
+    b2 = pd.DataFrame({"ts": [hours(2.25)], "value": [8.0]})
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))
+    assert not out2  # nothing closed
+    start_us, last_us, n, total = handle.state.get()
+    assert n == 2 and total == 12.0
+
+    # a STALE timer (armed before the extension) must not close the session
+    stale = FakeExpiredTimer(handle.timers[0] - 1)
+    assert not list(proc.handleExpiredTimer((7,), None, stale))
+    assert handle.state.exists()
+
+    # the ripe timer flushes the final session and clears state
+    ripe = FakeExpiredTimer(last_us // 1000 + 1800 * 1000)
+    out3 = pd.concat(list(proc.handleExpiredTimer((7,), None, ripe)))
+    assert len(out3) == 1
+    assert out3.iloc[0].n_events == 2 and out3.iloc[0].sum_value == 12.0
+    assert not handle.state.exists()

@@ -122,3 +122,117 @@ def stateful_gap_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def make_gap_session_processor(gap_seconds: int = 1800):
+    """Build the ``StatefulProcessor`` behind :func:`tws_gap_sessionize`.
+
+    Factored out so its session logic is unit-testable against fake
+    handles/state even where the transformWithState RUNTIME is absent
+    (the API's driver worker imports ``google.protobuf``, which this
+    container does not ship — the end-to-end streaming test skips there;
+    see test_streaming.py). The class is defined inside the factory so
+    cloudpickle ships it by value: Python workers cannot import this
+    package."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class GapSessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "open_session", "start_us long, last_us long, n long, total double"
+            )
+
+        def _emit(self, user_id, s):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.to_datetime(s[0], unit="us")],
+                    "session_end": [pd.to_datetime(s[1], unit="us")],
+                    "n_events": [s[2]],
+                    "sum_value": [round(s[3], 2)],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            ts, vals = [], []
+            for pdf in rows:
+                ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
+                vals.extend(float(v) for v in pdf["value"])
+            order = sorted(range(len(ts)), key=lambda i: ts[i])
+            cur = self._state.get() if self._state.exists() else None
+            if cur is not None:
+                start_us, last_us, n, total = cur
+            else:
+                start_us = last_us = None
+                n, total = 0, 0.0
+            for i in order:
+                t, v = ts[i], vals[i]
+                if last_us is not None and t - last_us > gap_us:
+                    yield self._emit(user_id, (start_us, last_us, n, total))
+                    start_us, n, total = t, 0, 0.0
+                if start_us is None:
+                    start_us = t
+                last_us = t
+                n += 1
+                total += v
+            self._state.update((start_us, last_us, n, total))
+            # (re-)arm the close timer: fires once the watermark passes the
+            # open session's gap horizon
+            self._handle.registerTimer(last_us // 1000 + gap_seconds * 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if self._state.exists():
+                s = self._state.get()
+                # the timer may be stale (session extended since armed):
+                # only close if the gap horizon has truly passed
+                if (
+                    expiredTimerInfo.getExpiryTimeInMs()
+                    >= s[1] // 1000 + gap_seconds * 1000
+                ):
+                    yield self._emit(user_id, s)
+                    self._state.clear()
+
+        def close(self) -> None:
+            pass
+
+    return GapSessionProcessor()
+
+
+def tws_gap_sessionize(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Gap sessionizer on the Spark 4 ``transformWithStateInPandas`` API —
+    the successor to applyInPandasWithState, and the variant that closes
+    the old API's semantic gap: an EVENT-TIME TIMER fires when the
+    watermark passes (last_event + gap), so an idle user's final session
+    is EMITTED instead of parked forever in state.
+
+    State layout: one ValueState row per user (open session aggregate).
+    Scale: state is O(open sessions) in the RocksDB store (required by
+    this API — incremental checkpoints, spill-to-disk, so state size is
+    bounded by disk not heap); each micro-batch touches only keys with
+    input rows or expiring timers.
+
+    Runtime requirement: the transformWithState driver worker imports
+    ``google.protobuf`` — on environments without it (this container),
+    use :func:`stateful_gap_sessionize`; the processor logic itself is
+    shared-tested via :func:`make_gap_session_processor`."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").transformWithStateInPandas(
+        make_gap_session_processor(gap_seconds),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
