@@ -286,3 +286,68 @@ class TestStreamingPosts:
             .collect()
         ]
         assert got == want
+
+
+class TestFilterPushdown:
+    """Spark 4.1 Python DataSource pushFilters: page predicates prune the
+    planned page window at the source — filtered pages are never fetched."""
+
+    def _reader(self, pages_dir):
+        from weightlifting_wod_etl_spark.sources.rest_posts import _PostsReader
+
+        return _PostsReader({"pages_dir": pages_dir})
+
+    def test_reader_consumes_page_filters(self, pages_dir):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            StringContains,
+        )
+
+        r = self._reader(pages_dir)
+        leftover = list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("page",), 2),
+                    LessThan(("page",), 4),
+                    StringContains(("slug",), "jan"),  # not ours → yielded back
+                ]
+            )
+        )
+        assert [type(f).__name__ for f in leftover] == ["StringContains"]
+        assert [p.page for p in r.partitions()] == [2, 3]
+
+        r2 = self._reader(pages_dir)
+        assert list(r2.pushFilters([In(("page",), (1, 3, 9))])) == []
+        assert [p.page for p in r2.partitions()] == [1, 3]
+
+        r3 = self._reader(pages_dir)
+        assert list(r3.pushFilters([EqualTo(("page",), 2)])) == []
+        assert [p.page for p in r3.partitions()] == [2]
+
+        # contradictory bounds plan zero partitions (nothing fetched)
+        r4 = self._reader(pages_dir)
+        list(r4.pushFilters([EqualTo(("page",), 2), GreaterThanOrEqual(("page",), 5)]))
+        assert r4.partitions() == []
+
+    def test_e2e_filter_prunes_and_matches(self, posts_reader, pages_dir):
+        spark = posts_reader
+        assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+        df = (
+            spark.read.format("wod_posts")
+            .option("pages_dir", pages_dir)
+            .load()
+            .filter("page >= 2")
+        )
+        got = sorted(r.page for r in df.select("page").collect())
+        assert set(got) == {2, 3} and len(got) == 8
+        # equality + non-page filter: page consumed at source, slug post-scan
+        df2 = (
+            spark.read.format("wod_posts")
+            .option("pages_dir", pages_dir)
+            .load()
+            .filter("page = 1 AND slug LIKE 'jan-%'")
+        )
+        assert {r.page for r in df2.collect()} == {1}

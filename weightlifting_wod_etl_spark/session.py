@@ -45,6 +45,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let Python DataSources (wod_posts) receive pushFilters calls
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Static conf, must be set before the first SQL context: the
         # whole-stage-codegen class cache defaults to 100 entries. A session
         # running many distinct queries (the 70-query bench) evicts and

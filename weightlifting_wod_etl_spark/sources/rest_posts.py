@@ -87,16 +87,76 @@ class _PostsReader(DataSourceReader):
 
         self.credentials = resolve_credentials(options)
 
+        # pushFilters-derived page window (None = unbounded on that side)
+        self._page_lo: int | None = None
+        self._page_hi: int | None = None
+        self._page_in: set[int] | None = None
+
+    def pushFilters(self, filters):
+        """Source-side pushdown of predicates on the ``page`` column
+        (Spark 4.1 Python DataSource filter pushdown): comparison and IN
+        filters tighten the planned page window, so filtered-out pages are
+        never fetched — the DataFrame twin of the reference's explicit
+        ``page`` query param. Page pruning is exact (a partition holds
+        exactly one page), so handled filters are CONSUMED; anything else
+        is yielded back for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def tighten_lo(v):
+            self._page_lo = v if self._page_lo is None else max(self._page_lo, v)
+
+        def tighten_hi(v):
+            self._page_hi = v if self._page_hi is None else min(self._page_hi, v)
+
+        for f in filters:
+            col = f.attribute[-1] if getattr(f, "attribute", None) else None
+            v = getattr(f, "value", None)
+            if col != "page":
+                yield f
+            elif isinstance(f, In) and all(isinstance(x, int) for x in v):
+                vs = set(v)
+                self._page_in = vs if self._page_in is None else self._page_in & vs
+            elif not isinstance(v, int):
+                yield f
+            elif isinstance(f, EqualTo):
+                tighten_lo(v), tighten_hi(v)
+            elif isinstance(f, GreaterThan):
+                tighten_lo(v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                tighten_lo(v)
+            elif isinstance(f, LessThan):
+                tighten_hi(v - 1)
+            elif isinstance(f, LessThanOrEqual):
+                tighten_hi(v)
+            else:
+                yield f
+
     def _discover_pages(self) -> list[int]:
         if self.max_pages:
-            return list(range(self.start_page, self.start_page + self.max_pages))
-        if not self.pages_dir:
+            pages = list(range(self.start_page, self.start_page + self.max_pages))
+        elif not self.pages_dir:
             raise ValueError("endpoint transport requires explicit max_pages")
-        pages = []
-        for fn in os.listdir(self.pages_dir):
-            if fn.startswith("page-") and fn.endswith(".json"):
-                pages.append(int(fn[len("page-") : -len(".json")]))
-        return sorted(p for p in pages if p >= self.start_page)
+        else:
+            pages = sorted(
+                int(fn[len("page-") : -len(".json")])
+                for fn in os.listdir(self.pages_dir)
+                if fn.startswith("page-") and fn.endswith(".json")
+            )
+            pages = [p for p in pages if p >= self.start_page]
+        if self._page_lo is not None:
+            pages = [p for p in pages if p >= self._page_lo]
+        if self._page_hi is not None:
+            pages = [p for p in pages if p <= self._page_hi]
+        if self._page_in is not None:
+            pages = [p for p in pages if p in self._page_in]
+        return pages
 
     def partitions(self):
         # One partition per page: pagination IS the parallelism (OP1+OP19).
