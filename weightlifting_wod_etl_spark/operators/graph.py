@@ -99,18 +99,18 @@ def pagerank(
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
     norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("p")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iters):
@@ -129,6 +129,6 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("in_r", F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
