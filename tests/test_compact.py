@@ -1,0 +1,75 @@
+"""Compaction: many small files in, ~target-sized files out, rows and
+values preserved; already-compact tables are left untouched."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from weightlifting_wod_etl_spark.io import load_table
+from weightlifting_wod_etl_spark.operators.compact import compact_parquet, dir_stats
+
+
+def _fingerprint(df):
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns)).alias("h"),
+    ).collect()[0]
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "t")
+    src.repartition(64).write.parquet(path)  # pathological small files
+    n0, total = dir_stats(path)
+    assert n0 >= 64
+    before_fp = _fingerprint(spark.read.parquet(path))
+    target = max(1, total // 4)  # aim for ~4 files
+    b, a = compact_parquet(spark, path, target_file_bytes=target)
+    assert b == n0 and a < n0 / 4
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+    after_fp = _fingerprint(spark.read.parquet(path))
+    assert (before_fp.n, before_fp.h) == (after_fp.n, after_fp.h)
+
+
+def test_compaction_noop_when_already_compact(spark, tmp_path):
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    path = str(tmp_path / "small")
+    src.coalesce(1).write.parquet(path)
+    files_before = sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    b, a = compact_parquet(spark, path, target_file_bytes=128 * 1024 * 1024)
+    assert b == a == 1
+    files_after = sorted(
+        (f, os.path.getmtime(os.path.join(path, f)))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    assert files_before == files_after  # untouched, not rewritten
+
+
+def test_compaction_with_sort_clusters_output(spark, tmp_path):
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    path = str(tmp_path / "sorted")
+    src.repartition(32).write.parquet(path)
+    _, total = dir_stats(path)
+    compact_parquet(
+        spark, path, target_file_bytes=max(1, total // 4), sort_by=["l_orderkey"]
+    )
+    # range-partitioned sorted rewrite → per-file key ranges are disjoint
+    import glob
+
+    spans = []
+    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+        r = spark.read.parquet(f).agg(
+            F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
+        ).collect()[0]
+        spans.append((r.lo, r.hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, _hi2)}"
