@@ -1,0 +1,64 @@
+"""Data skipping: footer-stat pruning is sound (pruned reads == full
+filter), and EFFECTIVE exactly where the layout clusters — a Z-ordered
+table prunes on both dimensions, a linear sort only on its sort key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weightlifting_wod_etl_spark.io import load_table
+from weightlifting_wod_etl_spark.operators.skipping import (
+    file_stats_index,
+    prune_files,
+)
+from weightlifting_wod_etl_spark.operators.zorder import zorder_write
+
+
+def _layouts(spark, tmp_path):
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        (F.col("l_orderkey") % 256).cast("long").alias("a"),
+        F.floor((F.col("l_partkey") % 200) * 256 / 200).cast("long").alias("b"),
+        "l_quantity",
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(src, zpath, ["a", "b"], bits=8, num_files=16)
+    (
+        src.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    return src, zpath, lpath
+
+
+def test_pruned_read_is_sound_and_effective(spark, tmp_path):
+    src, zpath, lpath = _layouts(spark, tmp_path)
+    zidx = file_stats_index(zpath, ["a", "b"])
+    lidx = file_stats_index(lpath, ["a", "b"])
+    assert len(zidx) == len(lidx) == 16
+
+    lo, hi = 40, 56  # a narrow band on either dimension
+    for col in ("a", "b"):
+        keep = prune_files(zidx, col, lo, hi)
+        # soundness: reading only surviving files + filter == full filter
+        got = (
+            spark.read.parquet(*keep)
+            .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .count()
+        )
+        want = src.filter((F.col(col) >= lo) & (F.col(col) <= hi)).count()
+        assert got == want > 0
+        # effectiveness: the z-layout must skip most files on EVERY dim
+        assert len(keep) <= len(zidx) / 2, (col, len(keep))
+
+    # the linear layout skips on its sort key but NOT on b
+    assert len(prune_files(lidx, "a", lo, hi)) <= len(lidx) / 2
+    assert len(prune_files(lidx, "b", lo, hi)) == len(lidx)
+
+
+def test_missing_stats_never_skips(spark):
+    idx = [
+        {"file": "x", "a_min": None, "a_max": None},
+        {"file": "y", "a_min": 10, "a_max": 20},
+    ]
+    assert prune_files(idx, "a", 100, 200) == ["x"]  # statless kept, y pruned
