@@ -70,6 +70,8 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.ansi.enabled", "false"),
+        # runtime-settable: external sessions get source pushdown too
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
