@@ -64,3 +64,43 @@ def test_never_driver_checked_queries_lead_the_window():
         f"{DRIVER_WINDOW}-slot window: {stranded} — re-rank _WINDOW_PRIORITY "
         "(tools/rotate_window.py) so new queries get driver evidence"
     )
+
+
+def test_driver_staleness_is_bounded():
+    """No query's driver evidence may silently age out: every query whose
+    last hash-green round is <= (latest recorded round - 2) must sit inside
+    the next window, so after the coming round nothing is more than two
+    rounds stale (VERDICT r6 §next.2). With 135 queries and a 50-slot
+    window this bound is always satisfiable (ceil(135/50) < 3 full
+    rotations), so a violation means the rotation protocol was skipped,
+    not that it was infeasible."""
+    from weightlifting_wod_etl_spark.queries_registry import (
+        _WINDOW_TAIL,
+        QUERIES,
+    )
+
+    last_green: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        rounds.append(rnd)
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    if not rounds:
+        return  # round 1: no driver evidence exists yet
+    cutoff = max(rounds) - 2
+    window = set(list(QUERIES)[:DRIVER_WINDOW])
+    overdue = [
+        q
+        for q in QUERIES
+        if q not in _WINDOW_TAIL
+        and last_green.get(q, 0) <= cutoff
+        and q not in window
+    ]
+    assert not overdue, (
+        f"{len(overdue)} queries last driver-green in round <= {cutoff} sit "
+        f"past the {DRIVER_WINDOW}-slot window: {overdue} — re-rank "
+        "_WINDOW_PRIORITY (tools/rotate_window.py) before shipping the round"
+    )

@@ -81,124 +81,69 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-6 window (final composition — 50 slots): 7 never-driver-checked
-# round-5 late additions, then the 4 rotated-out-in-r5 fn-surface queries
-# (last green r03), then the 25 queries ADDED in round 6 (three batches, all
-# registered before this ranking was finalized — the round-5 hole's process
-# fix, enforced by test_driver_contract_process.py), then the stalest
-# r4-green set: the reference's semantic core (sessionize/wod pipeline/date
-# ops), the streaming batch analogs, and the head of the minhash/similarity
-# family (minhash_lsh/simhash/ngram_jaccard/cosine_topk close the window;
-# the family's remaining six — ann_lsh_bucket through rolling_hash — were
-# displaced past slot 50 by the in-round additions and lead the r7 rotation
-# together with the remaining r4-green buffer below).
+# Round-7 window (tools/rotate_window.py output, VERDICT r6 §next.2): all 34
+# r4-stale queries — the minhash/similarity tail, the curation family,
+# asof/range joins, sampling, multimodal, and the fn-surface buffer that the
+# round-6 in-round additions displaced past slot 50 — lead the window, then
+# the 16 stalest r5-green queries fill the remaining slots. After this round
+# no query's last driver evidence is older than round 5 (bound N-2, enforced
+# by test_driver_staleness_is_bounded). Queries added DURING round 7 must be
+# inserted at the head of this list (never-checked-first invariant,
+# test_driver_contract_process.py); up to 16 insertions keep the staleness
+# bound intact because only the trailing r5-green block gets displaced.
 _WINDOW_PRIORITY = [
-    # never driver-checked (registered past the r5 window; rotate_window.py)
-    "q_event_transitions",
-    "q_resample_ffill",
-    "q_rolling_range",
-    "q_session_concurrency",
-    "q_snapshot_diff",
-    "q_weighted_sample",
-    "q_zscore_normalize",
-    # stale: last green r03 (rotated out in r5 to make room)
-    "q_json_fns",
-    "q_map_fns",
-    "q_set_ops",
-    "q_string_fns",
-    # NEW in round 6 — named before they register so they land in-window
-    "q_tpch_q8",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q21",
-    "q_quantile_bound",
-    "q_tdigest_quantile",
-    "q_hll_bound",
-    "q_hll_union",
-    "q_bigram_lm_score",
-    "q_embed_centroid",
-    "q_lateral_topk",
-    "q_window_dedup",
-    # NEW in round 6, second batch (registered before this rotation edit):
-    # Q11/Q20 complete all 22 canonical TPC-H shapes; fuzzy dedup and
-    # expanding-distinct add curation/analytics surface. They take the 4
-    # window slots previously held by the per-family representative buffer
-    # (q_asof_join/q_range_join/q_pii_redact/q_decontaminate — r4-green
-    # cumulatively, re-proven by the local parity suite every run).
-    "q_tpch_q11",
-    "q_tpch_q20",
-    "q_fuzzy_dedup",
-    "q_cumulative_distinct",
-    # NEW in round 6, third batch: EWMA smoothing, MAD anomaly fences,
-    # count-min sketch, weighted PageRank. In-window per the invariant that
-    # never-driver-checked queries must not wait a round
-    # (test_driver_contract_process.py); the displaced tail of the minhash
-    # family (r4-green, re-proven locally every run) moves to the buffer.
-    "q_ewma",
-    "q_mad_anomaly",
-    "q_cms_estimate",
-    "q_pagerank",
-    "q_global_topn",
-    "q_data_quality",
-    # stalest r4-green: reference semantic core + streaming batch analogs
-    "q_sessionize_text",
-    "q_group_concat",
-    "q_wod_pipeline",
-    "q_date_extract",
-    "q_date_spine",
-    "q_explode_lines",
-    "q_weekly_rollup",
-    "q_sessionize_events",
-    "q_tumbling_window",
-    "q_sliding_window",
-    # stalest r4-green: minhash/similarity family
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_ngram_jaccard",
-    "q_cosine_topk",
-    "q_ann_lsh_bucket",
+    # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
-    "q_embed_neardup",
-    "q_doc_fingerprint",
-    "q_dup_clusters",
-    "q_rolling_hash",
-    # stalest r4-green: one representative per remaining family
-    "q_asof_join",
-    "q_range_join",
-    "q_pii_redact",
-    "q_decontaminate",
-    "q_curation_pipeline",
-    "q_hash_sample",
-    "q_dataset_split",
-    "q_binary_meta",
-    "q_media_resize",
-    "q_frame_sample",
-    "q_semi_join",
-    "q_null_semantics",
-    # past-window buffer, front of the r7 rotation. With the third batch
-    # in-window, slots 47-50 of the minhash block above (q_embed_neardup /
-    # q_doc_fingerprint / q_dup_clusters / q_rolling_hash) now fall past the
-    # window and land here implicitly (r4-green cumulatively, re-proven by
-    # the local parity suite every run); then the remaining r4-greens.
+    "q_ann_lsh_bucket",
     "q_anti_scalar_sub",
+    "q_asof_join",
+    "q_binary_meta",
     "q_chunk_bounds",
     "q_corpus_mixture",
     "q_count_distinct",
+    "q_curation_pipeline",
+    "q_dataset_split",
     "q_date_fns",
     "q_decimal_agg",
+    "q_decontaminate",
+    "q_doc_fingerprint",
     "q_domain_cap",
+    "q_dup_clusters",
+    "q_embed_neardup",
+    "q_frame_sample",
     "q_full_outer",
+    "q_hash_sample",
     "q_intradoc_repetition",
+    "q_media_resize",
+    "q_null_semantics",
     "q_outer_join_dist",
+    "q_pii_redact",
+    "q_range_join",
+    "q_rolling_hash",
+    "q_semi_join",
     "q_sequence_pack",
     "q_set_ops_all",
     "q_stratified_sample",
     "q_token_chunks",
     "q_token_topk",
     "q_union_by_name",
+    # stalest r5-green fill the remaining 16 slots
+    "q_argmax_events",
+    "q_array_fns",
+    "q_bigram_topk",
+    "q_canonical_rep",
+    "q_clean_normalize",
+    "q_corr_stats",
+    "q_cube",
+    "q_dedup_antijoin",
+    "q_dedup_exact",
+    "q_event_gap_stats",
+    "q_funnel_conversion",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_kv_upsert_dedup",
+    "q_lang_id",
+    "q_limit_offset",
 ]
 
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
