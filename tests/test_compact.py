@@ -7,8 +7,9 @@ import os
 
 from pyspark.sql import functions as F
 
-from weightlifting_wod_etl_spark.io import load_table
+from weightlifting_wod_etl_spark.io import load_table, read_table
 from weightlifting_wod_etl_spark.operators.compact import compact_parquet, dir_stats
+from weightlifting_wod_etl_spark.operators.versioned import resolve
 
 
 def _fingerprint(df):
@@ -28,10 +29,18 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     target = max(1, total // 4)  # aim for ~4 files
     b, a = compact_parquet(spark, path, target_file_bytes=target)
     assert b == n0 and a < n0 / 4
-    assert not os.path.exists(path + "__compacting")
-    assert not os.path.exists(path + "__precompact")
-    after_fp = _fingerprint(spark.read.parquet(path))
+    # versioned commit: pointer names the compacted dir, old loose files gone
+    assert resolve(path) == os.path.join(path, "_v000001")
+    after_fp = _fingerprint(read_table(spark, path))
     assert (before_fp.n, before_fp.h) == (after_fp.n, after_fp.h)
+    # a second compaction starts from the committed version's file count
+    # (it may legitimately compact further — the rewrite compresses better)
+    b2, _a2 = compact_parquet(spark, path, target_file_bytes=target)
+    assert b2 == a
+    assert (before_fp.n, before_fp.h) == (
+        (fp := _fingerprint(read_table(spark, path))).n,
+        fp.h,
+    )
 
 
 def test_compaction_noop_when_already_compact(spark, tmp_path):
@@ -65,7 +74,7 @@ def test_compaction_with_sort_clusters_output(spark, tmp_path):
     import glob
 
     spans = []
-    for f in glob.glob(os.path.join(path, "part-*.parquet")):
+    for f in glob.glob(os.path.join(resolve(path), "part-*.parquet")):
         r = spark.read.parquet(f).agg(
             F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi")
         ).collect()[0]

@@ -9,6 +9,9 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from weightlifting_wod_etl_spark.io import read_table
+from weightlifting_wod_etl_spark.operators.versioned import resolve
+
 
 @pytest.fixture()
 def tmp(request):
@@ -63,7 +66,7 @@ def test_kv_upsert_last_writer_wins(spark, tmp):
         [("2021-01-01", "Mon", "new", 2)], ["date", "session", "payload", "version"]
     )
     kv_upsert_parquet(v2, path, key_cols=["date", "session"], order_cols=["version"])
-    rows = {(r.date, r.session): r.payload for r in spark.read.parquet(path).collect()}
+    rows = {(r.date, r.session): r.payload for r in read_table(spark, path).collect()}
     assert rows == {("2021-01-01", "Mon"): "new", ("2021-01-02", "Tue"): "keep"}
 
 
@@ -173,7 +176,7 @@ def test_kv_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp):
     )
 
     def files(day):
-        d = _os.path.join(path, f"date={day}")
+        d = _os.path.join(resolve(path), f"date={day}")
         return sorted(
             (f, _os.path.getmtime(_os.path.join(d, f)))
             for f in _os.listdir(d)
@@ -195,7 +198,7 @@ def test_kv_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp):
     # touched partition merged last-writer-wins, new key appended
     got = {
         (str(r.date), r.session): (r.version, r.payload)  # partition col is
-        for r in spark.read.parquet(path).collect()  # type-inferred to DATE
+        for r in read_table(spark, path).collect()  # type-inferred to DATE
     }
     assert got == {
         ("2021-01-03", "am"): (2, "a2"),

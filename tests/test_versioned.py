@@ -1,0 +1,186 @@
+"""Manifest-pointer commit protocol (operators/versioned.py): a crash at
+ANY point of a rewrite must leave the table readable as exactly the old or
+exactly the new version — never a partial — and a crashed attempt must not
+wedge the next run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from weightlifting_wod_etl_spark.io import read_table
+from weightlifting_wod_etl_spark.operators import compact as compact_mod
+from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+from weightlifting_wod_etl_spark.operators.versioned import (
+    begin_commit,
+    current_version,
+    finish_commit,
+    resolve,
+)
+from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+
+def _snapshot(spark, path):
+    return sorted(map(tuple, read_table(spark, path).collect()))
+
+
+def test_plain_dir_resolves_to_itself(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    spark.range(5).write.parquet(path)
+    assert resolve(path) == path
+    assert current_version(path) == 0
+    assert read_table(spark, path).count() == 5
+
+
+def test_crash_before_flip_reads_old_version_and_next_run_recovers(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    old = spark.range(10).selectExpr("id", "id * 2 AS x")
+    old.write.parquet(path)
+    before = _snapshot(spark, path)
+
+    # simulated crash: the new version is fully written but the process
+    # dies before the pointer flip (finish_commit never runs)
+    staging, v = begin_commit(path)
+    spark.range(3).selectExpr("id", "id * 99 AS x").write.parquet(staging)
+    assert _snapshot(spark, path) == before  # readers still see the old table
+    assert current_version(path) == 0
+
+    # ... and a half-written staging dir (crash mid-write) likewise
+    with open(os.path.join(staging, "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00not a footer")
+    assert _snapshot(spark, path) == before
+
+    # the next rewrite reclaims the orphan and commits normally
+    staging2, v2 = begin_commit(path)
+    assert (staging2, v2) == (staging, v)  # same slot, reclaimed
+    new = spark.range(4).selectExpr("id", "id * 7 AS x")
+    new.write.mode("overwrite").parquet(staging2)
+    finish_commit(path, v2)
+    assert current_version(path) == 1
+    assert _snapshot(spark, path) == sorted(map(tuple, new.collect()))
+
+
+def test_flip_is_atomic_boundary(spark, tmp_path):
+    """Immediately before finish_commit: old data; immediately after: new
+    data. No state in between exposes a mix."""
+    path = str(tmp_path / "t2")
+    spark.range(6).write.parquet(path)
+    staging, v = begin_commit(path)
+    spark.range(100, 103).write.parquet(staging)
+    assert {r.id for r in read_table(spark, path).collect()} == set(range(6))
+    finish_commit(path, v)
+    assert {r.id for r in read_table(spark, path).collect()} == {100, 101, 102}
+
+
+def test_repeated_commits_gc_old_versions_but_keep_previous(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    for i in range(4):
+        staging, v = begin_commit(path)
+        spark.range(i, i + 2).write.parquet(staging)
+        finish_commit(path, v)
+    assert current_version(path) == 4
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("_v"))
+    # current + one prior (an in-flight reader that resolved pre-flip can
+    # still finish); everything older is gone
+    assert vdirs == ["_v000003", "_v000004"]
+
+
+def test_compact_crash_midway_preserves_table_then_recovers(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "c")
+    src = spark.range(2000).withColumn("x", F.col("id") % 7)
+    src.repartition(16).write.parquet(path)
+    before = _snapshot(spark, path)
+
+    boom = RuntimeError("kill -9 mid-rewrite")
+
+    def dying_finish(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(compact_mod, "finish_commit", dying_finish)
+    with pytest.raises(RuntimeError):
+        compact_parquet(spark, path, target_file_bytes=10**12)
+    assert _snapshot(spark, path) == before  # crash lost nothing
+    monkeypatch.undo()
+
+    b, a = compact_parquet(spark, path, target_file_bytes=10**12)
+    assert b == 16 and a == 1
+    assert _snapshot(spark, path) == before
+
+
+def test_kv_upsert_crash_midway_preserves_table_then_recovers(
+    spark, tmp_path, monkeypatch
+):
+    import weightlifting_wod_etl_spark.operators.versioned as versioned_mod
+
+    path = str(tmp_path / "kv")
+    v1 = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 1, "keep")], ["k", "version", "payload"]
+    )
+    kv_upsert_parquet(v1, path, key_cols=["k"], order_cols=["version"])
+    before = _snapshot(spark, path)
+
+    def dying_finish(*a, **k):
+        raise RuntimeError("kill -9 mid-upsert")
+
+    monkeypatch.setattr(versioned_mod, "finish_commit", dying_finish)
+    v2 = spark.createDataFrame([("a", 2, "new")], ["k", "version", "payload"])
+    with pytest.raises(RuntimeError):
+        kv_upsert_parquet(v2, path, key_cols=["k"], order_cols=["version"])
+    assert _snapshot(spark, path) == before
+    monkeypatch.undo()
+
+    kv_upsert_parquet(v2, path, key_cols=["k"], order_cols=["version"])
+    rows = {r.k: r.payload for r in read_table(spark, path).collect()}
+    assert rows == {"a": "new", "b": "keep"}
+
+
+def test_kv_upsert_empty_increment_is_noop(spark, tmp_path):
+    """ADVICE r6: a zero-row increment against a partitioned table must not
+    crash (reduce over an empty predicate list) and must not rewrite."""
+    path = str(tmp_path / "kv_empty")
+    v1 = spark.createDataFrame(
+        [("2021-01-03", "am", 1, "a")], ["date", "session", "version", "payload"]
+    )
+    kv_upsert_parquet(
+        v1, path, key_cols=["date", "session"], order_cols=["version"],
+        partition_by=["date"],
+    )
+    before = _snapshot(spark, path)
+    kv_upsert_parquet(
+        v1.limit(0), path, key_cols=["date", "session"], order_cols=["version"],
+        partition_by=["date"],
+    )
+    assert _snapshot(spark, path) == before
+
+
+def test_kv_upsert_null_partition_value_still_merges(spark, tmp_path):
+    """ADVICE r6: rows in the null partition must be read by the merge —
+    F.col == None is a null predicate; eqNullSafe is required."""
+    schema = "date string, session string, version int, payload string"
+    path = str(tmp_path / "kv_null")
+    v1 = spark.createDataFrame(
+        [(None, "am", 1, "old"), ("2021-01-04", "am", 1, "keep")], schema
+    )
+    kv_upsert_parquet(
+        v1, path, key_cols=["date", "session"], order_cols=["version"],
+        partition_by=["date"],
+    )
+    v2 = spark.createDataFrame([(None, "am", 2, "new")], schema)
+    kv_upsert_parquet(
+        v2, path, key_cols=["date", "session"], order_cols=["version"],
+        partition_by=["date"],
+    )
+    got = {  # partition col type-infers back to DATE on read
+        (None if r.date is None else str(r.date), r.session): (r.version, r.payload)
+        for r in read_table(spark, path).collect()
+    }
+    assert got == {
+        (None, "am"): (2, "new"),
+        ("2021-01-04", "am"): (1, "keep"),
+    }

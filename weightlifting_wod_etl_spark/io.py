@@ -72,6 +72,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an engine-managed table: resolves the versioned-commit pointer
+    (operators/versioned.py) when present, else scans ``path`` directly —
+    the one entry point that handles both layouts."""
+    from .operators.versioned import resolve
+
+    return spark.read.parquet(resolve(path))
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:

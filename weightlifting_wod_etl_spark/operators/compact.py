@@ -12,24 +12,32 @@ the filesystem, not a row count — row width varies), then one
 ``repartition(n)`` round-robin shuffle balances the rewrite. An optional
 ``sort_by`` turns compaction into a clustering pass at the same cost
 (pair with operators/zorder.py's key for multi-dimensional layouts).
-The rewrite goes through a staging directory then an atomic-as-possible
-swap — the same non-transactional caveat as sinks.kv_upsert_parquet: on
-a real deployment this job is a Delta/Iceberg ``OPTIMIZE``/``rewrite``.
+The rewrite commits through operators/versioned.py's manifest-pointer
+protocol — a crash at ANY point leaves the table readable (old version
+until the atomic pointer flip, new version after), and a crashed prior
+attempt's staging dir is reclaimed automatically — the engine-side
+analog of a Delta/Iceberg ``OPTIMIZE``/``rewrite`` commit.
 """
 
 from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 
+from .versioned import begin_commit, finish_commit, resolve
+
 
 def dir_stats(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) of the parquet files under ``path``."""
+    """(n_data_files, total_bytes) of the parquet files under ``path``.
+
+    Skips ``_``/``.``-prefixed subdirs — the same children Spark's file
+    listing ignores — so staging/version dirs of the commit protocol are
+    never double-counted when statting a plain table root."""
     n, total = 0, 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
             if fn.endswith(".parquet"):
                 n += 1
@@ -45,21 +53,22 @@ def compact_parquet(
 ) -> tuple[int, int]:
     """Rewrite ``path`` into ``ceil(bytes / target)`` files; returns
     (files_before, files_after). No-op (no rewrite at all) when the
-    layout is already within one file of ideal."""
-    before, total = dir_stats(path)
+    layout is already within one file of ideal. Accepts both plain
+    parquet dirs (first compaction migrates them to the versioned
+    layout) and already-versioned tables; read results back with
+    ``io.read_table`` / ``versioned.resolve``."""
+    data_dir = resolve(path)
+    before, total = dir_stats(data_dir)
     want = max(1, math.ceil(total / target_file_bytes))
     if before <= want + 1:
         return before, before
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_dir)
     if sort_by:
         out = df.repartitionByRange(want, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(want)
-    tmp = path.rstrip("/") + "__compacting"
-    out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__precompact"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    after, _ = dir_stats(path)
+    staging, version = begin_commit(path)
+    out.write.mode("overwrite").parquet(staging)
+    finish_commit(path, version)
+    after, _ = dir_stats(resolve(path))
     return before, after

@@ -89,20 +89,27 @@ def kv_upsert_parquet(
     never by table or batch row count."""
     from functools import reduce
 
+    from .operators.versioned import begin_commit, finish_commit, resolve
+
     spark = df.sparkSession
-    if partition_by and os.path.exists(path):
+    data_dir = resolve(path)
+    if partition_by and os.path.exists(data_dir):
         parts = df.select(*partition_by).distinct().collect()
+        if not parts:
+            return  # empty increment: nothing to merge, nothing to rewrite
+        # eqNullSafe: a null partition value must still match its existing
+        # __HIVE_DEFAULT_PARTITION__ rows, or duplicate keys survive there
         pred = reduce(
             lambda a, b: a | b,
             [
                 reduce(
                     lambda a, b: a & b,
-                    [F.col(c) == r[c] for c in partition_by],
+                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
                 )
                 for r in parts
             ],
         )
-        existing = spark.read.parquet(path).filter(pred)
+        existing = spark.read.parquet(data_dir).filter(pred)
         merged = existing.unionByName(df, allowMissingColumns=True)
         winners = exact_dedup(
             merged, key_cols=key_cols, order_cols=[F.col(c).desc() for c in order_cols]
@@ -113,34 +120,31 @@ def kv_upsert_parquet(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            winners.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+            winners.write.mode("overwrite").partitionBy(*partition_by).parquet(data_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return
 
-    if os.path.exists(path):
-        existing = spark.read.parquet(path)
+    if os.path.exists(data_dir):
+        existing = spark.read.parquet(data_dir)
         merged = existing.unionByName(df, allowMissingColumns=True)
     else:
         merged = df
     winners = exact_dedup(
         merged, key_cols=key_cols, order_cols=[F.col(c).desc() for c in order_cols]
     )
-    # full rewrite via a temp dir (first write, or unpartitioned table):
-    # parquet has no transactional MERGE without a table format; at cluster
-    # scale this branch would be a Delta MERGE INTO keyed on key_cols
-    tmp = path + "__staging"
+    # full rewrite (first write, or unpartitioned table) through the
+    # manifest-pointer commit (operators/versioned.py): the new version dir
+    # is written while the live one stays untouched, then one atomic
+    # pointer flip publishes it — a crash at any point leaves a complete
+    # table, and the single write replaces the old staging double-write.
+    # At cluster scale this branch is a Delta MERGE INTO keyed on key_cols.
+    staging, version = begin_commit(path)
     w = winners.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path) if not partition_by else (
-        final.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    )
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    w.parquet(staging)
+    finish_commit(path, version)
 
 
 def weekly_rollup_path(df: DataFrame, base: str, date_col: str = "date") -> str:
