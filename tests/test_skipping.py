@@ -62,3 +62,59 @@ def test_missing_stats_never_skips(spark):
         {"file": "y", "a_min": 10, "a_max": 20},
     ]
     assert prune_files(idx, "a", 100, 200) == ["x"]  # statless kept, y pruned
+
+
+def test_read_pruned_scans_fewer_files_with_identical_results(spark, tmp_path):
+    """End-to-end read-path wiring (VERDICT r6 §next.5): io.read_pruned
+    must open strictly fewer files than a full scan on a clustered layout
+    while returning exactly the full-scan-plus-filter result."""
+    from weightlifting_wod_etl_spark.io import read_pruned
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_clustered")
+    (
+        src.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    full = spark.read.parquet(path)
+    n_files_full = len(full.inputFiles())
+    assert n_files_full == 8
+
+    import datetime
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 6, 30)
+    pruned = read_pruned(spark, path, "o_orderdate", lo, hi)
+    assert 0 < len(pruned.inputFiles()) < n_files_full  # scan reduction
+
+    want = sorted(
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in full.filter(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+        ).collect()
+    )
+    got = sorted(
+        (r.o_orderkey, round(r.o_totalprice, 2)) for r in pruned.collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_read_pruned_empty_range_keeps_schema(spark, tmp_path):
+    from weightlifting_wod_etl_spark.io import read_pruned
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    path = str(tmp_path / "orders_empty")
+    src.repartitionByRange(4, "o_orderdate").write.parquet(path)
+    import datetime
+
+    out = read_pruned(
+        spark, path, "o_orderdate",
+        datetime.datetime(2090, 1, 1), datetime.datetime(2091, 1, 1),
+    )
+    assert out.columns == ["o_orderkey", "o_orderdate"]
+    assert out.count() == 0

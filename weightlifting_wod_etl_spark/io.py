@@ -81,6 +81,35 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(resolve(path))
 
 
+def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
+    """Footer-stats pruned scan of ``col BETWEEN lo AND hi`` (closed
+    interval): open ONLY the files whose parquet-footer [min, max] for
+    ``col`` can intersect the range, then apply the predicate normally.
+
+    Pruning is an access-path optimization, never a substitute for the
+    filter — results are identical to a full scan by construction (files
+    without statistics are kept, a file's stats are true bounds). This is
+    the read-side consumer of operators/skipping.py's index: pair it with
+    a clustered layout (operators/zorder.py, compact's ``sort_by``) and a
+    selective range query opens a handful of files instead of the table.
+    At 100 TB the index itself is what Delta/Iceberg persist in their
+    metadata layer — here it is rebuilt from footers per call (one KB-scale
+    footer read per file, no data pages); persist the index DataFrame next
+    to the table to make it incremental."""
+    from pyspark.sql import functions as F
+
+    from .operators.skipping import file_stats_index, prune_files
+    from .operators.versioned import resolve
+
+    data_dir = resolve(path)
+    files = prune_files(file_stats_index(data_dir, [col]), col, lo, hi)
+    if not files:  # nothing can match; keep the schema, scan nothing
+        return spark.read.parquet(data_dir).where(F.lit(False))
+    return spark.read.parquet(*files).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:

@@ -92,6 +92,8 @@ from .queries import (  # noqa: E402,F401
 # test_driver_contract_process.py); up to 16 insertions keep the staleness
 # bound intact because only the trailing r5-green block gets displaced.
 _WINDOW_PRIORITY = [
+    # NEW in round 7 (never driver-checked — must lead the window)
+    "q_pruned_scan",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
