@@ -30,3 +30,13 @@ def test_cc_reversed_edge_direction_irrelevant(spark):
     edges = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)], ["src", "dst"])
     got = {(r.node, r.component) for r in connected_components(edges).collect()}
     assert got == {(n, 1) for n in (1, 2, 3, 4, 5)}
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """ADVICE r6: n=0 nodes must not ZeroDivisionError."""
+    from weightlifting_wod_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long, w double")
+    out = pagerank(edges)
+    assert out.columns == ["node", "r"]
+    assert out.count() == 0

@@ -146,6 +146,7 @@ def test_foreach_batch_twin_sink_exactly_once(spark, stream_dirs):
     pq_dir = os.path.join(tmp, "pq")
     js_dir = os.path.join(tmp, "js")
     ledger = os.path.join(tmp, "ledger")
+    metrics = os.path.join(tmp, "metrics")
     ckpt = os.path.join(tmp, "ckpt")
     expected = src.count()
 
@@ -158,7 +159,12 @@ def test_foreach_batch_twin_sink_exactly_once(spark, stream_dirs):
         )
         q = (
             stream.writeStream.foreachBatch(
-                make_twin_sink(pq_dir, js_dir, ledger)
+                make_twin_sink(
+                    pq_dir, js_dir, ledger,
+                    metrics_dir=metrics,
+                    required_cols=["user_id", "event_type"],
+                    measure="value",
+                )
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -172,6 +178,18 @@ def test_foreach_batch_twin_sink_exactly_once(spark, stream_dirs):
     assert pq_rows == expected
     assert js_rows == expected
     assert len(glob.glob(os.path.join(ledger, "*.done"))) >= 2  # >=2 batches
+
+    # Observation counters: one metrics file per batch, computed by the
+    # write tasks themselves (no extra scan); counts sum to the input
+    import json as _json
+
+    metric_files = sorted(glob.glob(os.path.join(metrics, "batch-*.json")))
+    assert len(metric_files) == len(glob.glob(os.path.join(ledger, "*.done")))
+    per_batch = [_json.load(open(f)) for f in metric_files]
+    for m in per_batch:
+        assert {"batch_id", "n_rows", "null_user_id", "null_event_type",
+                "sum_value_cents"} <= set(m)
+    assert sum(m["n_rows"] for m in per_batch) == expected
 
     run()  # replay with the same checkpoint: availableNow sees nothing new
     assert spark.read.parquet(pq_dir + "/batch_id=*").count() == expected

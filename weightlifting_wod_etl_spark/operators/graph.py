@@ -107,6 +107,8 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:  # empty edge frame: no nodes, no ranks (not a 1/n crash)
+        return nodes.withColumn("r", F.lit(0.0))
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
     norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("p")

@@ -221,14 +221,20 @@ class _PostsStreamReader(DataSourceStreamReader):
         self._inner = _PostsReader(options)
         if not self._inner.pages_dir:
             raise ValueError("wod_posts streaming requires 'pages_dir'")
+        # resume the contiguity walk from the last returned cursor instead
+        # of start_page: a long-running tail probes O(new pages) per
+        # trigger, not O(table age). Sound because pages are immutable and
+        # the cursor only ever advances over pages that exist.
+        self._cursor = self._inner.start_page
 
     def initialOffset(self) -> dict:
         return {"next_page": self._inner.start_page}
 
     def latestOffset(self) -> dict:
-        p = self._inner.start_page
+        p = self._cursor
         while os.path.exists(os.path.join(self._inner.pages_dir, f"page-{p}.json")):
             p += 1
+        self._cursor = p
         return {"next_page": p}
 
     def partitions(self, start: dict, end: dict):

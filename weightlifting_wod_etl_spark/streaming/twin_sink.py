@@ -16,10 +16,18 @@ Scale notes: the batch DataFrame is persisted before the fan-out so the
 upstream plan (shuffles included) runs ONCE, not once per sink; the marker
 store here is a local dir — on a cluster it would be the same object store
 as the sinks (rename-commit), but the protocol is identical.
+
+Observability: with ``metrics_dir`` set, each micro-batch also emits the
+operators/metrics.py audit counters (rows, per-column nulls, optional
+measure sum/min/max) — attached via ``Observation`` to the parquet write,
+so they are computed by the SAME tasks that persist the batch, zero extra
+scans. Metric files are keyed by batch id and overwritten on replay, the
+same idempotency contract as the data.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -27,19 +35,40 @@ from pyspark.sql import DataFrame
 
 
 def make_twin_sink(
-    parquet_dir: str, jsonl_dir: str, ledger_dir: str
+    parquet_dir: str,
+    jsonl_dir: str,
+    ledger_dir: str,
+    metrics_dir: str | None = None,
+    required_cols: list[str] | None = None,
+    measure: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function writing each batch to parquet AND
-    JSONL, idempotent under micro-batch replay."""
+    JSONL, idempotent under micro-batch replay; optionally logging
+    per-batch Observation counters to ``metrics_dir/batch-N.json``."""
     os.makedirs(ledger_dir, exist_ok=True)
+    if metrics_dir:
+        os.makedirs(metrics_dir, exist_ok=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
         if os.path.exists(marker):
             return  # fully committed on a previous attempt — elide all work
         batch_df.persist()
+        obs = None
+        first = batch_df
+        if metrics_dir:
+            from ..operators.metrics import observe_quality
+
+            first, obs = observe_quality(
+                batch_df,
+                required=required_cols or [],
+                measure=measure,
+                name=f"twin_batch_{batch_id}",
+            )
         try:
-            batch_df.write.mode("overwrite").parquet(
+            # the observed frame drives the FIRST action: counters fill
+            # while parquet writes; the JSONL write re-reads the cache
+            first.write.mode("overwrite").parquet(
                 os.path.join(parquet_dir, f"batch_id={batch_id}")
             )
             batch_df.write.mode("overwrite").json(
@@ -47,6 +76,9 @@ def make_twin_sink(
             )
         finally:
             batch_df.unpersist()
+        if obs is not None:
+            with open(os.path.join(metrics_dir, f"batch-{batch_id}.json"), "w") as f:
+                json.dump({"batch_id": batch_id, **obs.get}, f)
         with open(marker, "w"):
             pass
 
