@@ -114,6 +114,10 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_kv_upsert_dedup",
     "q_scalar_subquery",
+    # round-7 new queries — regression-tracked from birth
+    "q_pruned_scan",
+    "q_bloom_semi_join",
+    "q_chi_square",
 ]
 
 

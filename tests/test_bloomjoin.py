@@ -1,0 +1,69 @@
+"""Bloom-bitmap semi join: exact equivalence to a plain left-semi join at
+any false-positive rate, real pruning before the verify join, broadcast
+bitmap in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weightlifting_wod_etl_spark.operators.bloomjoin import (
+    _with_slot,
+    bloom_semi_join,
+)
+
+
+def _sets(df, col):
+    return {r[col] for r in df.collect()}
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    fact = spark.range(10_000).select(F.col("id").alias("k"))
+    dim = spark.range(10_000).filter("id % 37 = 0").select(F.col("id").alias("d"))
+    got = bloom_semi_join(fact, dim, "k", "d")
+    want = fact.join(dim, fact.k == dim.d, "left_semi")
+    assert _sets(got, "k") == _sets(want, "k")
+    assert got.columns == fact.columns  # no helper columns leak
+
+
+def test_exact_even_when_bitmap_saturates(spark):
+    """num_bits far below the key count → near-100% false positives; the
+    verify join must still make the result exact."""
+    fact = spark.range(5_000).select(F.col("id").alias("k"))
+    dim = spark.range(5_000).filter("id % 11 = 3").select(F.col("id").alias("d"))
+    got = bloom_semi_join(fact, dim, "k", "d", num_bits=64)
+    want = fact.join(dim, fact.k == dim.d, "left_semi")
+    assert _sets(got, "k") == _sets(want, "k")
+
+
+def test_bitmap_prunes_most_nonmatching_rows(spark):
+    """At the default sizing the bit-test alone (no verify join) must drop
+    the overwhelming majority of non-matching fact rows — that reduction
+    is the whole point (the verify join's shuffle shrinks accordingly)."""
+    fact = spark.range(50_000).select(F.col("id").alias("k"))
+    dim = spark.range(50_000).filter("id % 100 = 0").select(F.col("id").alias("d"))
+    bitmap = (
+        _with_slot(dim.select("d"), "d", 1 << 22)
+        .groupBy("bf_word")
+        .agg(F.bit_or("bf_mask").alias("bf_bits"))
+    )
+    survivors = (
+        _with_slot(fact, "k", 1 << 22)
+        .join(F.broadcast(bitmap), "bf_word")
+        .filter(F.col("bf_bits").bitwiseAND(F.col("bf_mask")) != 0)
+        .count()
+    )
+    true_matches = 500
+    # 500 true keys + expected fp ≈ 50k * 500/2^22 ≈ 6 — allow generous slack
+    assert true_matches <= survivors < true_matches + 200
+
+
+def test_bitmap_join_is_broadcast_in_plan(spark):
+    fact = spark.range(1_000).select(F.col("id").alias("k"))
+    dim = spark.range(100).select(F.col("id").alias("d"))
+    plan = (
+        bloom_semi_join(fact, dim, "k", "d")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # the bitmap side never shuffles fact

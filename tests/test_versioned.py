@@ -184,3 +184,28 @@ def test_kv_upsert_null_partition_value_still_merges(spark, tmp_path):
         (None, "am"): (2, "new"),
         ("2021-01-04", "am"): (1, "keep"),
     }
+
+
+def test_time_travel_reads_retained_snapshot(spark, tmp_path):
+    """Committed versions are immutable → an old version is a consistent
+    as-of view (Delta versionAsOf contract); GC'd versions fail loudly."""
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        list_versions,
+        version_dir,
+    )
+
+    path = str(tmp_path / "tt")
+    contents = {}
+    for v in (1, 2, 3):
+        staging, ver = begin_commit(path)
+        spark.range(v * 10, v * 10 + v).write.parquet(staging)
+        finish_commit(path, ver)
+        contents[v] = set(range(v * 10, v * 10 + v))
+
+    assert list_versions(path) == [2, 3]  # keep_versions=1 GC'd v1
+    assert {r.id for r in read_table(spark, path).collect()} == contents[3]
+    assert {r.id for r in read_table(spark, path, version=2).collect()} == contents[2]
+    with pytest.raises(FileNotFoundError):
+        version_dir(path, 1)  # GC'd
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=9)  # never committed

@@ -72,13 +72,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read an engine-managed table: resolves the versioned-commit pointer
     (operators/versioned.py) when present, else scans ``path`` directly —
-    the one entry point that handles both layouts."""
-    from .operators.versioned import resolve
+    the one entry point that handles both layouts.
 
-    return spark.read.parquet(resolve(path))
+    ``version`` time-travels to a retained snapshot (committed versions
+    are immutable, so an old version is a consistent as-of view — the same
+    contract as Delta's ``versionAsOf``); raises ``FileNotFoundError``
+    if that snapshot was GC'd."""
+    from .operators.versioned import resolve, version_dir
+
+    d = resolve(path) if version is None else version_dir(path, version)
+    return spark.read.parquet(d)
 
 
 def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:

@@ -60,6 +60,34 @@ def current_version(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def list_versions(path: str) -> list[int]:
+    """Version numbers still on disk (time-travel targets), ascending.
+    Bounded by ``keep_versions`` + 1 — old snapshots are GC'd at commit."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return []
+    current = current_version(path)
+    return sorted(
+        int(m.group(1))
+        for e in entries
+        if (m := _VDIR.match(e)) and int(m.group(1)) <= current
+    )
+
+
+def version_dir(path: str, version: int) -> str:
+    """Data directory of a specific retained version (time travel). Raises
+    ``FileNotFoundError`` for GC'd or never-committed versions — asking
+    for history that is gone must be loud, not an empty scan."""
+    d = os.path.join(path, f"_v{version:06d}")
+    if version > current_version(path) or not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"version {version} of {path} is not on disk "
+            f"(retained: {list_versions(path)})"
+        )
+    return d
+
+
 def begin_commit(path: str) -> tuple[str, int]:
     """Allocate the next version's staging directory.
 

@@ -578,3 +578,63 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("event_type"), F.round("r", 6).alias("pagerank")
     )
+
+
+@register(
+    "q_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, (user_id % 4)::BIGINT AS segment,
+               count(*)::BIGINT AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, sum(o)::BIGINT AS r FROM obs GROUP BY 1),
+    cols_ AS (SELECT segment, sum(o)::BIGINT AS c FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o)::BIGINT AS n FROM obs),
+    grid AS (
+        SELECT rw.event_type, cl.segment, rw.r, cl.c, t.n,
+               coalesce(ob.o, 0) AS o
+        FROM rows_ rw CROSS JOIN cols_ cl CROSS JOIN tot t
+        LEFT JOIN obs ob
+          ON ob.event_type = rw.event_type AND ob.segment = cl.segment
+    )
+    SELECT round(sum(pow(o - r * c / CAST(n AS DOUBLE), 2)
+                     / (r * c / CAST(n AS DOUBLE))), 4) AS chi2,
+           ((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT segment) - 1))::BIGINT AS dof,
+           max(n)::BIGINT AS n
+    FROM grid
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × user segment — the
+    distributed contingency-table statistic a curation pipeline uses to
+    detect behavioral drift between cohorts.
+
+    Plan: ONE data-proportional pass (the partial-aggregated groupBy to
+    observed cell counts); every downstream step — marginals, the full
+    R×C grid (explicit, so structurally-zero cells contribute their
+    expected mass), the statistic — runs on |R|·|C| rows via broadcast
+    joins. At 100 TB the cost is the one events shuffle, nothing else
+    grows with data volume."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("user_id % 4").cast("long").alias("segment")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("segment").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["event_type", "segment"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    exp = F.col("r") * F.col("c") / F.col("n").cast("double")
+    return grid.agg(
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )

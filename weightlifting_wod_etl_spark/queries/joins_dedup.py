@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..functions.money import to_fixed
 from ..io import load_table
 from ..operators.asof import asof_join
+from ..operators.bloomjoin import bloom_semi_join
 from ..operators.dedup import anti_join_ledger, exact_dedup, idempotency_key
 from ..operators.rangejoin import band_range_join
 from ..queries_registry import register
@@ -373,4 +374,48 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("edit_dist") <= 3)
         .select("name_a", "name_b", "edit_dist", "cnt_a", "cnt_b")
+    )
+
+
+@register(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN (
+        SELECT c.c_custkey
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitmap pruned semi join (operators/bloomjoin.py): orders
+    placed by customers of three nations. The dim's key set folds to a
+    broadcast bitmap (bit_or monoid, map-side combined); the fact side is
+    pruned by a broadcast bit-test BEFORE the exact semi join, so the
+    verify join's fact shuffle carries only true matches plus a ~n/m
+    false-positive sliver — identical results to the plain semi join the
+    oracle runs, by construction. The manual, composable form of AQE's
+    runtime bloom-filter join, for when the planner can't see the
+    selectivity (100 TB: a 100M-key dim broadcasts as a 128 MB bitmap
+    where its raw rows never would)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(
+            nation.filter(
+                F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+            )
+        ),
+        customer.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey")
+    matched = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )

@@ -94,6 +94,8 @@ from .queries import (  # noqa: E402,F401
 _WINDOW_PRIORITY = [
     # NEW in round 7 (never driver-checked — must lead the window)
     "q_pruned_scan",
+    "q_bloom_semi_join",
+    "q_chi_square",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
