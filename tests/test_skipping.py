@@ -118,3 +118,53 @@ def test_read_pruned_empty_range_keeps_schema(spark, tmp_path):
     )
     assert out.columns == ["o_orderkey", "o_orderdate"]
     assert out.count() == 0
+
+
+def test_persisted_index_is_committed_with_version_and_consumed(
+    spark, tmp_path, monkeypatch
+):
+    """compact(sort_by=..., stats index) publishes data + index in ONE
+    atomic commit; read_pruned must consume the persisted index (proved by
+    making the live footer-scan path explode) and prune effectively."""
+    import weightlifting_wod_etl_spark.io as io_mod
+    from weightlifting_wod_etl_spark.io import read_pruned
+    from weightlifting_wod_etl_spark.operators import skipping as skipping_mod
+    from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+    from weightlifting_wod_etl_spark.operators.skipping import load_stats_index
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_vt")
+    src.repartition(32).write.parquet(path)  # small files, unclustered
+    _, total = __import__(
+        "weightlifting_wod_etl_spark.operators.compact", fromlist=["dir_stats"]
+    ).dir_stats(path)
+    compact_parquet(
+        spark, path, target_file_bytes=max(1, total // 8),
+        sort_by=["o_orderdate"],
+    )
+    data_dir = resolve(path)
+    idx = load_stats_index(data_dir)
+    assert idx is not None and all("o_orderdate_min" in e for e in idx)
+    assert all(e["file"].startswith(data_dir) for e in idx)
+
+    def boom(*a, **k):
+        raise AssertionError("footer scan must not run when index persisted")
+
+    monkeypatch.setattr(skipping_mod, "file_stats_index", boom)
+    monkeypatch.setattr(io_mod, "file_stats_index", boom, raising=False)
+
+    import datetime
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 6, 30)
+    pruned = read_pruned(spark, path, "o_orderdate", lo, hi)
+    n_total_files = len(spark.read.parquet(data_dir).inputFiles())
+    assert 0 < len(pruned.inputFiles()) < n_total_files
+    want = (
+        spark.read.parquet(data_dir)
+        .filter((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi)))
+        .count()
+    )
+    assert pruned.count() == want > 0

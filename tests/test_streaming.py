@@ -430,3 +430,48 @@ def test_tws_processor_logic_with_fake_state():
     assert len(out3) == 1
     assert out3.iloc[0].n_events == 2 and out3.iloc[0].sum_value == 12.0
     assert not handle.state.exists()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dirs):
+    """Stream-stream event-time interval join (purchase within 1 hour of a
+    click by the same user): the streamed inner join must emit exactly the
+    batch join's pairs. Watermark is set beyond the data's span so no
+    state is evicted mid-test; the time-range bound is still what lets the
+    planner accept the stream-stream join at all."""
+    from weightlifting_wod_etl_spark.streaming.joins import interval_join
+
+    src, in_dir, ckpt = stream_dirs
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        buys = df.filter("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+        )
+        return clicks, buys
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    s_clicks, s_buys = split(stream)
+    joined = interval_join(
+        s_clicks, s_buys, "user_id", "click_ts", "buy_ts",
+        max_delay="1 hour", watermark="365 days",
+    ).select("user_id", "click_id", "buy_id")
+    got = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in _run_stream(spark, joined, ckpt + "_ssj", "ssj_out").collect()
+    }
+
+    b_clicks, b_buys = split(src)
+    want = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in interval_join(
+            b_clicks, b_buys, "user_id", "click_ts", "buy_ts", max_delay="1 hour"
+        ).select("user_id", "click_id", "buy_id").collect()
+    }
+    assert len(want) > 0, "fixture produced no click→purchase pairs"
+    assert got == want

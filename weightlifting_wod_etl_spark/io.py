@@ -101,16 +101,26 @@ def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     a clustered layout (operators/zorder.py, compact's ``sort_by``) and a
     selective range query opens a handful of files instead of the table.
     At 100 TB the index itself is what Delta/Iceberg persist in their
-    metadata layer — here it is rebuilt from footers per call (one KB-scale
-    footer read per file, no data pages); persist the index DataFrame next
-    to the table to make it incremental."""
+    metadata layer — a persisted index (``skipping.save_stats_index``,
+    committed atomically with the version dir it describes) is preferred
+    when present; otherwise the index is rebuilt from footers (one
+    KB-scale footer read per file, no data pages)."""
     from pyspark.sql import functions as F
 
-    from .operators.skipping import file_stats_index, prune_files
+    from .operators.skipping import (
+        file_stats_index,
+        load_stats_index,
+        prune_files,
+    )
     from .operators.versioned import resolve
 
     data_dir = resolve(path)
-    files = prune_files(file_stats_index(data_dir, [col]), col, lo, hi)
+    index = load_stats_index(data_dir)
+    if index is None or not all(
+        f"{col}_min" in e for e in index
+    ):  # absent or built for other columns → live footer scan
+        index = file_stats_index(data_dir, [col])
+    files = prune_files(index, col, lo, hi)
     if not files:  # nothing can match; keep the schema, scan nothing
         return spark.read.parquet(data_dir).where(F.lit(False))
     return spark.read.parquet(*files).where(

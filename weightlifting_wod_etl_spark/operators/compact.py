@@ -39,7 +39,7 @@ def dir_stats(path: str) -> tuple[int, int]:
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
-            if fn.endswith(".parquet"):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 n += 1
                 total += os.path.getsize(os.path.join(root, fn))
     return n, total
@@ -50,13 +50,20 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Rewrite ``path`` into ``ceil(bytes / target)`` files; returns
     (files_before, files_after). No-op (no rewrite at all) when the
     layout is already within one file of ideal. Accepts both plain
     parquet dirs (first compaction migrates them to the versioned
     layout) and already-versioned tables; read results back with
-    ``io.read_table`` / ``versioned.resolve``."""
+    ``io.read_table`` / ``versioned.resolve``.
+
+    ``stats_cols`` persists a footer-stats skipping index into the new
+    version dir BEFORE the pointer flip — data and the index describing
+    it are published in the same atomic commit, so ``io.read_pruned``
+    never sees an index that disagrees with the files (defaults to
+    ``sort_by``: the clustered columns are exactly the prunable ones)."""
     data_dir = resolve(path)
     before, total = dir_stats(data_dir)
     want = max(1, math.ceil(total / target_file_bytes))
@@ -69,6 +76,11 @@ def compact_parquet(
         out = df.repartition(want)
     staging, version = begin_commit(path)
     out.write.mode("overwrite").parquet(staging)
+    index_cols = stats_cols if stats_cols is not None else (sort_by or [])
+    if index_cols:
+        from .skipping import save_stats_index
+
+        save_stats_index(staging, index_cols)
     finish_commit(path, version)
     after, _ = dir_stats(resolve(path))
     return before, after

@@ -34,6 +34,8 @@ def file_stats_index(path: str, cols: list[str]) -> list[dict]:
     unsound)."""
     index = []
     for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue  # metadata artifacts (e.g. the persisted index itself)
         meta = pq.ParquetFile(f).metadata
         schema_names = {meta.row_group(0).column(i).path_in_schema: i
                         for i in range(meta.num_columns)} if meta.num_row_groups else {}
@@ -63,3 +65,38 @@ def prune_files(index: list[dict], col: str, lo, hi) -> list[str]:
         if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
             keep.append(e["file"])
     return keep
+
+
+_INDEX_NAME = "_stats_index.parquet"
+
+
+def save_stats_index(data_dir: str, cols: list[str]) -> str:
+    """Build the footer-stats index for ``data_dir`` and persist it INSIDE
+    the directory (underscore-prefixed → invisible to Spark data scans).
+
+    Written into a version dir before the manifest-pointer flip
+    (operators/versioned.py), the index is published atomically WITH the
+    data it describes — the engine-side analog of the per-file stats
+    Delta/Iceberg carry in their commit metadata. File paths are stored
+    relative to ``data_dir`` so a version dir stays self-contained."""
+    import pyarrow as pa
+
+    index = file_stats_index(data_dir, cols)
+    rel = [
+        {**e, "file": os.path.relpath(e["file"], data_dir)} for e in index
+    ]
+    out = os.path.join(data_dir, _INDEX_NAME)
+    pq.write_table(pa.Table.from_pylist(rel), out)
+    return out
+
+
+def load_stats_index(data_dir: str) -> list[dict] | None:
+    """Persisted index for ``data_dir`` (absolute file paths restored), or
+    ``None`` when absent — callers fall back to a live footer scan."""
+    p = os.path.join(data_dir, _INDEX_NAME)
+    if not os.path.exists(p):
+        return None
+    rows = pq.read_table(p).to_pylist()
+    return [
+        {**e, "file": os.path.join(data_dir, e["file"])} for e in rows
+    ]

@@ -379,6 +379,11 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(scratch)
     )
+    # persist the skipping index next to the data — read_pruned consumes
+    # the persisted form (the metadata-layer path), not a live footer scan
+    from ..operators.skipping import save_stats_index
+
+    save_stats_index(scratch, ["o_orderdate"])
     from ..io import read_pruned
 
     pruned = read_pruned(

@@ -1,0 +1,53 @@
+"""Stream-stream event-time interval join — the streaming flavor of the
+band range join (operators/rangejoin.py).
+
+Why: correlating two live streams ("purchase within an hour of the
+click") cannot buffer either side whole. Structured Streaming's
+stream-stream join keys both sides' state by the equi-join key and uses
+watermarks + the time-range predicate to bound how long a row waits for
+a partner: a left row is dropped from state once the right watermark
+passes ``left_ts + max_delay`` — state size is O(rows inside the
+watermark horizon), never O(stream).
+
+Scale notes: state is hash-partitioned by the join key across executors
+(same layout as the batch shuffle join); the time-range condition is what
+lets Spark evict — an interval join WITHOUT the range bound keeps state
+forever. Inner joins emit a pair the moment both sides arrive; outer
+variants additionally emit the unmatched row when the watermark proves no
+partner can come.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows sharing ``key`` where ``right_ts`` lands within
+    ``[left_ts, left_ts + max_delay]``.
+
+    Works identically on batch and streaming frames (the batch plan simply
+    ignores watermarks) — tests cross-check the streamed result against
+    the batch join on the same data. Column names other than ``key`` must
+    be disjoint between the two sides; the right key column is dropped
+    from the output."""
+    l_ = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r_ = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    rkey = f"__r_{key}"
+    r_ = r_.withColumnRenamed(key, rkey)
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l_.join(r_, cond, how).drop(rkey)
