@@ -118,6 +118,11 @@ HEADLINE = [
     "q_pruned_scan",
     "q_bloom_semi_join",
     "q_chi_square",
+    "q_streaks",
+    "q_mode_per_group",
+    "q_linreg_trend",
+    "q_rollup_time",
+    "q_variant_json",
 ]
 
 

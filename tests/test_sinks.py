@@ -206,3 +206,20 @@ def test_kv_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp):
         ("2021-01-04", "am"): (1, "b"),
         ("2021-01-05", "am"): (1, "c"),
     }
+
+
+def test_xml_round_trip_explicit_schema(spark, tmp):
+    """XML source/sink (Spark 4 native) — the XML interchange path (RSS /
+    WXR exports in the reference's WordPress world), explicit schema."""
+    from weightlifting_wod_etl_spark.io import load_table, read_xml, write_xml
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = f"{tmp}/orders_xml"
+    write_xml(orders, path, row_tag="order")
+    back = read_xml(spark, path, orders.schema, row_tag="order")
+    assert back.schema == orders.schema
+    a = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in orders.collect()}
+    b = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in back.collect()}
+    assert a == b

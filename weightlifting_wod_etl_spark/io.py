@@ -184,3 +184,21 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     """CSV scan with an EXPLICIT schema (no inference job)."""
     return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite") -> None:
+    """XML sink (Spark 4 native) — interchange with the XML feeds the
+    reference's WordPress world still speaks (RSS/sitemaps/WXR exports).
+    One file per partition, rows under ``row_tag``."""
+    df.write.mode(mode).option("rowTag", row_tag).format("xml").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema, row_tag: str = "row") -> DataFrame:
+    """XML scan with an EXPLICIT schema — like CSV, inference is a second
+    full scan; never at scale."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

@@ -741,3 +741,37 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg((F.sum(rev_fixed) / F.lit(10000.0)).alias("revenue"))
     )
+
+
+@register(
+    "q_rollup_time",
+    oracle="""
+    SELECT extract(year FROM o_orderdate)::BIGINT AS yr,
+           extract(month FROM o_orderdate)::BIGINT AS mo,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP(extract(year FROM o_orderdate)::BIGINT,
+                    extract(month FROM o_orderdate)::BIGINT)
+    """,
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP (grand total → per-year → per-month) —
+    completes the grouping-set family beside CUBE (q_cube) and explicit
+    GROUPING SETS (q_grouping_sets). Spark expands the rollup via a single
+    Expand node feeding ONE hash aggregate: 3 output rows per input row on
+    the map side, partially aggregated before the shuffle — at 100 TB the
+    exchange carries ~|years|·|months| rows, not 3× the table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            "o_totalprice",
+        )
+        .rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -638,3 +638,94 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "q_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS day_no
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, day_no,
+               day_no - row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day_no) AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, count(*)::BIGINT AS len
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(len)::BIGINT AS best_streak,
+           sum(len)::BIGINT AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern (day_number − row_number is constant within a
+    consecutive run), the engagement metric every retention dashboard
+    needs.
+
+    Plan: dedup to (user, day) first — the window then runs over at most
+    users × days rows, not raw events — and the row_number partitions by
+    user, so no global sort and no hot key (each user's partition is tiny).
+    At 100 TB the only data-proportional step is the distinct; everything
+    after operates on the bounded activity-calendar."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_no"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_no")
+    runs = (
+        days.withColumn("island", F.col("day_no") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("best_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+@register(
+    "q_mode_per_group",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_mode
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent event_type per user).
+    Built-in ``mode()`` breaks ties arbitrarily — useless under an oracle
+    and non-reproducible across runs — so the mode is counts + a total
+    order (count DESC, value ASC). Plan: partial-aggregated count, then a
+    WindowGroupLimit rank over the tiny per-user count list."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("n_mode"),
+        )
+    )

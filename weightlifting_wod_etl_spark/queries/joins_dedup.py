@@ -419,3 +419,39 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(k)::BIGINT AS n_with_k,
+           round(avg(k), 4) AS avg_k,
+           max(k)::BIGINT AS max_k
+    FROM (
+        SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: parse the
+    raw JSON props column once into a binary variant and path-extract with
+    ``variant_get`` — the engine encodes the parsed structure instead of
+    re-tokenizing JSON text per access, and at rest a variant column
+    shreds into parquet subcolumns so repeated paths read columnar. The
+    schema-on-read answer for event property bags that evolve faster than
+    any declared schema (the reference stores WP post payloads exactly
+    this loosely). Typed extraction (``'$.k'`` as long) returns NULL on
+    missing paths — same null semantics the oracle's ``->>`` has."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )

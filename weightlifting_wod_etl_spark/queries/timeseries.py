@@ -275,3 +275,45 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         (num / (den * F.lit(100.0))).alias("ewma"),
     )
+
+
+@register(
+    "q_linreg_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS day_x,
+               round(sum(value), 4) AS rev
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           round(regr_slope(rev, day_x), 6) AS slope,
+           round(regr_intercept(rev, day_x), 4) AS intercept,
+           round(regr_r2(rev, day_x), 6) AS r2,
+           count(*)::BIGINT AS n_days
+    FROM daily GROUP BY event_type
+    """,
+)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend (slope / intercept / R²) of daily
+    revenue — drift detection over time series, via the ANSI ``regr_*``
+    aggregates both engines implement from the same closed form.
+
+    Plan: one partial-aggregated pass to the daily series (the only
+    data-proportional step; the daily sum is rounded BEFORE the regression
+    so float summation order can't leak into the fit), then the regr_*
+    co-moments aggregate |days| rows per series in a single reduce — at
+    100 TB the regression itself touches thousands of rows, not billions."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_x"),
+    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    return daily.groupBy("event_type").agg(
+        F.round(F.expr("regr_slope(rev, day_x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(rev, day_x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(rev, day_x)"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

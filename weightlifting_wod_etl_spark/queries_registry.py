@@ -96,6 +96,11 @@ _WINDOW_PRIORITY = [
     "q_pruned_scan",
     "q_bloom_semi_join",
     "q_chi_square",
+    "q_streaks",
+    "q_mode_per_group",
+    "q_linreg_trend",
+    "q_rollup_time",
+    "q_variant_json",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
