@@ -123,6 +123,8 @@ HEADLINE = [
     "q_linreg_trend",
     "q_rollup_time",
     "q_variant_json",
+    "q_recursive_reachability",
+    "q_unpivot_measures",
 ]
 
 

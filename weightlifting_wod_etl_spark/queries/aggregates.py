@@ -775,3 +775,55 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_unpivot_measures",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           count(*)::BIGINT AS n,
+           round(avg(val), 4) AS avg_val,
+           round(sum(round(val * 10000)::BIGINT) / 10000.0, 4) AS sum_val
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native UNPIVOT operator, then one agg per
+    (group, measure) — the melt step every metrics pipeline needs before a
+    generic per-measure aggregation.
+
+    Unpivot is a zero-shuffle Expand (4 output rows per input row emitted
+    map-side, like rollup's expansion) feeding a partially-aggregated
+    groupBy — at 100 TB the exchange carries |flags|×|measures| combined
+    rows, not 4× the table. The oracle states the same reshape as the
+    portable UNION ALL form. Sums go through fixed-point so the 4×
+    expansion can't change float addition order across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    ).unpivot(
+        "l_returnflag",
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.round(
+            F.sum(F.round(F.col("val") * 10000).cast("long")) / F.lit(10000.0), 4
+        ).alias("sum_val"),
+    )

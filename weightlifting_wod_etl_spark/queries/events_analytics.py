@@ -615,12 +615,18 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed cell counts); every downstream step — marginals, the full
     R×C grid (explicit, so structurally-zero cells contribute their
     expected mass), the statistic — runs on |R|·|C| rows via broadcast
-    joins. At 100 TB the cost is the one events shuffle, nothing else
-    grows with data volume."""
+    joins. The cell-count frame is lazily localCheckpointed so the four
+    consumers (marginals ×2, total, grid) share ONE events scan instead
+    of each re-deriving it — plan-test-pinned. At 100 TB the cost is the
+    one events shuffle, nothing else grows with data volume."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("user_id % 4").cast("long").alias("segment")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = (
+        e.groupBy(
+            "event_type", F.expr("user_id % 4").cast("long").alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("segment").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
@@ -728,4 +734,65 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("mode_event_type"),
             F.col("n").alias("n_mode"),
         )
+    )
+
+
+@register(
+    "q_recursive_reachability",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ) WHERE dst IS NOT NULL AND src <> dst
+    ),
+    reach(node, hops) AS (
+        SELECT 'signup', 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN e ON e.src = r.node
+        WHERE r.hops < 4
+    )
+    SELECT node, min(hops)::BIGINT AS min_hops
+    FROM reach GROUP BY node
+    """,
+)
+def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS reachability through the observed event-type transition graph
+    (which states can follow 'signup', and in how few steps) via Spark 4's
+    recursive CTE — the SQL-standard fixpoint the engine previously only
+    offered as the driver-loop iterate primitive (operators/graph.py).
+
+    Scale split: the ONE data-proportional step is deriving the edge set
+    (a per-user lead window, then DISTINCT collapses to ≤|event types|²
+    rows); the recursion itself iterates over the collapsed graph, so its
+    cost is bounded by graph size × hop cap, never by event volume. The
+    hop bound also makes the UNION ALL recursion terminate on cyclic
+    graphs — min(hops) afterwards recovers BFS depth from the walk
+    expansion."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("wod_transition_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+            SELECT 'signup', 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1
+            FROM reach r JOIN wod_transition_edges e ON e.src = r.node
+            WHERE r.hops < 4
+        )
+        SELECT node, CAST(min(hops) AS BIGINT) AS min_hops
+        FROM reach GROUP BY node
+        """
     )

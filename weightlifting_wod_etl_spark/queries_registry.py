@@ -101,6 +101,8 @@ _WINDOW_PRIORITY = [
     "q_linreg_trend",
     "q_rollup_time",
     "q_variant_json",
+    "q_recursive_reachability",
+    "q_unpivot_measures",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
