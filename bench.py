@@ -125,6 +125,7 @@ HEADLINE = [
     "q_variant_json",
     "q_recursive_reachability",
     "q_unpivot_measures",
+    "q_autocorr",
 ]
 
 

@@ -400,3 +400,72 @@ def test_mad_fence_robust_to_planted_outlier(spark):
         F.mean("cents").alias("mu"), F.stddev_pop("cents").alias("sd")
     ).collect()[0]
     assert stats.sd > 1000 * mad.d50
+
+
+@given(
+    fact=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    dim=st.lists(st.integers(0, 40), min_size=0, max_size=15),
+    num_bits=st.sampled_from([64, 1024, 1 << 20]),
+)
+@settings(**_SETTINGS)
+def test_bloom_semi_join_matches_set_membership(spark, fact, dim, num_bits):
+    """At ANY bitmap size (including fp-saturated 64-bit) the pruned
+    semi join equals plain set membership; empty dim → empty result."""
+    from weightlifting_wod_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    fdf = spark.createDataFrame([(i, k) for i, k in enumerate(fact)], ["i", "k"])
+    ddf = spark.createDataFrame(
+        [(k,) for k in dim] or [(None,)], "d bigint"
+    ).filter("d IS NOT NULL")
+    got = sorted((r.i, r.k) for r in bloom_semi_join(fdf, ddf, "k", "d").collect())
+    want = sorted((i, k) for i, k in enumerate(fact) if k in set(dim))
+    assert got == want
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    delay=st.sampled_from([0, 5, 10]),
+)
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, left, right, delay):
+    """Batch semantics of the stream-stream interval join: pairs share the
+    key and right_ts ∈ [left_ts, left_ts + delay] (closed both ends)."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.streaming.joins import interval_join
+
+    import datetime
+
+    base = datetime.datetime(2021, 1, 1)
+    ldf = spark.createDataFrame(
+        [
+            (i, k, base + datetime.timedelta(seconds=t))
+            for i, (k, t) in enumerate(left)
+        ],
+        "lid long, k long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (i, k, base + datetime.timedelta(seconds=t))
+            for i, (k, t) in enumerate(right)
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, "k", "lts", "rts", max_delay=f"{delay} seconds"
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and lt <= rt <= lt + delay
+    )
+    assert got == want

@@ -209,3 +209,30 @@ def test_time_travel_reads_retained_snapshot(spark, tmp_path):
         version_dir(path, 1)  # GC'd
     with pytest.raises(FileNotFoundError):
         read_table(spark, path, version=9)  # never committed
+
+
+def test_kv_upsert_schema_evolution_adds_column(spark, tmp_path):
+    """An increment carrying a NEW column merges without rewriting history:
+    old rows read back with NULL in the added column (unionByName
+    allowMissingColumns — the parquet-level schema-evolution contract)."""
+    path = str(tmp_path / "kv_evolve")
+    v1 = spark.createDataFrame([("a", 1, "x")], ["k", "version", "payload"])
+    kv_upsert_parquet(v1, path, key_cols=["k"], order_cols=["version"])
+    v2 = spark.createDataFrame(
+        [("b", 1, "y", "extra")], ["k", "version", "payload", "note"]
+    )
+    kv_upsert_parquet(v2, path, key_cols=["k"], order_cols=["version"])
+    got = {r.k: (r.payload, r.note) for r in read_table(spark, path).collect()}
+    assert got == {"a": ("x", None), "b": ("y", "extra")}
+
+
+def test_kv_upsert_stats_cols_commits_index_with_data(spark, tmp_path):
+    from weightlifting_wod_etl_spark.operators.skipping import load_stats_index
+
+    path = str(tmp_path / "kv_stats")
+    df = spark.range(1000).selectExpr("id AS k", "1 AS version", "id * 2 AS v")
+    kv_upsert_parquet(
+        df, path, key_cols=["k"], order_cols=["version"], stats_cols=["k"]
+    )
+    idx = load_stats_index(resolve(path))
+    assert idx is not None and all("k_min" in e for e in idx)

@@ -317,3 +317,48 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(rev, day_x)"), 6).alias("r2"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               (CAST(ts AS DATE) - DATE '1970-01-01') AS day_x,
+               round(sum(value), 4) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, rev,
+               lag(rev) OVER (PARTITION BY event_type ORDER BY day_x) AS prev
+        FROM daily
+    )
+    SELECT event_type,
+           round(corr(rev, prev), 6) AS autocorr_1,
+           count(prev)::BIGINT AS n_pairs
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each daily revenue series — the
+    self-similarity statistic behind seasonality checks and anomaly
+    baselines, composed from the same co-moment aggregate as
+    q_corr_stats applied to (value, lag(value)).
+
+    Plan: the data-proportional pass is the daily partial-agg (rounded
+    before the window so float sum order can't leak); lag + corr then run
+    per series over |days| rows, one exchange keyed by series. Nothing
+    downstream grows with event volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_x"),
+    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("day_x")
+    lagged = daily.withColumn("prev", F.lag("rev").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("rev", "prev"), 6).alias("autocorr_1"),
+        F.count("prev").alias("n_pairs"),
+    )

@@ -103,6 +103,7 @@ _WINDOW_PRIORITY = [
     "q_variant_json",
     "q_recursive_reachability",
     "q_unpivot_measures",
+    "q_autocorr",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",

@@ -70,6 +70,7 @@ def kv_upsert_parquet(
     key_cols: list[str],
     order_cols: list[str],
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """Last-writer-wins keyed table: union existing + incoming, keep one row
     per key by a TOTAL order, rewrite. The engine-side equivalent of the
@@ -144,6 +145,10 @@ def kv_upsert_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(staging)
+    if stats_cols:  # skipping index commits atomically with the data
+        from .operators.skipping import save_stats_index
+
+        save_stats_index(staging, stats_cols)
     finish_commit(path, version)
 
 
