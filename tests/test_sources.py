@@ -351,3 +351,41 @@ class TestFilterPushdown:
             .filter("page = 1 AND slug LIKE 'jan-%'")
         )
         assert {r.page for r in df2.collect()} == {1}
+
+
+def test_json_corrupt_records_are_quarantined_not_fatal(spark, tmp_path):
+    """Ingestion robustness: at 100 TB a malformed record must be
+    quarantined into the corrupt-record column (PERMISSIVE), droppable
+    (DROPMALFORMED), or loud (FAILFAST) — never silently coerced."""
+    import pytest
+
+    p = str(tmp_path / "feed.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": 2, "name": "also ok"}\n')
+        f.write('{"id": broken!!\n')
+
+    schema = "id long, name string, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+    )
+    rows = df.collect()
+    good = {r.id: r.name for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {1: "ok", 2: "also ok"}
+    assert len(bad) == 1 and "broken" in bad[0]
+
+    dropped = (
+        spark.read.schema("id long, name string")
+        .option("mode", "DROPMALFORMED")
+        .json(p)
+    )
+    assert {r.id for r in dropped.collect()} == {1, 2}
+
+    with pytest.raises(Exception, match="[Mm]alformed|FAILFAST"):
+        spark.read.schema("id long, name string").option(
+            "mode", "FAILFAST"
+        ).json(p).collect()
