@@ -126,6 +126,7 @@ HEADLINE = [
     "q_recursive_reachability",
     "q_unpivot_measures",
     "q_autocorr",
+    "q_skyline",
 ]
 
 

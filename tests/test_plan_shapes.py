@@ -653,3 +653,15 @@ def test_recursive_reachability_recursion_off_raw_events(spark, sf_dir):
     # re-derivation (measured 1.84 s at sf0.1, ~9x the fixed version)
     # cannot come back
     assert plan.count("events.parquet") == 0, plan.count("events.parquet")
+
+
+def test_skyline_window_runs_on_collapsed_points(spark, sf_dir):
+    """The global skyline window must sit above the per-price max
+    aggregate (|distinct prices| rows), never over raw parts; the
+    join-back of surviving points must broadcast."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_skyline"](spark, sf_dir))
+    assert "Window" in plan and "BroadcastHashJoin" in plan
+    w_pos = plan.index("Window")
+    assert "HashAggregate" in plan[w_pos:], "window not above the collapse agg"

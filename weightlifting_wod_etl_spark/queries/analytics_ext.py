@@ -397,3 +397,63 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, round(p.p_retailprice, 2) AS price,
+           p.p_size::BIGINT AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part s
+        WHERE s.p_retailprice <= p.p_retailprice
+          AND s.p_size >= p.p_size
+          AND (s.p_retailprice < p.p_retailprice OR s.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): parts not dominated on (price low, size
+    high) — the multi-criteria shortlist operator. The oracle states the
+    naive quadratic NOT EXISTS; the engine computes the same set in
+    O(n log n):
+
+    1. collapse to the best (max) size per distinct price — one uniform
+       hash shuffle; anything below its price's best is dominated by it
+       (strictly smaller size, equal price);
+    2. one ordered window over the COLLAPSED per-price maxima: a price's
+       best survives iff it strictly exceeds the running max over all
+       strictly-cheaper prices (rows frame after the per-price collapse ≡
+       strictly-smaller prices);
+    3. join the surviving (price, size) points back to parts — ties on a
+       skyline point are all non-dominated (no strict inequality), so
+       every part carrying that point returns.
+
+    The global window runs on |distinct prices| rows, not |parts|; at
+    100 TB use skyline-of-skylines (the operator is associative: the
+    skyline of a union is the skyline of per-partition skylines) to
+    pre-reduce before this window — step 1 already is that pre-reduction
+    keyed by price."""
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pts.withColumn("prev_best", F.max("best_size").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("p_retailprice", F.col("best_size").alias("p_size"))
+    )
+    return (
+        p.join(F.broadcast(sky), ["p_retailprice", "p_size"])
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )

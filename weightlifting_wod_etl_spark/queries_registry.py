@@ -104,6 +104,7 @@ _WINDOW_PRIORITY = [
     "q_recursive_reachability",
     "q_unpivot_measures",
     "q_autocorr",
+    "q_skyline",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
