@@ -127,6 +127,8 @@ HEADLINE = [
     "q_unpivot_measures",
     "q_autocorr",
     "q_skyline",
+    "q_nullsafe_join",
+    "q_collation_group",
 ]
 
 

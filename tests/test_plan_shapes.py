@@ -665,3 +665,13 @@ def test_skyline_window_runs_on_collapsed_points(spark, sf_dir):
     assert "Window" in plan and "BroadcastHashJoin" in plan
     w_pos = plan.index("Window")
     assert "HashAggregate" in plan[w_pos:], "window not above the collapse agg"
+
+
+def test_nullsafe_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """EqualNullSafe must remain a sargable join key: a broadcast HASH
+    join, never a nested-loop with the null-safe predicate as a filter."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_nullsafe_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

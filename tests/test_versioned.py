@@ -236,3 +236,17 @@ def test_kv_upsert_stats_cols_commits_index_with_data(spark, tmp_path):
     )
     idx = load_stats_index(resolve(path))
     assert idx is not None and all("k_min" in e for e in idx)
+
+
+def test_table_history_lists_retained_snapshots(spark, tmp_path):
+    from weightlifting_wod_etl_spark.operators.versioned import table_history
+
+    path = str(tmp_path / "hist")
+    for i in (1, 2, 3):
+        staging, v = begin_commit(path)
+        spark.range(i * 10).coalesce(i).write.parquet(staging)
+        finish_commit(path, v)
+    h = table_history(path)
+    assert [e["version"] for e in h] == [2, 3]  # v1 GC'd
+    assert [e["is_current"] for e in h] == [False, True]
+    assert h[1]["n_files"] == 3 and h[1]["bytes"] > 0

@@ -88,6 +88,27 @@ def version_dir(path: str, version: int) -> str:
     return d
 
 
+def table_history(path: str) -> list[dict]:
+    """Retained snapshots with their physical footprint, ascending — the
+    ``DESCRIBE HISTORY`` analog for versioned tables. Each entry:
+    ``{"version", "n_files", "bytes", "is_current"}``."""
+    current = current_version(path)
+    out = []
+    for v in list_versions(path):
+        d = os.path.join(path, f"_v{v:06d}")
+        n = total = 0
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    n += 1
+                    total += os.path.getsize(os.path.join(root, fn))
+        out.append(
+            {"version": v, "n_files": n, "bytes": total, "is_current": v == current}
+        )
+    return out
+
+
 def begin_commit(path: str) -> tuple[str, int]:
     """Allocate the next version's staging directory.
 

@@ -455,3 +455,78 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+@register(
+    "q_nullsafe_join",
+    oracle="""
+    WITH o AS (
+        SELECT nullif(o_orderstatus, 'O') AS st, o_totalprice FROM orders
+    ),
+    d(st, label) AS (VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+    SELECT d.label,
+           count(*)::BIGINT AS n_orders,
+           round(sum(round(o.o_totalprice * 100)::BIGINT) / 100.0, 2) AS revenue
+    FROM o JOIN d ON o.st IS NOT DISTINCT FROM d.st
+    GROUP BY d.label
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics every
+    dimension join with an 'unknown' bucket needs. A plain equality join
+    here loses every nulled row; eqNullSafe keeps them AND stays a hash
+    join (EqualNullSafe is a sargable join key, not a filter), so the
+    plan is the same broadcast hash join at any scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.nullif("o_orderstatus", F.lit("O")).alias("st"), "o_totalprice"
+    )
+    d = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "st string, label string",
+    )
+    return (
+        o.join(F.broadcast(d), o["st"].eqNullSafe(d["st"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_collation_group",
+    oracle="""
+    WITH k AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE lower(o_orderpriority) END AS k
+        FROM orders
+    )
+    SELECT lower(k) AS pri, count(*)::BIGINT AS n_orders
+    FROM k GROUP BY lower(k)
+    """,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping through Spark 4 COLLATIONS: the mixed-case
+    key (alternate rows upper/lower-cased) groups under ``UTF8_LCASE`` in
+    the aggregate itself — the collation is a property of the comparison,
+    so the hash/shuffle respect it natively instead of materializing a
+    lowercased shadow column. Output is re-lowercased and cast back to a
+    plain string (the surviving group representative's case is
+    engine-arbitrary; the collation metadata must not leak into the
+    result schema the oracle compares)."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.selectExpr(
+        "CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority) "
+        "ELSE lower(o_orderpriority) END COLLATE UTF8_LCASE AS k"
+    )
+    return (
+        keyed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .selectExpr("CAST(lower(k) AS STRING) AS pri", "n_orders")
+    )

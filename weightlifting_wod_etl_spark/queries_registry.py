@@ -105,6 +105,8 @@ _WINDOW_PRIORITY = [
     "q_unpivot_measures",
     "q_autocorr",
     "q_skyline",
+    "q_nullsafe_join",
+    "q_collation_group",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
