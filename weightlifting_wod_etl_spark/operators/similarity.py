@@ -129,16 +129,20 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid (coarse
     quantizer), probe only the ``nprobe`` centroid lists nearest the query.
 
-    Centroids here are the ``n_centroids`` lowest-id vectors — a
-    deterministic seed set standing in for an offline k-means|| fit; the
-    assignment / inverted-list / probe machinery is identical whichever way
-    the centroids were produced. At 100 TB the centroid id is the partition
-    (or Z-order) key of the stored table, so a query reads nprobe/n_centroids
-    of the data instead of all of it — the same contract as FAISS IVF.
+    Default centroids are the ``n_centroids`` lowest-id vectors — a
+    deterministic seed set standing in for an offline k-means|| fit; pass
+    ``centroids`` (a ``(id_col, vec_col)`` frame, e.g. Spark ML KMeans
+    cluster centers — see tests/test_similarity_ml.py) to use a trained
+    quantizer instead: the assignment / inverted-list / probe machinery is
+    identical whichever way the centroids were produced. At 100 TB the
+    centroid id is the partition (or Z-order) key of the stored table, so a
+    query reads nprobe/n_centroids of the data instead of all of it — the
+    same contract as FAISS IVF.
 
     Shuffle shape: centroids are broadcast (tiny), assignment is a map-side
     ``max_by`` over the replicated scores (partial agg collapses the
@@ -146,14 +150,13 @@ def ivf_topk(
     candidate scan is an equi-join on the centroid id.
     """
     base = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n"))
-    cents = (
-        df.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("__cid"),
-            F.col(vec_col).alias("__cv"),
-            norm(F.col(vec_col)).alias("__cn"),
-        )
+    cent_src = (
+        centroids if centroids is not None else df.orderBy(id_col).limit(n_centroids)
+    )
+    cents = cent_src.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     csim = _sim_from_parts(F.col(vec_col), F.col("__cv"), F.col("__n"), F.col("__cn"))
     assign = (
