@@ -129,6 +129,8 @@ HEADLINE = [
     "q_skyline",
     "q_nullsafe_join",
     "q_collation_group",
+    "q_weighted_median",
+    "q_gini",
 ]
 
 

@@ -827,3 +827,107 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("val") * 10000).cast("long")) / F.lit(10000.0), 4
         ).alias("sum_val"),
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH vals AS (
+        SELECT l_returnflag,
+               round(l_extendedprice * 100)::BIGINT AS cents,
+               sum(round(l_quantity)::BIGINT)::BIGINT AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, cents, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM vals
+    )
+    SELECT l_returnflag,
+           min(cents) / 100.0 AS w_median,
+           max(tw)::BIGINT AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower convention: smallest value whose
+    cumulative weight reaches half the total) of extended price weighted
+    by quantity — the order statistic quantity-weighted pricing needs,
+    which no built-in aggregate provides.
+
+    Same counts-first scaling contract as operators/percentile.py: weights
+    pre-aggregate per DISTINCT (group, value) before any window, so the
+    exchange and the cumulative window see the value histogram, never raw
+    rows; prices are exact integer cents so cumulative sums are
+    bit-deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        "l_returnflag", to_fixed("l_extendedprice").alias("cents")
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    wflag = Window.partitionBy("l_returnflag")
+    wcum = wflag.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wflag).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("cents") / F.lit(100.0)).alias("w_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "q_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i,
+               count(*) OVER (PARTITION BY source) AS n,
+               sum(n_chars) OVER (PARTITION BY source) AS tot
+        FROM documents
+    )
+    SELECT source,
+           round((2.0 * sum(i * n_chars)) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           max(n)::BIGINT AS n_docs
+    FROM ranked GROUP BY source
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document-size concentration per source — the
+    inequality statistic a corpus-curation pipeline watches (one source
+    contributing its mass through a handful of giant documents behaves
+    differently from one with uniform sizes, at equal token counts).
+
+    Discrete formula over ascending sizes: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n,
+    with a (size, doc_id) total order making rank assignment — and thus
+    the result — deterministic. One exchange keyed by source; integer
+    rank·size products keep the only float step at the final division."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w.orderBy("n_chars", "doc_id")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("n_chars").over(w).alias("tot"),
+    )
+    return ranked.groupBy("source").agg(
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("n_chars")))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_docs"),
+    )

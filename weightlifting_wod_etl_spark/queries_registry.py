@@ -81,16 +81,17 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-7 window (tools/rotate_window.py output, VERDICT r6 §next.2): all 34
-# r4-stale queries — the minhash/similarity tail, the curation family,
-# asof/range joins, sampling, multimodal, and the fn-surface buffer that the
-# round-6 in-round additions displaced past slot 50 — lead the window, then
-# the 16 stalest r5-green queries fill the remaining slots. After this round
-# no query's last driver evidence is older than round 5 (bound N-2, enforced
-# by test_driver_staleness_is_bounded). Queries added DURING round 7 must be
-# inserted at the head of this list (never-checked-first invariant,
-# test_driver_contract_process.py); up to 16 insertions keep the staleness
-# bound intact because only the trailing r5-green block gets displaced.
+# Round-7 window (tools/rotate_window.py + in-round additions): the 16
+# queries ADDED in round 7 lead (never-checked-first invariant,
+# test_driver_contract_process.py), followed by all 34 r4-stale queries —
+# the minhash/similarity tail, the curation family, asof/range joins,
+# sampling, multimodal, and the fn-surface buffer the round-6 additions
+# displaced. That fills the 50 slots exactly; the r5-green block below is
+# this round's past-window buffer. After r7 no driver evidence is older
+# than round 5 (bound N-2, test_driver_staleness_is_bounded). ROUND-8 NOTE:
+# the 48 remaining r5-green queries hit the staleness cutoff then and must
+# lead the r8 window (48 of 50 slots — at most 2 new queries can be added
+# in round 8 without re-planning the rotation across two rounds).
 _WINDOW_PRIORITY = [
     # NEW in round 7 (never driver-checked — must lead the window)
     "q_pruned_scan",
@@ -107,6 +108,8 @@ _WINDOW_PRIORITY = [
     "q_skyline",
     "q_nullsafe_join",
     "q_collation_group",
+    "q_weighted_median",
+    "q_gini",
     # stale: last driver evidence round 4 (34 queries — all of them)
     "q_ann_ivf",
     "q_ann_lsh_bucket",
