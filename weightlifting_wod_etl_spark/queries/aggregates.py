@@ -756,12 +756,13 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-hierarchy ROLLUP (grand total → per-year → per-month) —
-    completes the grouping-set family beside CUBE (q_cube) and explicit
-    GROUPING SETS (q_grouping_sets). Spark expands the rollup via a single
-    Expand node feeding ONE hash aggregate: 3 output rows per input row on
-    the map side, partially aggregated before the shuffle — at 100 TB the
-    exchange carries ~|years|·|months| rows, not 3× the table."""
+    """Time-hierarchy ROLLUP over DERIVED keys (year(ts) → month(ts)) —
+    the calendar-drilldown variant of ``q_rollup``, which rolls up plain
+    columns: here the grouping expressions are computed projections, so
+    this additionally pins that the Expand node evaluates derived keys
+    once map-side rather than per grouping set. One Expand feeding ONE
+    hash aggregate, partially aggregated before the shuffle — at 100 TB
+    the exchange carries ~|years|·|months| rows, not 3× the table."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select(
@@ -797,9 +798,11 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long reshape via the native UNPIVOT operator, then one agg per
-    (group, measure) — the melt step every metrics pipeline needs before a
-    generic per-measure aggregation.
+    """UNPIVOT into a (group, measure) aggregation grid — extends
+    ``q_unpivot``'s global per-metric totals with a retained id column
+    (l_returnflag survives the melt) and mixed aggregate types (count /
+    avg / fixed-point sum) per cell, the generic shape of a per-segment
+    metrics matrix.
 
     Unpivot is a zero-shuffle Expand (4 output rows per input row emitted
     map-side, like rollup's expansion) feeding a partially-aggregated
