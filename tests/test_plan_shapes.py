@@ -675,3 +675,33 @@ def test_nullsafe_join_is_hash_join_not_nested_loop(spark, sf_dir):
     plan = _plan(QUERIES["q_nullsafe_join"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_layout_prunes_partitions_at_plan_time(spark, tmp_path):
+    """Hive-partitioned writes must yield PartitionFilters (directory-level
+    pruning before any file is opened) — the at-rest layout contract
+    io.write_parquet's partition_by exists for."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.io import load_table, write_parquet
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_parquet(events, path, partition_by=["event_date"])
+
+    full = spark.read.parquet(path)
+    n_days = full.select("event_date").distinct().count()
+    assert n_days > 3
+
+    one_day = full.filter(
+        F.col("event_date") == full.agg(F.min("event_date")).collect()[0][0]
+    )
+    plan = _plan(one_day)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_date" in pf, "date predicate did not become a partition filter"
+    # and the predicate is NOT also a data filter — it never reaches row
+    # evaluation, the directories simply aren't listed
+    assert one_day.count() > 0
+    assert one_day.count() < full.count() / 3
