@@ -54,6 +54,8 @@ def merge_into(
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if when_matched == "ignore" and when_not_matched == "ignore":
+        return {"matched": 0, "inserted": 0, "deleted": 0}  # nothing can change
 
     import os
 
@@ -73,9 +75,13 @@ def merge_into(
 
     # distinct matched keys (target may hold several rows per key; an
     # update collapses them all to the one source row, like Delta with a
-    # non-unique target)
+    # non-unique target). Materialized once — three consumers (two counts,
+    # the clause joins) must not re-derive the target∩source join each.
     matched_keys = (
-        target.select(*on).distinct().join(source.select(*on), on, "left_semi")
+        target.select(*on)
+        .distinct()
+        .join(source.select(*on), on, "left_semi")
+        .localCheckpoint(eager=False)
     )
     n_matched = target.join(F.broadcast(matched_keys), on, "left_semi").count()
     n_src_matched = source.join(F.broadcast(matched_keys), on, "left_semi").count()
