@@ -551,3 +551,58 @@ def test_stream_static_join_enriches_each_batch(spark, stream_dirs):
         for r in src.join(dim, "event_type").select("event_id", "segment").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_left_outer_emits_unmatched(
+    spark, stream_dirs
+):
+    """LEFT OUTER stream-stream interval join: matched pairs equal the
+    batch inner join; a click with no purchase inside its hour emits with
+    a null partner once the watermark passes click_ts + max_delay. The
+    final watermark stops short of the stream tail, so emitted unmatched
+    rows are a subset of the batch truth — but must cover most of it."""
+    from weightlifting_wod_etl_spark.streaming.joins import interval_join
+
+    src, in_dir, ckpt = stream_dirs
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        buys = df.filter("event_type = 'purchase'").select(
+            "user_id", F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    s_clicks, s_buys = split(stream)
+    joined = interval_join(
+        s_clicks, s_buys, "user_id", "click_ts", "buy_ts",
+        max_delay="1 hour", watermark="1 minute", how="left_outer",
+    ).select("click_id", "buy_id")
+    got = _run_stream(spark, joined, ckpt + "_ssjo", "ssjo_out").collect()
+    got_matched = {(r.click_id, r.buy_id) for r in got if r.buy_id is not None}
+    got_unmatched = {r.click_id for r in got if r.buy_id is None}
+
+    b_clicks, b_buys = split(src)
+    want_matched = {
+        (r.click_id, r.buy_id)
+        for r in interval_join(
+            b_clicks, b_buys, "user_id", "click_ts", "buy_ts",
+            max_delay="1 hour",
+        ).select("click_id", "buy_id").collect()
+    }
+    all_clicks = {r.click_id for r in b_clicks.collect()}
+    want_unmatched = all_clicks - {c for c, _ in want_matched}
+
+    assert got_matched == want_matched and len(want_matched) > 0
+    assert got_unmatched <= want_unmatched
+    assert len(got_unmatched) >= 0.8 * len(want_unmatched) > 0
+    # no click may appear both matched and null-partnered
+    assert not ({c for c, _ in got_matched} & got_unmatched)
