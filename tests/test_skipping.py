@@ -37,6 +37,16 @@ def test_pruned_read_is_sound_and_effective(spark, tmp_path):
     lidx = file_stats_index(lpath, ["a", "b"])
     assert len(zidx) == len(lidx) == 16
 
+    # quadrant-exactness: bits=8 × 2 cols × 16 files ⇒ each file owns one
+    # 4-bit key prefix = a 64×64 (a, b) quadrant. zorder_write derives the
+    # bucket boundaries from the key domain (never from sampling), so every
+    # file's span must sit INSIDE its quadrant on BOTH dims — this is the
+    # determinism contract that repartitionByRange's session-seeded
+    # sampling used to break (r7 full-suite flake).
+    for e in zidx:
+        assert e["a_max"] - e["a_min"] <= 63, e
+        assert e["b_max"] - e["b_min"] <= 63, e
+
     lo, hi = 40, 56  # a narrow band on either dimension
     for col in ("a", "b"):
         keep = prune_files(zidx, col, lo, hi)
@@ -48,8 +58,10 @@ def test_pruned_read_is_sound_and_effective(spark, tmp_path):
         )
         want = src.filter((F.col(col) >= lo) & (F.col(col) <= hi)).count()
         assert got == want > 0
-        # effectiveness: the z-layout must skip most files on EVERY dim
-        assert len(keep) <= len(zidx) / 2, (col, len(keep))
+        # effectiveness, now EXACT: [40, 56] lives in quarter 0 of the dim,
+        # so precisely the 4 files of that quarter survive — not "about
+        # half", the deterministic layout pins the count.
+        assert len(keep) == 4, (col, sorted(keep))
 
     # the linear layout skips on its sort key but NOT on b
     assert len(prune_files(lidx, "a", lo, hi)) <= len(lidx) / 2

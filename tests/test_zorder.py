@@ -86,3 +86,30 @@ def test_zorder_write_tightens_every_dimension(spark, tmp_path):
     assert avg(z_b) < 0.5 * g.gb  # z-order: b clustered TOO
     # row counts survive the relayout
     assert spark.read.parquet(zpath).count() == src.count()
+
+
+def test_zorder_layout_is_deterministic(spark, tmp_path):
+    """Two writes of the same frame — with unrelated jobs run in between,
+    the exact condition that drifted repartitionByRange's sampled bounds —
+    must produce bit-identical per-file (min, max) spans."""
+    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        (F.col("l_orderkey") % 256).cast("long").alias("a"),
+        F.floor((F.col("l_partkey") % 200) * 256 / 200).cast("long").alias("b"),
+    )
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+            r = spark.read.parquet(f).agg(
+                F.min("a"), F.max("a"), F.min("b"), F.max("b")
+            ).collect()[0]
+            out.append(tuple(r))
+        return sorted(out)
+
+    p1, p2 = str(tmp_path / "z1"), str(tmp_path / "z2")
+    zorder_write(src, p1, ["a", "b"], bits=8, num_files=16)
+    # churn the session so RDD ids / shuffle ids move between the writes
+    spark.range(10_000).groupBy((F.col("id") % 7).alias("g")).count().collect()
+    zorder_write(src, p2, ["a", "b"], bits=8, num_files=16)
+    s1, s2 = spans(p1), spans(p2)
+    assert len(s1) == 16 and s1 == s2
