@@ -68,6 +68,28 @@ def test_pruned_read_is_sound_and_effective(spark, tmp_path):
     assert len(prune_files(lidx, "b", lo, hi)) == len(lidx)
 
 
+def test_orphaned_staging_dir_is_never_indexed(spark, tmp_path):
+    """A crash before the pointer flip leaves an uncommitted ``_v*/``
+    staging dir at the table root. Spark's listing ignores it; the live
+    footer index must too, or a pruned read returns rows no full scan
+    ever sees (ADVICE r7: the recursive glob descended into it)."""
+    from weightlifting_wod_etl_spark.io import read_pruned
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "tbl")
+    src.coalesce(2).write.parquet(path)
+    # orphaned staging: same rows again, never committed
+    src.coalesce(1).write.parquet(path + "/_v000001")
+
+    idx = file_stats_index(path, ["o_orderkey"])
+    assert all("_v000001" not in e["file"] for e in idx)
+    full = spark.read.parquet(path)
+    pruned = read_pruned(spark, path, "o_orderkey", 0, 10_000_000_000)
+    assert pruned.count() == full.count() == src.count()
+
+
 def test_missing_stats_never_skips(spark):
     idx = [
         {"file": "x", "a_min": None, "a_max": None},

@@ -186,6 +186,74 @@ def test_kv_upsert_null_partition_value_still_merges(spark, tmp_path):
     }
 
 
+def test_concurrent_live_writer_is_refused_not_clobbered(spark, tmp_path):
+    """A second writer at the same base version must fail loudly in
+    begin_commit (ADVICE r7: it used to rmtree the first writer's staging
+    dir, and the last flip silently dropped the other commit)."""
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        ConcurrentCommitError,
+        _lock_path,
+    )
+
+    path = str(tmp_path / "cc")
+    spark.range(5).write.parquet(path)
+    # simulate writer A: a live FOREIGN process (pid 1 is always alive and
+    # never us) holding the version-1 commit lock
+    os.makedirs(path, exist_ok=True)
+    with open(_lock_path(path, 1), "w") as f:
+        f.write("1")
+    with pytest.raises(ConcurrentCommitError):
+        begin_commit(path)
+    os.unlink(_lock_path(path, 1))
+
+    # a DEAD writer's lock is reclaimed, not wedging the table
+    with open(_lock_path(path, 1), "w") as f:
+        f.write("4000000")  # valid pid number, vanishingly unlikely to run
+    staging, v = begin_commit(path)
+    assert v == 1
+    spark.range(3).write.parquet(staging)
+    finish_commit(path, v)
+    assert current_version(path) == 1
+
+
+def test_finish_commit_refuses_lost_update(spark, tmp_path):
+    """If another commit landed between begin and finish, the flip must be
+    refused — flipping would roll the table back over the other writer's
+    committed version."""
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "lu")
+    staging, v = begin_commit(path)  # base 0 -> staging v1
+    spark.range(3).write.parquet(staging)
+    # another writer commits v1 underneath us (simulated via the pointer)
+    with open(os.path.join(path, "_CURRENT"), "w") as f:
+        f.write("_v000001")
+    with pytest.raises(ConcurrentCommitError):
+        finish_commit(path, v)
+    assert current_version(path) == 1  # the other writer's commit survives
+
+
+def test_first_commit_gc_removes_old_partition_dirs(spark, tmp_path):
+    """Migrating a previously-plain PARTITIONED table must GC the old
+    partition subdirectories (ADVICE r7: only loose files were removed, so
+    a plain read of the root returned stale pre-migration data forever)."""
+    path = str(tmp_path / "mig")
+    df = spark.createDataFrame(
+        [("2021-01-03", 1), ("2021-01-04", 2)], ["date", "x"]
+    )
+    df.write.partitionBy("date").parquet(path)
+    assert os.path.isdir(os.path.join(path, "date=2021-01-03"))
+
+    staging, v = begin_commit(path)
+    spark.range(7).write.parquet(staging)
+    finish_commit(path, v)
+    leftovers = [e for e in os.listdir(path) if not e.startswith(("_", "."))]
+    assert leftovers == []  # old version-0 partition dirs are gone
+    assert {r.id for r in read_table(spark, path).collect()} == set(range(7))
+
+
 def test_time_travel_reads_retained_snapshot(spark, tmp_path):
     """Committed versions are immutable → an old version is a consistent
     as-of view (Delta versionAsOf contract); GC'd versions fail loudly."""

@@ -19,23 +19,40 @@ clustered dimension while a linearly-sorted one prunes on one.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pyarrow.parquet as pq
 
 
-def file_stats_index(path: str, cols: list[str]) -> list[dict]:
-    """Per-file min/max for ``cols`` from parquet footer statistics.
+def list_data_files(path: str) -> list[str]:
+    """The parquet files Spark's own listing would read under ``path`` —
+    ``_``/``.``-prefixed FILES AND DIRECTORIES are skipped at every level.
 
-    Returns one dict per data file: ``{"file", "<col>_min", "<col>_max"}``.
-    A file missing statistics for a column gets ``None`` bounds (treated
-    as always-matching by :func:`prune_files` — skipping must never be
-    unsound)."""
+    Pruning directories matters for soundness, not just tidiness: a
+    versioned table root (operators/versioned.py) legally contains
+    ``_v*/`` snapshot dirs — including a possibly-orphaned staging dir
+    from a crash before the pointer flip. A recursive glob that only
+    filtered file basenames descended into those and would have indexed
+    UNCOMMITTED rows, so a pruned read could return duplicates a full
+    Spark scan never sees."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def stats_for_files(files: list[str], cols: list[str]) -> list[dict]:
+    """Footer min/max stats for an explicit file list — the incremental
+    half of index maintenance: after a rewrite that carries most files
+    over unchanged, only the NEW files need their footers read; carried
+    files keep their existing index entries."""
     index = []
-    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
-        if os.path.basename(f).startswith(("_", ".")):
-            continue  # metadata artifacts (e.g. the persisted index itself)
+    for f in files:
         meta = pq.ParquetFile(f).metadata
         schema_names = {meta.row_group(0).column(i).path_in_schema: i
                         for i in range(meta.num_columns)} if meta.num_row_groups else {}
@@ -56,6 +73,17 @@ def file_stats_index(path: str, cols: list[str]) -> list[dict]:
     return index
 
 
+def file_stats_index(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from parquet footer statistics.
+
+    Returns one dict per data file: ``{"file", "<col>_min", "<col>_max"}``.
+    A file missing statistics for a column gets ``None`` bounds (treated
+    as always-matching by :func:`prune_files` — skipping must never be
+    unsound). Only files Spark's listing would see are indexed
+    (:func:`list_data_files`)."""
+    return stats_for_files(list_data_files(path), cols)
+
+
 def prune_files(index: list[dict], col: str, lo, hi) -> list[str]:
     """Files whose [min, max] interval for ``col`` intersects [lo, hi].
     Files without stats are kept (sound, just not skipped)."""
@@ -70,6 +98,29 @@ def prune_files(index: list[dict], col: str, lo, hi) -> list[str]:
 _INDEX_NAME = "_stats_index.parquet"
 
 
+def write_stats_index(data_dir: str, entries: list[dict]) -> str:
+    """Persist pre-computed index entries (absolute ``file`` paths under
+    ``data_dir``) INSIDE the directory — the incremental-maintenance
+    sibling of :func:`save_stats_index` for rewrites that carry most
+    files over unchanged: carried files keep their old entries, only the
+    new files paid a footer read."""
+    import pyarrow as pa
+
+    rel = [
+        {**e, "file": os.path.relpath(e["file"], data_dir)} for e in entries
+    ]
+    out = os.path.join(data_dir, _INDEX_NAME)
+    pq.write_table(pa.Table.from_pylist(rel), out)
+    return out
+
+
+def index_cols(index: list[dict]) -> list[str]:
+    """The column names a loaded index carries stats for."""
+    if not index:
+        return []
+    return sorted({k[:-4] for k in index[0] if k.endswith("_min")})
+
+
 def save_stats_index(data_dir: str, cols: list[str]) -> str:
     """Build the footer-stats index for ``data_dir`` and persist it INSIDE
     the directory (underscore-prefixed → invisible to Spark data scans).
@@ -79,15 +130,7 @@ def save_stats_index(data_dir: str, cols: list[str]) -> str:
     data it describes — the engine-side analog of the per-file stats
     Delta/Iceberg carry in their commit metadata. File paths are stored
     relative to ``data_dir`` so a version dir stays self-contained."""
-    import pyarrow as pa
-
-    index = file_stats_index(data_dir, cols)
-    rel = [
-        {**e, "file": os.path.relpath(e["file"], data_dir)} for e in index
-    ]
-    out = os.path.join(data_dir, _INDEX_NAME)
-    pq.write_table(pa.Table.from_pylist(rel), out)
-    return out
+    return write_stats_index(data_dir, file_stats_index(data_dir, cols))
 
 
 def load_stats_index(data_dir: str) -> list[dict] | None:

@@ -30,6 +30,20 @@ on object storage the pointer flip maps to a single conditional PUT —
 the same commit primitive Delta's ``_last_checkpoint``/Iceberg's
 ``version-hint`` use — and old versions double as time-travel snapshots
 until GC'd (``keep_versions``).
+
+CONCURRENCY: the protocol assumes ONE writer per table at a time — the
+same single-writer-per-table contract Delta enforces via its log-store
+conditional PUT and the reference via DynamoDB conditional writes. Two
+cheap guards make a violated assumption loud instead of silently losing
+a commit: ``begin_commit`` takes an ``O_EXCL`` per-version lock file (a
+second live writer gets :class:`ConcurrentCommitError` instead of
+rmtree'ing the first one's staging dir), and ``finish_commit`` re-reads
+``_CURRENT`` and refuses to flip if another commit landed since
+``begin_commit`` (lost-update guard). Locks record the owning PID so a
+crashed writer never wedges the table: a lock whose owner is this
+process or a dead process is reclaimed. The guard is process-level —
+threads of one process sharing a table must coordinate externally — and
+on object storage both guards collapse into the conditional PUT itself.
 """
 
 from __future__ import annotations
@@ -40,6 +54,29 @@ import shutil
 
 CURRENT_POINTER = "_CURRENT"
 _VDIR = re.compile(r"^_v(\d{6})$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer holds this version's commit lock, or committed it
+    first. The losing writer's staging data is left untouched (it may BE
+    the winner's committed directory) — retry the whole rewrite against
+    the new current version."""
+
+
+def _lock_path(path: str, version: int) -> str:
+    return os.path.join(path, f".lock_v{version:06d}")
+
+
+def _pid_is_live(pid: int) -> bool:
+    if pid == os.getpid():
+        return False  # our own earlier crashed-then-retried attempt
+    try:
+        os.kill(pid, 0)
+    except (ProcessLookupError, OverflowError):
+        return False
+    except PermissionError:
+        return True  # exists, different user
+    return True
 
 
 def resolve(path: str) -> str:
@@ -112,11 +149,38 @@ def table_history(path: str) -> list[dict]:
 def begin_commit(path: str) -> tuple[str, int]:
     """Allocate the next version's staging directory.
 
-    Reclaims any orphan left by a crashed prior attempt at the same
-    version (the dir exists but ``_CURRENT`` never flipped to it), so a
-    failed rewrite never wedges the next one."""
+    Takes the per-version ``O_EXCL`` commit lock first: a SECOND live
+    writer at the same base version fails loudly here (raising
+    :class:`ConcurrentCommitError`) instead of silently rmtree'ing the
+    first writer's in-progress staging dir. A lock owned by this process
+    or by a dead one is a crashed prior attempt — it is reclaimed along
+    with the orphaned staging dir, so a failed rewrite never wedges the
+    next one."""
     os.makedirs(path, exist_ok=True)
     version = current_version(path) + 1
+    lock = _lock_path(path, version)
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    owner = int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                owner = 0
+            if _pid_is_live(owner):
+                raise ConcurrentCommitError(
+                    f"version {version} of {path} is being committed by "
+                    f"live pid {owner} — concurrent writers are not "
+                    "supported (see module docstring)"
+                ) from None
+            try:
+                os.unlink(lock)  # stale: crashed writer, reclaim
+            except FileNotFoundError:
+                pass
+    with os.fdopen(fd, "w") as f:
+        f.write(str(os.getpid()))
     staging = os.path.join(path, f"_v{version:06d}")
     shutil.rmtree(staging, ignore_errors=True)
     return staging, version
@@ -125,31 +189,53 @@ def begin_commit(path: str) -> tuple[str, int]:
 def finish_commit(path: str, version: int, keep_versions: int = 1) -> None:
     """Atomically make ``version`` the live one, then GC.
 
-    The flip is a single ``os.replace`` of the pointer file (atomic on
-    POSIX); data dirs are immutable once committed. GC removes version
-    dirs older than ``current - keep_versions`` (keeping one prior
-    version lets an in-flight reader that resolved before the flip finish
-    its scan) and, on the FIRST commit over a previously-plain table,
-    the loose pre-versioning data files — both only after the pointer is
-    durably flipped, so a crash during GC is harmless."""
+    The flip is CONDITIONAL: if ``_CURRENT`` no longer names
+    ``version - 1`` — another writer committed since our
+    ``begin_commit`` — the flip is refused with
+    :class:`ConcurrentCommitError` rather than silently dropping the
+    other writer's committed changes (lost update). The flip itself is a
+    single ``os.replace`` of the pointer file (atomic on POSIX); data
+    dirs are immutable once committed.
+
+    GC removes version dirs older than ``current - keep_versions``
+    (keeping one prior version lets an in-flight reader that resolved
+    before the flip finish its scan) and, on the FIRST commit over a
+    previously-plain table, the pre-versioning data — loose files AND
+    partition subdirectories (``date=.../part-*.parquet``), which are the
+    old "version 0"; leaving partition dirs behind would both leak disk
+    and make a plain ``spark.read.parquet(root)`` return only stale
+    pre-migration data. GC runs only after the pointer is durably
+    flipped, so a crash during GC is harmless."""
+    live = current_version(path)
+    if live != version - 1:
+        raise ConcurrentCommitError(
+            f"refusing to flip {path} to version {version}: base was "
+            f"{version - 1} but current is {live} — another writer "
+            "committed in between; retry against the new current version"
+        )
     tmp = os.path.join(path, f".{CURRENT_POINTER}.tmp")
     with open(tmp, "w") as f:
         f.write(f"_v{version:06d}")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, CURRENT_POINTER))
+    try:
+        os.unlink(_lock_path(path, version))
+    except OSError:
+        pass
 
     for entry in os.listdir(path):
         full = os.path.join(path, entry)
         m = _VDIR.match(entry)
         if m and int(m.group(1)) < version - keep_versions:
             shutil.rmtree(full, ignore_errors=True)
-        elif (
-            version - 1 == 0
-            and os.path.isfile(full)
-            and (entry.endswith(".parquet") or entry == "_SUCCESS")
-        ):  # migrated from a plain dir: loose files are the old "version 0"
-            try:
-                os.remove(full)
-            except OSError:
-                pass
+        elif version - 1 == 0 and not entry.startswith(("_", ".")):
+            # migrated from a plain dir: loose files and partition subdirs
+            # are the old "version 0"
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif entry.endswith(".parquet") or entry == "_SUCCESS":
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
