@@ -91,14 +91,41 @@ def test_driver_staleness_is_bounded():
     if not rounds:
         return  # round 1: no driver evidence exists yet
     cutoff = max(rounds) - 2
-    window = set(list(QUERIES)[:DRIVER_WINDOW])
-    overdue = [
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    window_set = set(window)
+    all_overdue = [
         q
         for q in QUERIES
-        if q not in _WINDOW_TAIL
-        and last_green.get(q, 0) <= cutoff
-        and q not in window
+        if q not in _WINDOW_TAIL and last_green.get(q, 0) <= cutoff
     ]
+    if len(all_overdue) > DRIVER_WINDOW:
+        # The bound is unsatisfiable in a single round (a prior round skipped
+        # its rotation — r8 did this, stranding the r5 AND r6 tranches at
+        # once). The best any one round can do is burn every slot on the
+        # stalest queries; assert exactly that, so the forcing function
+        # still rejects a skipped or partial rotation while the backlog
+        # drains over consecutive rounds (r9 fronts the r5 tranche, r10
+        # must front the r6 tranche).
+        non_overdue_in_window = [q for q in window if q not in all_overdue]
+        assert not non_overdue_in_window, (
+            f"{len(all_overdue)} overdue queries exceed the "
+            f"{DRIVER_WINDOW}-slot window, yet the window wastes slots on "
+            f"non-overdue queries: {non_overdue_in_window} — front the "
+            "stalest (tools/rotate_window.py)"
+        )
+        staleness = {q: last_green.get(q, 0) for q in all_overdue}
+        worst_outside = min(
+            (staleness[q] for q in all_overdue if q not in window_set),
+            default=None,
+        )
+        best_inside = max(staleness[q] for q in window if q in staleness)
+        assert worst_outside is None or best_inside <= worst_outside, (
+            "window holds fresher overdue queries (last green "
+            f"r{best_inside}) while staler ones (last green r{worst_outside}) "
+            "sit outside — front strictly by staleness (tools/rotate_window.py)"
+        )
+        return
+    overdue = [q for q in all_overdue if q not in window_set]
     assert not overdue, (
         f"{len(overdue)} queries last driver-green in round <= {cutoff} sit "
         f"past the {DRIVER_WINDOW}-slot window: {overdue} — re-rank "

@@ -81,87 +81,70 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-7 window (tools/rotate_window.py + in-round additions): the 16
-# queries ADDED in round 7 lead (never-checked-first invariant,
-# test_driver_contract_process.py), followed by all 34 r4-stale queries —
-# the minhash/similarity tail, the curation family, asof/range joins,
-# sampling, multimodal, and the fn-surface buffer the round-6 additions
-# displaced. That fills the 50 slots exactly; the r5-green block below is
-# this round's past-window buffer. After r7 no driver evidence is older
-# than round 5 (bound N-2, test_driver_staleness_is_bounded). ROUND-8 NOTE:
-# the 48 remaining r5-green queries hit the staleness cutoff then and must
-# lead the r8 window (48 of 50 slots — at most 2 new queries can be added
-# in round 8 without re-planning the rotation across two rounds).
+# Round-9 window (tools/rotate_window.py): round 8 skipped the rotation, so
+# 100 queries (the r5 AND r6 tranches) sit past the N-2 staleness cutoff —
+# double the window size. This round fronts the 50 stalest (the full r5
+# tranche: SURVEY §2 core scan/limit/regex/clean/pivot/dedup/kv-upsert,
+# the TPC-H family, rollup/cube/grouping-sets, window fns, text-stats).
+# ROUND-10 MUST front the r6 tranche (the remaining 50 overdue: sessionize,
+# wod_pipeline, date family, minhash/simhash/ngram, cosine_topk, fuzzy
+# dedup, group_concat, explode_lines, …) — run tools/rotate_window.py again
+# as r10's first commit. Register NO new queries in r9 or r10: new queries
+# rank never-checked-first and would displace stale ones, extending the
+# backlog. test_driver_staleness_is_bounded stays red until the r10
+# artifact lands — that is the recorded debt from the skipped r8 rotation,
+# not a correctness failure (all 151 queries are parity-green locally).
 _WINDOW_PRIORITY = [
-    # NEW in round 7 (never driver-checked — must lead the window)
-    "q_pruned_scan",
-    "q_bloom_semi_join",
-    "q_chi_square",
-    "q_streaks",
-    "q_mode_per_group",
-    "q_linreg_trend",
-    "q_rollup_time",
-    "q_variant_json",
-    "q_recursive_reachability",
-    "q_unpivot_measures",
-    "q_autocorr",
-    "q_skyline",
-    "q_nullsafe_join",
-    "q_collation_group",
-    "q_weighted_median",
-    "q_gini",
-    # stale: last driver evidence round 4 (34 queries — all of them)
-    "q_ann_ivf",
-    "q_ann_lsh_bucket",
-    "q_anti_scalar_sub",
-    "q_asof_join",
-    "q_binary_meta",
-    "q_chunk_bounds",
-    "q_corpus_mixture",
-    "q_count_distinct",
-    "q_curation_pipeline",
-    "q_dataset_split",
-    "q_date_fns",
-    "q_decimal_agg",
-    "q_decontaminate",
-    "q_doc_fingerprint",
-    "q_domain_cap",
-    "q_dup_clusters",
-    "q_embed_neardup",
-    "q_frame_sample",
-    "q_full_outer",
-    "q_hash_sample",
-    "q_intradoc_repetition",
-    "q_media_resize",
-    "q_null_semantics",
-    "q_outer_join_dist",
-    "q_pii_redact",
-    "q_range_join",
-    "q_rolling_hash",
-    "q_semi_join",
-    "q_sequence_pack",
-    "q_set_ops_all",
-    "q_stratified_sample",
-    "q_token_chunks",
-    "q_token_topk",
-    "q_union_by_name",
-    # stalest r5-green fill the remaining 16 slots
-    "q_argmax_events",
-    "q_array_fns",
-    "q_bigram_topk",
-    "q_canonical_rep",
-    "q_clean_normalize",
-    "q_corr_stats",
-    "q_cube",
-    "q_dedup_antijoin",
-    "q_dedup_exact",
-    "q_event_gap_stats",
-    "q_funnel_conversion",
-    "q_grouping_sets",
-    "q_histogram",
-    "q_kv_upsert_dedup",
-    "q_lang_id",
-    "q_limit_offset",
+    "q_argmax_events",  # last green r05
+    "q_array_fns",  # last green r05
+    "q_bigram_topk",  # last green r05
+    "q_canonical_rep",  # last green r05
+    "q_clean_normalize",  # last green r05
+    "q_corr_stats",  # last green r05
+    "q_cube",  # last green r05
+    "q_dedup_antijoin",  # last green r05
+    "q_dedup_exact",  # last green r05
+    "q_event_gap_stats",  # last green r05
+    "q_funnel_conversion",  # last green r05
+    "q_grouping_sets",  # last green r05
+    "q_histogram",  # last green r05
+    "q_kv_upsert_dedup",  # last green r05
+    "q_lang_id",  # last green r05
+    "q_limit_offset",  # last green r05
+    "q_min_cost_supplier",  # last green r05
+    "q_multimodal_features",  # last green r05
+    "q_ntile_bucket",  # last green r05
+    "q_passage_dedup",  # last green r05
+    "q_percentile",  # last green r05
+    "q_pivot_wide",  # last green r05
+    "q_quality_score",  # last green r05
+    "q_rank_fns",  # last green r05
+    "q_regex_filter",  # last green r05
+    "q_retention_cohort",  # last green r05
+    "q_rollup",  # last green r05
+    "q_scalar_subquery",  # last green r05
+    "q_scan_project",  # last green r05
+    "q_scd2_snapshot",  # last green r05
+    "q_skew_agg",  # last green r05
+    "q_skew_join",  # last green r05
+    "q_text_stats",  # last green r05
+    "q_tfidf_topk",  # last green r05
+    "q_token_count",  # last green r05
+    "q_tpch_q1",  # last green r05
+    "q_tpch_q10",  # last green r05
+    "q_tpch_q14",  # last green r05
+    "q_tpch_q18",  # last green r05
+    "q_tpch_q19",  # last green r05
+    "q_tpch_q3",  # last green r05
+    "q_tpch_q4",  # last green r05
+    "q_tpch_q5",  # last green r05
+    "q_tpch_q6",  # last green r05
+    "q_tpch_q7",  # last green r05
+    "q_tpch_q9",  # last green r05
+    "q_trigram_entropy",  # last green r05
+    "q_unpivot",  # last green r05
+    "q_window_frames",  # last green r05
+    "q_window_rank",  # last green r05
 ]
 
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
