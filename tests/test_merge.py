@@ -28,7 +28,7 @@ def test_merge_update_and_insert(spark, tmp_path):
         [(2, 99, "new"), (3, 30, "new")], "k long, v long, tag string"
     )
     stats = merge_into(spark, path, src, on=["k"])
-    assert stats == {"matched": 1, "inserted": 1, "deleted": 0}
+    assert stats.items() >= {"matched": 1, "inserted": 1, "deleted": 0}.items()
     assert _rows(spark, path) == {
         1: (10, "old"),
         2: (99, "new"),
@@ -54,7 +54,7 @@ def test_merge_insert_only_ignores_matches(spark, tmp_path):
     stats = merge_into(
         spark, path, src, on=["k"], when_matched="ignore"
     )
-    assert stats == {"matched": 1, "inserted": 1, "deleted": 0}
+    assert stats.items() >= {"matched": 1, "inserted": 1, "deleted": 0}.items()
     assert _rows(spark, path) == {1: (10, "old"), 2: (20, "new")}
 
 
@@ -72,7 +72,7 @@ def test_merge_creates_table_and_update_collapses_dup_target(spark, tmp_path):
     path = str(tmp_path / "fresh")
     src = spark.createDataFrame([(1, 10, "a")], "k long, v long, tag string")
     stats = merge_into(spark, path, src, on=["k"])
-    assert stats == {"matched": 0, "inserted": 1, "deleted": 0}
+    assert stats.items() >= {"matched": 0, "inserted": 1, "deleted": 0}.items()
 
     # target with two rows for k=1 (pre-merge table was not key-unique):
     # an update collapses them to the single source row
@@ -88,3 +88,130 @@ def test_merge_creates_table_and_update_collapses_dup_target(spark, tmp_path):
     stats = merge_into(spark, path2, upd, on=["k"])
     assert stats["matched"] == 3  # all three k=1 target rows consumed
     assert _rows(spark, path2) == {1: (99, "z")}
+
+
+def _clustered_table(spark, path, n_files=4, rows_per=100):
+    """Key-disjoint files (range-clustered on k) + a persisted stats index
+    — the layout a compacted/Z-ordered 100 TB table would have."""
+    from weightlifting_wod_etl_spark.operators.skipping import save_stats_index
+
+    df = spark.range(n_files * rows_per).selectExpr(
+        "id AS k", "id * 2 AS v", "'old' AS tag"
+    )
+    (
+        df.repartitionByRange(n_files, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    save_stats_index(path, ["k"])
+
+
+def test_merge_file_targeted_rewrites_only_intersecting_files(spark, tmp_path):
+    """VERDICT r8 #3: an upsert whose keys land in 1 of N key-disjoint
+    files must rewrite ~1 file and carry the rest by reference, with the
+    result identical to a full rewrite."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.skipping import (
+        list_data_files,
+        load_stats_index,
+    )
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    path = str(tmp_path / "clustered")
+    _clustered_table(spark, path, n_files=4, rows_per=100)
+    old_files = {os.path.basename(f) for f in list_data_files(path)}
+    assert len(old_files) == 4
+
+    # keys 10..19 live in the first range file only
+    src = spark.createDataFrame(
+        [(k, 9999, "new") for k in range(10, 20)], "k long, v long, tag string"
+    )
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["matched"] == 10 and stats["inserted"] == 0
+    assert stats["files_carried"] == 3  # 3 of 4 came over by reference
+    assert stats["files_rewritten"] <= 2  # ~1 file's rows rewritten
+
+    new_dir = resolve(path)
+    # carried files share names (and bytes) with the old layout
+    carried = old_files & {os.path.basename(f) for f in list_data_files(new_dir)}
+    assert len(carried) == 3
+
+    # index refreshed with the data: entries exactly match the new files
+    idx = load_stats_index(new_dir)
+    assert idx is not None
+    assert {e["file"] for e in idx} == set(list_data_files(new_dir))
+
+    got = _rows(spark, path)
+    assert len(got) == 400
+    for k in range(10, 20):
+        assert got[k] == (9999, "new")
+    assert got[250] == (500, "old")
+
+
+def test_merge_file_targeted_matches_full_rewrite(spark, tmp_path):
+    """Same merge with and without the index must produce identical rows
+    — pruning is an optimization, never a semantics change."""
+    import os
+
+    patha = str(tmp_path / "with_idx")
+    pathb = str(tmp_path / "no_idx")
+    _clustered_table(spark, patha, n_files=4, rows_per=50)
+    _clustered_table(spark, pathb, n_files=4, rows_per=50)
+    os.remove(os.path.join(pathb, "_stats_index.parquet"))
+
+    src = spark.createDataFrame(
+        [(5, -1, "u"), (120, -2, "u"), (999, -3, "i")],
+        "k long, v long, tag string",
+    )
+    sa = merge_into(spark, patha, src, on=["k"])
+    sb = merge_into(spark, pathb, src, on=["k"])
+    assert sa["matched"] == sb["matched"] == 2
+    assert sa["inserted"] == sb["inserted"] == 1
+    assert sa["files_carried"] > 0 and sb["files_carried"] == 0
+    assert _rows(spark, patha) == _rows(spark, pathb)
+
+
+def test_merge_delete_file_targeted(spark, tmp_path):
+    """Right-to-be-forgotten on a clustered table: only files that can
+    hold the doomed keys rewrite."""
+    path = str(tmp_path / "rtbf")
+    _clustered_table(spark, path, n_files=4, rows_per=50)
+    keys = spark.createDataFrame([(0,), (1,)], "k long")
+    n = delete_keys(spark, path, keys, on=["k"])
+    assert n == 2
+    got = _rows(spark, path)
+    assert len(got) == 198 and 0 not in got and 1 not in got
+
+
+def test_merge_bookkeeping_is_single_action(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #4: dup-guard + matched/src-matched/total counts must
+    come from ONE keyed aggregation, not one driver action per statistic
+    (the old shape ran 4: dup limit-count, two semi-join counts,
+    source.count). Raw Spark job count is not the right probe — AQE splits
+    one action into a job per query stage and every broadcast exchange
+    runs as its own job — so count driver-initiated actions directly."""
+    import pyspark.sql.classic.dataframe as df_mod
+
+    path = str(tmp_path / "actions")
+    _table(spark, path, [(1, 10, "old"), (2, 20, "old")])
+    src = spark.createDataFrame([(2, 99, "new")], "k long, v long, tag string")
+
+    actions = []
+    orig_collect, orig_count = df_mod.DataFrame.collect, df_mod.DataFrame.count
+    monkeypatch.setattr(
+        df_mod.DataFrame,
+        "collect",
+        lambda self: actions.append("collect") or orig_collect(self),
+    )
+    monkeypatch.setattr(
+        df_mod.DataFrame,
+        "count",
+        lambda self: actions.append("count") or orig_count(self),
+    )
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["matched"] == 1 and stats["inserted"] == 0
+    # 1 bookkeeping action (the single agg collect); the only other Spark
+    # action in merge_into is the staging write itself
+    assert actions == ["collect"], f"extra bookkeeping actions: {actions}"

@@ -26,7 +26,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-from .versioned import begin_commit, finish_commit, resolve
+from .versioned import abort_commit, begin_commit, finish_commit, resolve
 
 
 def dir_stats(path: str) -> tuple[int, int]:
@@ -75,12 +75,16 @@ def compact_parquet(
     else:
         out = df.repartition(want)
     staging, version = begin_commit(path)
-    out.write.mode("overwrite").parquet(staging)
-    index_cols = stats_cols if stats_cols is not None else (sort_by or [])
-    if index_cols:
-        from .skipping import save_stats_index
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        index_cols = stats_cols if stats_cols is not None else (sort_by or [])
+        if index_cols:
+            from .skipping import save_stats_index
 
-        save_stats_index(staging, index_cols)
-    finish_commit(path, version)
+            save_stats_index(staging, index_cols)
+        finish_commit(path, version)
+    except BaseException:
+        abort_commit(path, version)  # failed rewrite must not hold the lock
+        raise
     after, _ = dir_stats(resolve(path))
     return before, after

@@ -21,6 +21,25 @@ keyed on ``on`` — the source is typically small (a day's increment, a
 deletion list) so Catalyst broadcasts it; the target side streams through
 without a shuffle in that case. The new version dir is written while the
 live one stays readable; the pointer flip publishes it atomically.
+
+FILE-TARGETED REWRITE: when the table carries a persisted footer-stats
+index (operators/skipping.py) covering the first merge key, only files
+whose [min, max] key interval can contain a source key are read and
+rewritten; every other file is carried into the new version by hard link
+(metadata-only), and the index is refreshed incrementally — carried files
+keep their entries, only the rewritten files pay a footer read. This is
+the file-pruned MERGE shape Delta/Iceberg run at 100 TB: an upsert
+touching one day of a date-clustered table rewrites ~one file, not the
+table. Soundness does not depend on the layout — a file the index cannot
+rule out is rewritten — but a clustered layout (operators/zorder.py /
+compact with sort_by) is what makes the candidate set small.
+
+Bookkeeping is ONE Spark job: the per-key source/target counts that feed
+the duplicate-key guard, matched/inserted/deleted counts, and the
+matched-key set for the clause joins all come from a single keyed
+aggregation over a lazily-checkpointed key-stats frame — not one action
+per statistic (4 jobs before; measured directly in cdc_apply's per-batch
+latency).
 """
 
 from __future__ import annotations
@@ -28,7 +47,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .versioned import begin_commit, finish_commit, resolve
+from .versioned import (
+    abort_commit,
+    begin_commit,
+    carry_files,
+    finish_commit,
+    resolve,
+)
 
 
 def merge_into(
@@ -60,31 +85,56 @@ def merge_into(
     import os
 
     data_dir = resolve(target_path)
-    target = (
-        spark.read.parquet(data_dir)
-        if os.path.exists(data_dir)
-        else source.limit(0)
-    )
+    exists = os.path.exists(data_dir)
 
-    dup = source.groupBy(*on).count().filter(F.col("count") > 1)
-    if dup.limit(1).count():
+    # File-targeted path: with a persisted stats index covering the first
+    # merge key, read/rewrite only the files whose key interval can hold a
+    # source key; carry the rest by reference. Requires source schema ⊆
+    # target schema (else carried and rewritten files would disagree).
+    carried_files: list[str] = []
+    n_candidates = 0
+    target = None
+    if exists:
+        full = spark.read.parquet(data_dir)
+        carried_files, candidates = _prune_rewrite_set(
+            spark, data_dir, source, on, set(full.columns)
+        )
+        n_candidates = len(candidates)
+        if carried_files and candidates:
+            target = spark.read.schema(full.schema).parquet(*candidates)
+        elif carried_files and not candidates:
+            target = full.limit(0)  # no file can match: pure insert
+        else:
+            target = full
+    else:
+        target = source.limit(0)
+
+    # ONE bookkeeping job: per-key source counts joined to per-key target
+    # counts give the dup guard, matched/total counts, and the matched-key
+    # set — the lazy localCheckpoint materializes key_stats at the agg and
+    # the clause joins reuse it without re-running the join lineage.
+    source = source.localCheckpoint(eager=False)
+    key_stats = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_scnt"))
+        .join(target.groupBy(*on).agg(F.count(F.lit(1)).alias("_tcnt")), on, "left")
+        .localCheckpoint(eager=False)
+    )
+    row = key_stats.agg(
+        F.coalesce(F.max("_scnt"), F.lit(0)).alias("max_dup"),
+        F.coalesce(F.sum("_scnt"), F.lit(0)).alias("n_src"),
+        F.coalesce(
+            F.sum(F.when(F.col("_tcnt").isNotNull(), F.col("_scnt"))), F.lit(0)
+        ).alias("n_src_matched"),
+        F.coalesce(F.sum("_tcnt"), F.lit(0)).alias("n_matched"),
+    ).collect()[0]
+    if row.max_dup > 1:
         raise ValueError(
             "source has duplicate merge keys — a target row would match "
             "more than one source row (non-deterministic merge)"
         )
-
-    # distinct matched keys (target may hold several rows per key; an
-    # update collapses them all to the one source row, like Delta with a
-    # non-unique target). Materialized once — three consumers (two counts,
-    # the clause joins) must not re-derive the target∩source join each.
-    matched_keys = (
-        target.select(*on)
-        .distinct()
-        .join(source.select(*on), on, "left_semi")
-        .localCheckpoint(eager=False)
-    )
-    n_matched = target.join(F.broadcast(matched_keys), on, "left_semi").count()
-    n_src_matched = source.join(F.broadcast(matched_keys), on, "left_semi").count()
+    n_matched, n_src_matched = row.n_matched, row.n_src_matched
+    matched_keys = key_stats.filter(F.col("_tcnt").isNotNull()).select(*on)
 
     # survivors from the target side
     if when_matched == "ignore":
@@ -103,15 +153,83 @@ def merge_into(
     for p in parts:
         out = out.unionByName(p, allowMissingColumns=True)
 
-    n_inserted = 0
-    if when_not_matched == "insert":
-        n_inserted = source.count() - n_src_matched
-    n_deleted = n_matched if when_matched == "delete" else 0
+    n_inserted = int(row.n_src - n_src_matched) if when_not_matched == "insert" else 0
+    n_deleted = int(n_matched) if when_matched == "delete" else 0
 
     staging, version = begin_commit(target_path)
-    out.write.mode("overwrite").parquet(staging)
-    finish_commit(target_path, version)
-    return {"matched": n_matched, "inserted": n_inserted, "deleted": n_deleted}
+    try:
+        if carried_files:
+            # keep file granularity ≈ the files being replaced — without
+            # this the rewritten slice fans out to one file per shuffle
+            # partition and a 1-file-targeted merge litters tiny files
+            out = out.coalesce(max(1, n_candidates))
+        out.write.mode("overwrite").parquet(staging)
+        if carried_files:
+            carry_files(carried_files, data_dir, staging)
+            from .skipping import refresh_stats_index
+
+            refresh_stats_index(data_dir, staging)
+        finish_commit(target_path, version)
+    except BaseException:
+        abort_commit(target_path, version)  # never hold the lock on failure
+        raise
+    from .skipping import list_data_files
+
+    return {
+        "matched": int(n_matched),
+        "inserted": n_inserted,
+        "deleted": n_deleted,
+        "files_rewritten": len(list_data_files(staging)) - len(carried_files),
+        "files_carried": len(carried_files),
+    }
+
+
+def _prune_rewrite_set(
+    spark: SparkSession,
+    data_dir: str,
+    source: DataFrame,
+    on: list[str],
+    target_cols: set[str],
+) -> tuple[list[str], list[str]]:
+    """Split the table's files into (carried, candidates): a file is a
+    rewrite candidate iff the persisted index cannot prove its first-key
+    interval holds no source key. Returns ``([], [])`` — full rewrite —
+    when there is no usable index, the key is not indexed, or the source
+    introduces columns the target lacks (schema drift would make carried
+    files diverge from rewritten ones)."""
+    from .skipping import load_stats_index
+
+    if not set(source.columns) <= target_cols:
+        return [], []
+    index = load_stats_index(data_dir)
+    key = on[0]
+    if not index or f"{key}_min" not in index[0]:
+        return [], []
+    bounds = [(e["file"], e.get(f"{key}_min"), e.get(f"{key}_max")) for e in index]
+    blind = [f for f, lo, hi in bounds if lo is None or hi is None]
+    stated = [(f, lo, hi) for f, lo, hi in bounds if lo is not None and hi is not None]
+    cand = set(blind)
+    if stated:
+        bdf = spark.createDataFrame(stated, ["file", "_lo", "_hi"])
+        # tiny side (one row per FILE) broadcast against the streamed source
+        # keys — a broadcast range join, never a shuffle of the source; the
+        # distinct collapses to ≤ n_files rows map-side before the collect
+        hit = (
+            source.select(F.col(key).alias("_k"))
+            .join(
+                F.broadcast(bdf),
+                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+                "inner",
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        )
+        cand.update(r.file for r in hit)
+    carried = [f for f, _, _ in bounds if f not in cand]
+    if not carried:
+        return [], []  # every file is a candidate: plain full rewrite
+    return carried, sorted(cand)
 
 
 def delete_keys(

@@ -133,6 +133,42 @@ def save_stats_index(data_dir: str, cols: list[str]) -> str:
     return write_stats_index(data_dir, file_stats_index(data_dir, cols))
 
 
+def refresh_stats_index(
+    old_dir: str, new_dir: str, cols: list[str] | None = None
+) -> str | None:
+    """Maintain the persisted index across a rewrite that carried most
+    files from ``old_dir`` into ``new_dir`` by reference (same relative
+    paths): carried files keep their existing entries, only files new to
+    ``new_dir`` pay a footer read. ``cols=None`` inherits the old index's
+    columns (no-op if the old table had no index — nothing promised
+    pruning). Falls back to a full rebuild when the requested columns
+    differ from the old index's. Returns the written index path, or
+    ``None`` when there is nothing to maintain.
+
+    This is what keeps ``io.read_pruned`` correct across incremental
+    commits: a stale index naming files the new version no longer has —
+    or missing its new files — would prune unsoundly, so the index is
+    rewritten inside the staging dir and published by the SAME atomic
+    pointer flip as the data."""
+    old = load_stats_index(old_dir) or []
+    if cols is None:
+        cols = index_cols(old)
+        if not cols:
+            return None
+    if old and index_cols(old) != sorted(cols):
+        old = []  # column set changed: full rebuild
+    by_rel = {os.path.relpath(e["file"], old_dir): e for e in old}
+    entries, fresh = [], []
+    for f in list_data_files(new_dir):
+        rel = os.path.relpath(f, new_dir)
+        if rel in by_rel:
+            entries.append({**by_rel[rel], "file": f})
+        else:
+            fresh.append(f)
+    entries.extend(stats_for_files(fresh, cols))
+    return write_stats_index(new_dir, entries)
+
+
 def load_stats_index(data_dir: str) -> list[dict] | None:
     """Persisted index for ``data_dir`` (absolute file paths restored), or
     ``None`` when absent — callers fall back to a live footer scan."""

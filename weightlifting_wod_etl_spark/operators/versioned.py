@@ -48,9 +48,11 @@ on object storage both guards collapse into the conditional PUT itself.
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
 import shutil
+import time
 
 CURRENT_POINTER = "_CURRENT"
 _VDIR = re.compile(r"^_v(\d{6})$")
@@ -67,7 +69,20 @@ def _lock_path(path: str, version: int) -> str:
     return os.path.join(path, f".lock_v{version:06d}")
 
 
+def _contains_parquet(d: str) -> bool:
+    for root, dirs, files in os.walk(d):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        if any(f.endswith(".parquet") and not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
+
+
 def _pid_is_live(pid: int) -> bool:
+    if pid <= 0:
+        # 0 / negative would signal our own process group via os.kill and
+        # "succeed" — an empty or corrupt lock must read as stale, never as
+        # a permanently-live phantom owner.
+        return False
     if pid == os.getpid():
         return False  # our own earlier crashed-then-retried attempt
     try:
@@ -159,31 +174,146 @@ def begin_commit(path: str) -> tuple[str, int]:
     os.makedirs(path, exist_ok=True)
     version = current_version(path) + 1
     lock = _lock_path(path, version)
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+    # Lock creation is atomic WITH its content: the pid is written to a
+    # unique temp file first and hard-linked to the lock name (link is
+    # atomic and fails if the name exists) — there is no open-then-write
+    # window in which a crash could leave an empty lock that reads as
+    # owner 0.
+    tmp = f"{lock}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(os.getpid()))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        for attempt in itertools.count():
+            try:
+                os.link(tmp, lock)
+                break
+            except FileExistsError:
+                pass
             try:
                 with open(lock) as f:
                     owner = int(f.read().strip() or 0)
+                mtime = os.path.getmtime(lock)
             except (OSError, ValueError):
-                owner = 0
+                continue  # vanished or unreadable mid-race: retry create
             if _pid_is_live(owner):
                 raise ConcurrentCommitError(
                     f"version {version} of {path} is being committed by "
                     f"live pid {owner} — concurrent writers are not "
                     "supported (see module docstring)"
                 ) from None
+            if owner <= 0 and time.time() - mtime < 5.0:
+                # contentless lock from a non-engine writer may still be
+                # mid-write: short grace before declaring it stale
+                raise ConcurrentCommitError(
+                    f"version {version} of {path} has a fresh contentless "
+                    "lock — another writer may be mid-acquire; retry shortly"
+                ) from None
+            # Stale (dead or corrupt owner). Reclaim via atomic rename to a
+            # unique name: of N racers acting on the same stale read, exactly
+            # ONE rename succeeds — the losers loop back, see the winner's
+            # FRESH lock, and fail live-owner above instead of unlinking it.
+            grave = f"{lock}.stale.{os.getpid()}.{attempt}"
             try:
-                os.unlink(lock)  # stale: crashed writer, reclaim
-            except FileNotFoundError:
+                os.rename(lock, grave)
+            except OSError:
+                continue  # another racer reclaimed first
+            try:
+                os.unlink(grave)
+            except OSError:
                 pass
-    with os.fdopen(fd, "w") as f:
-        f.write(str(os.getpid()))
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     staging = os.path.join(path, f"_v{version:06d}")
     shutil.rmtree(staging, ignore_errors=True)
     return staging, version
+
+
+def abort_commit(path: str, version: int, *, keep_staging: bool = False) -> None:
+    """Release ``version``'s commit lock after a FAILED staging write.
+
+    Callers wrap the staging write + ``finish_commit`` in try/except and
+    call this on failure; without it, a live process whose Spark write
+    into staging raised would hold the lock until process exit, turning
+    every other writer's ``begin_commit`` into
+    :class:`ConcurrentCommitError`. Only a lock owned by THIS process is
+    released (a racer's fresh lock is never clobbered); the orphaned
+    staging dir is removed unless ``keep_staging`` (debugging). Idempotent
+    and safe to call when the lock is already gone."""
+    if not keep_staging:
+        shutil.rmtree(os.path.join(path, f"_v{version:06d}"), ignore_errors=True)
+    lock = _lock_path(path, version)
+    try:
+        with open(lock) as f:
+            owner = int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return
+    if owner == os.getpid():
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    try:
+        os.link(src, dst)  # metadata-only carry: same bytes, no data copy
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def carry_files(files: list[str], src_root: str, dst_root: str) -> list[str]:
+    """Hard-link ``files`` (absolute, under ``src_root``) into ``dst_root``
+    preserving relative layout — the 'carry unchanged files by reference'
+    half of a file-targeted rewrite. Committed version dirs are immutable,
+    so sharing inodes across versions is safe; on object storage this maps
+    to a metadata-level copy (S3 CopyObject / manifest re-listing), never
+    a data rewrite. Returns the carried files' dst paths."""
+    out = []
+    for f in files:
+        rel = os.path.relpath(f, src_root)
+        dst = os.path.join(dst_root, rel)
+        _link_or_copy(f, dst)
+        out.append(dst)
+    return out
+
+
+def carry_missing_partitions(src_dir: str, dst_dir: str) -> list[str]:
+    """Hard-link every Hive partition subtree of ``src_dir`` that ``dst_dir``
+    does not already contain — the carry step of a partition-targeted
+    rewrite: affected partitions were freshly written into ``dst_dir``,
+    everything else is brought over by reference. Recurses per level so
+    multi-column partitioning carries at leaf granularity. Returns the
+    carried files' dst paths."""
+    carried: list[str] = []
+
+    def walk(src: str, dst: str) -> None:
+        for entry in sorted(os.listdir(src)):
+            if entry.startswith(("_", ".")) or "=" not in entry:
+                continue
+            s, d = os.path.join(src, entry), os.path.join(dst, entry)
+            if not os.path.isdir(s):
+                continue
+            if os.path.isdir(d):
+                walk(s, d)  # partially rewritten level: descend
+            else:
+                for root, dirs, files in os.walk(s):
+                    dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+                    for fn in files:
+                        if fn.startswith(("_", ".")):
+                            continue
+                        sf = os.path.join(root, fn)
+                        df_ = os.path.join(d, os.path.relpath(sf, s))
+                        _link_or_copy(sf, df_)
+                        carried.append(df_)
+
+    walk(src_dir, dst_dir)
+    return carried
 
 
 def finish_commit(path: str, version: int, keep_versions: int = 1) -> None:
@@ -230,10 +360,15 @@ def finish_commit(path: str, version: int, keep_versions: int = 1) -> None:
         if m and int(m.group(1)) < version - keep_versions:
             shutil.rmtree(full, ignore_errors=True)
         elif version - 1 == 0 and not entry.startswith(("_", ".")):
-            # migrated from a plain dir: loose files and partition subdirs
-            # are the old "version 0"
+            # migrated from a plain dir: loose files and Hive partition
+            # subdirs are the old "version 0". Only dirs that are
+            # recognizably table data (``key=value`` partition names, or
+            # containing parquet data files) are removed — an unrelated
+            # directory co-located at the root (a backup, an export) is
+            # NOT ours to delete.
             if os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
+                if "=" in entry or _contains_parquet(full):
+                    shutil.rmtree(full, ignore_errors=True)
             elif entry.endswith(".parquet") or entry == "_SUCCESS":
                 try:
                     os.remove(full)

@@ -77,11 +77,17 @@ def kv_upsert_parquet(
     reference's per-record DynamoDB putItem (OP18) with deterministic
     survivor choice.
 
-    With ``partition_by``, the upsert is INCREMENTAL: only the partitions
-    whose values appear in the incoming batch are read (partition-pruned
-    scan), merged, and replaced (``partitionOverwriteMode=dynamic``) —
-    untouched partitions' files are never rewritten, so a daily increment
-    against a 100 TB table costs O(increment), not O(table). Keys must not
+    With ``partition_by``, the upsert is INCREMENTAL *and* ATOMIC: only
+    the partitions whose values appear in the incoming batch are read
+    (partition-pruned scan) and rewritten into the next version's staging
+    dir; every untouched partition is carried into the new version by
+    hard link (metadata-only — no data bytes move), and ONE pointer flip
+    publishes the whole version. A crash at any point leaves the previous
+    version fully live — never a half-overwritten partition, which the
+    old in-place ``partitionOverwriteMode=dynamic`` write could produce.
+    A daily increment against a 100 TB table still costs O(increment):
+    at deployment scale the links are manifest/CopyObject operations, the
+    same shape as a partition-scoped Delta replaceWhere. Keys must not
     move between partitions (partition cols ⊆ key semantics), the same
     contract a Delta/Iceberg MERGE keyed on ``key_cols`` would carry.
 
@@ -90,41 +96,60 @@ def kv_upsert_parquet(
     never by table or batch row count."""
     from functools import reduce
 
-    from .operators.versioned import begin_commit, finish_commit, resolve
+    from .operators.versioned import (
+        abort_commit,
+        begin_commit,
+        carry_missing_partitions,
+        finish_commit,
+        resolve,
+    )
 
     spark = df.sparkSession
     data_dir = resolve(path)
     if partition_by and os.path.exists(data_dir):
-        parts = df.select(*partition_by).distinct().collect()
-        if not parts:
-            return  # empty increment: nothing to merge, nothing to rewrite
-        # eqNullSafe: a null partition value must still match its existing
-        # __HIVE_DEFAULT_PARTITION__ rows, or duplicate keys survive there
-        pred = reduce(
-            lambda a, b: a | b,
-            [
-                reduce(
-                    lambda a, b: a & b,
-                    [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+        # a pre-partitioning plain layout (loose root files) can't be
+        # carried per-partition — migrate it with one full rewrite below
+        loose = any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in os.listdir(data_dir)
+        )
+        if not loose:
+            parts = df.select(*partition_by).distinct().collect()
+            if not parts:
+                return  # empty increment: nothing to merge, nothing to rewrite
+            # eqNullSafe: a null partition value must still match its existing
+            # __HIVE_DEFAULT_PARTITION__ rows, or duplicate keys survive there
+            pred = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_by],
+                    )
+                    for r in parts
+                ],
+            )
+            existing = spark.read.parquet(data_dir).filter(pred)
+            merged = existing.unionByName(df, allowMissingColumns=True)
+            winners = exact_dedup(
+                merged,
+                key_cols=key_cols,
+                order_cols=[F.col(c).desc() for c in order_cols],
+            )
+            staging, version = begin_commit(path)
+            try:
+                winners.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                    staging
                 )
-                for r in parts
-            ],
-        )
-        existing = spark.read.parquet(data_dir).filter(pred)
-        merged = existing.unionByName(df, allowMissingColumns=True)
-        winners = exact_dedup(
-            merged, key_cols=key_cols, order_cols=[F.col(c).desc() for c in order_cols]
-        )
-        # materialize before writing (Spark refuses to overwrite a path it
-        # is reading); volume = affected partitions only
-        winners = winners.localCheckpoint()
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            winners.write.mode("overwrite").partitionBy(*partition_by).parquet(data_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        return
+                carry_missing_partitions(data_dir, staging)
+                from .operators.skipping import refresh_stats_index
+
+                refresh_stats_index(data_dir, staging, stats_cols)
+                finish_commit(path, version)
+            except BaseException:
+                abort_commit(path, version)
+                raise
+            return
 
     if os.path.exists(data_dir):
         existing = spark.read.parquet(data_dir)
@@ -141,15 +166,21 @@ def kv_upsert_parquet(
     # table, and the single write replaces the old staging double-write.
     # At cluster scale this branch is a Delta MERGE INTO keyed on key_cols.
     staging, version = begin_commit(path)
-    w = winners.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(staging)
-    if stats_cols:  # skipping index commits atomically with the data
-        from .operators.skipping import save_stats_index
+    try:
+        w = winners.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        if stats_cols:  # skipping index commits atomically with the data
+            from .operators.skipping import save_stats_index
 
-        save_stats_index(staging, stats_cols)
-    finish_commit(path, version)
+            save_stats_index(staging, stats_cols)
+        finish_commit(path, version)
+    except BaseException:
+        # a failed staging write must release the commit lock, or every
+        # later writer in this process's lifetime gets ConcurrentCommitError
+        abort_commit(path, version)
+        raise
 
 
 def weekly_rollup_path(df: DataFrame, base: str, date_col: str = "date") -> str:
