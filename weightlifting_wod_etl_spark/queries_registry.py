@@ -94,6 +94,11 @@ from .queries import (  # noqa: E402,F401
 # backlog. test_driver_staleness_is_bounded stays red until the r10
 # artifact lands — that is the recorded debt from the skipped r8 rotation,
 # not a correctness failure (all 151 queries are parity-green locally).
+# R11 REGISTRATION QUEUE (pre-built, tested, NOT yet registered):
+# queries/cdc_interval.py holds q_cdc_apply and q_interval_join with
+# oracle SQL + parity/plan-pin tests (test_cdc_interval_oracle.py) —
+# in r11, import the module here with @register wrappers, head them in
+# _WINDOW_PRIORITY, and add both to bench.py HEADLINE + COVERAGE.md.
 _WINDOW_PRIORITY = [
     "q_argmax_events",  # last green r05
     "q_array_fns",  # last green r05
