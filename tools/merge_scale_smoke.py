@@ -1,0 +1,120 @@
+"""Merge-at-scale smoke: does MERGE INTO cost O(increment) or O(table)?
+
+Round 8's verdict marked the lifecycle 'weak for scale' because every
+merge rewrote the whole table. Round 9 wired the file-targeted rewrite
+(operators/merge.py: persisted stats index → candidate files → carry
+the rest by hard link). This tool measures the claim directly:
+
+  - build a key-clustered table (N files, disjoint key ranges, persisted
+    index) at 1x and Kx rows;
+  - apply the SAME fixed-size increment (update + insert on keys inside
+    ONE file's range) with the index present (targeted) and with the
+    index removed (full rewrite);
+  - report wall time and files rewritten/carried for each.
+
+Healthy result: targeted time roughly flat as the table grows Kx while
+full-rewrite time grows with the table — the local[32] analog of
+"right-to-be-forgotten touches one file of 100 TB, not the table".
+
+Usage: python tools/merge_scale_smoke.py [--factor 30] [--files 32]
+Writes MERGE_SCALE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+
+
+def build_clustered(spark, rows: int, n_files: int, path: str) -> None:
+    from weightlifting_wod_etl_spark.operators.skipping import save_stats_index
+
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(rows).selectExpr(
+        "id AS k", "id * 3 AS v", "concat('row-', id) AS payload"
+    )
+    (
+        df.repartitionByRange(n_files, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    save_stats_index(path, ["k"])
+
+
+def one_merge(spark, path: str, keys_lo: int, n_keys: int) -> dict:
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+
+    src = spark.range(keys_lo, keys_lo + n_keys).selectExpr(
+        "id AS k", "id * -1 AS v", "concat('upd-', id) AS payload"
+    )
+    t0 = time.perf_counter()
+    stats = merge_into(spark, path, src, on=["k"])
+    secs = round(time.perf_counter() - t0, 3)
+    return {"seconds": secs, **{k: stats[k] for k in ("files_rewritten", "files_carried", "matched", "inserted")}}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=30)
+    ap.add_argument("--files", type=int, default=32)
+    ap.add_argument("--base-rows", type=int, default=200_000)
+    ap.add_argument("--increment", type=int, default=2_000)
+    ap.add_argument("--out", default=os.path.join(REPO, "MERGE_SCALE.json"))
+    args = ap.parse_args()
+
+    from weightlifting_wod_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="wod-merge-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
+
+    report: dict = {
+        "factor": args.factor,
+        "n_files": args.files,
+        "increment_rows": args.increment,
+        "sizes": {},
+    }
+    for label, rows in (("1x", args.base_rows), (f"{args.factor}x", args.base_rows * args.factor)):
+        path = f"/tmp/wod_merge_scale_{label}"
+        build_clustered(spark, rows, args.files, path)
+        # increment keys inside the FIRST file's range; half the keys
+        # beyond the table end to exercise the insert clause too
+        targeted = one_merge(spark, path, keys_lo=0, n_keys=args.increment)
+
+        build_clustered(spark, rows, args.files, path)
+        os.remove(os.path.join(path, "_stats_index.parquet"))
+        full = one_merge(spark, path, keys_lo=0, n_keys=args.increment)
+        shutil.rmtree(path, ignore_errors=True)
+
+        report["sizes"][label] = {
+            "table_rows": rows,
+            "targeted": targeted,
+            "full_rewrite": full,
+        }
+        print(f"[merge_scale] {label} rows={rows}: targeted={targeted} "
+              f"full={full}", file=sys.stderr)
+
+    t1 = report["sizes"]["1x"]["targeted"]["seconds"]
+    tk = report["sizes"][f"{args.factor}x"]["targeted"]["seconds"]
+    f1 = report["sizes"]["1x"]["full_rewrite"]["seconds"]
+    fk = report["sizes"][f"{args.factor}x"]["full_rewrite"]["seconds"]
+    report["targeted_growth"] = round(tk / t1, 2) if t1 else None
+    report["full_growth"] = round(fk / f1, 2) if f1 else None
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"targeted_growth": report["targeted_growth"],
+                      "full_growth": report["full_growth"]}))
+
+
+if __name__ == "__main__":
+    main()
