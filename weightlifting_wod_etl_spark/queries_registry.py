@@ -81,75 +81,71 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-9 window (tools/rotate_window.py): round 8 skipped the rotation, so
-# 100 queries (the r5 AND r6 tranches) sit past the N-2 staleness cutoff —
-# double the window size. This round fronts the 50 stalest (the full r5
-# tranche: SURVEY §2 core scan/limit/regex/clean/pivot/dedup/kv-upsert,
-# the TPC-H family, rollup/cube/grouping-sets, window fns, text-stats).
-# ROUND-10 MUST front the r6 tranche (the remaining 50 overdue: sessionize,
+# Round-10 window (tools/rotate_window.py): fronts the r6 tranche — the
+# remaining 50 overdue queries from the skipped r8 rotation (sessionize,
 # wod_pipeline, date family, minhash/simhash/ngram, cosine_topk, fuzzy
-# dedup, group_concat, explode_lines, …) — run tools/rotate_window.py again
-# as r10's first commit. Register NO new queries in r9 or r10: new queries
-# rank never-checked-first and would displace stale ones, extending the
-# backlog. test_driver_staleness_is_bounded stays red until the r10
-# artifact lands — that is the recorded debt from the skipped r8 rotation,
-# not a correctness failure (all 151 queries are parity-green locally).
+# dedup, group_concat, explode_lines, 9 TPC-H heads, sketch family).
+# After CORRECTNESS_r10 lands, the staleness histogram is {r8: 50, r9: 50,
+# r10: 50} — nothing past the N-2 cutoff, test_driver_staleness_is_bounded
+# green, the r8 debt fully repaid. Register NO new queries in r10 (they
+# rank never-checked-first and would displace overdue ones). From r11 on,
+# normal one-tranche-per-round rotation resumes.
 # R11 REGISTRATION QUEUE (pre-built, tested, NOT yet registered):
 # queries/cdc_interval.py holds q_cdc_apply and q_interval_join with
 # oracle SQL + parity/plan-pin tests (test_cdc_interval_oracle.py) —
 # in r11, import the module here with @register wrappers, head them in
 # _WINDOW_PRIORITY, and add both to bench.py HEADLINE + COVERAGE.md.
 _WINDOW_PRIORITY = [
-    "q_argmax_events",  # last green r05
-    "q_array_fns",  # last green r05
-    "q_bigram_topk",  # last green r05
-    "q_canonical_rep",  # last green r05
-    "q_clean_normalize",  # last green r05
-    "q_corr_stats",  # last green r05
-    "q_cube",  # last green r05
-    "q_dedup_antijoin",  # last green r05
-    "q_dedup_exact",  # last green r05
-    "q_event_gap_stats",  # last green r05
-    "q_funnel_conversion",  # last green r05
-    "q_grouping_sets",  # last green r05
-    "q_histogram",  # last green r05
-    "q_kv_upsert_dedup",  # last green r05
-    "q_lang_id",  # last green r05
-    "q_limit_offset",  # last green r05
-    "q_min_cost_supplier",  # last green r05
-    "q_multimodal_features",  # last green r05
-    "q_ntile_bucket",  # last green r05
-    "q_passage_dedup",  # last green r05
-    "q_percentile",  # last green r05
-    "q_pivot_wide",  # last green r05
-    "q_quality_score",  # last green r05
-    "q_rank_fns",  # last green r05
-    "q_regex_filter",  # last green r05
-    "q_retention_cohort",  # last green r05
-    "q_rollup",  # last green r05
-    "q_scalar_subquery",  # last green r05
-    "q_scan_project",  # last green r05
-    "q_scd2_snapshot",  # last green r05
-    "q_skew_agg",  # last green r05
-    "q_skew_join",  # last green r05
-    "q_text_stats",  # last green r05
-    "q_tfidf_topk",  # last green r05
-    "q_token_count",  # last green r05
-    "q_tpch_q1",  # last green r05
-    "q_tpch_q10",  # last green r05
-    "q_tpch_q14",  # last green r05
-    "q_tpch_q18",  # last green r05
-    "q_tpch_q19",  # last green r05
-    "q_tpch_q3",  # last green r05
-    "q_tpch_q4",  # last green r05
-    "q_tpch_q5",  # last green r05
-    "q_tpch_q6",  # last green r05
-    "q_tpch_q7",  # last green r05
-    "q_tpch_q9",  # last green r05
-    "q_trigram_entropy",  # last green r05
-    "q_unpivot",  # last green r05
-    "q_window_frames",  # last green r05
-    "q_window_rank",  # last green r05
+    "q_bigram_lm_score",  # last green r06
+    "q_cms_estimate",  # last green r06
+    "q_cosine_topk",  # last green r06
+    "q_cumulative_distinct",  # last green r06
+    "q_data_quality",  # last green r06
+    "q_date_extract",  # last green r06
+    "q_date_spine",  # last green r06
+    "q_embed_centroid",  # last green r06
+    "q_event_transitions",  # last green r06
+    "q_ewma",  # last green r06
+    "q_explode_lines",  # last green r06
+    "q_fuzzy_dedup",  # last green r06
+    "q_global_topn",  # last green r06
+    "q_group_concat",  # last green r06
+    "q_hll_bound",  # last green r06
+    "q_hll_union",  # last green r06
+    "q_json_fns",  # last green r06
+    "q_lateral_topk",  # last green r06
+    "q_mad_anomaly",  # last green r06
+    "q_map_fns",  # last green r06
+    "q_minhash_lsh",  # last green r06
+    "q_ngram_jaccard",  # last green r06
+    "q_pagerank",  # last green r06
+    "q_quantile_bound",  # last green r06
+    "q_resample_ffill",  # last green r06
+    "q_rolling_range",  # last green r06
+    "q_session_concurrency",  # last green r06
+    "q_sessionize_events",  # last green r06
+    "q_sessionize_text",  # last green r06
+    "q_set_ops",  # last green r06
+    "q_simhash",  # last green r06
+    "q_sliding_window",  # last green r06
+    "q_snapshot_diff",  # last green r06
+    "q_string_fns",  # last green r06
+    "q_tdigest_quantile",  # last green r06
+    "q_tpch_q11",  # last green r06
+    "q_tpch_q12",  # last green r06
+    "q_tpch_q13",  # last green r06
+    "q_tpch_q15",  # last green r06
+    "q_tpch_q16",  # last green r06
+    "q_tpch_q17",  # last green r06
+    "q_tpch_q20",  # last green r06
+    "q_tpch_q21",  # last green r06
+    "q_tpch_q8",  # last green r06
+    "q_tumbling_window",  # last green r06
+    "q_weekly_rollup",  # last green r06
+    "q_weighted_sample",  # last green r06
+    "q_window_dedup",  # last green r06
+    "q_wod_pipeline",  # last green r06
+    "q_zscore_normalize",  # last green r06
 ]
 
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
