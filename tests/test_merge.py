@@ -215,3 +215,103 @@ def test_merge_bookkeeping_is_single_action(spark, tmp_path, monkeypatch):
     # 1 bookkeeping action (the single agg collect); the only other Spark
     # action in merge_into is the staging write itself
     assert actions == ["collect"], f"extra bookkeeping actions: {actions}"
+
+
+def test_merge_full_rewrite_keeps_stats_index(spark, tmp_path):
+    """ADVICE r9 (low): a merge that takes the full-rewrite path over a
+    previously indexed table used to publish a version with NO index —
+    every later merge silently degraded to full rewrites forever. The
+    refresh must run unconditionally when the table was indexed."""
+    from weightlifting_wod_etl_spark.operators.skipping import (
+        list_data_files,
+        load_stats_index,
+    )
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    path = str(tmp_path / "fullrw")
+    _clustered_table(spark, path, n_files=4, rows_per=50)
+
+    # source spans every file's key range → all files are candidates →
+    # full rewrite
+    src = spark.createDataFrame(
+        [(k, -k, "new") for k in (0, 60, 110, 160)], "k long, v long, tag string"
+    )
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["files_carried"] == 0  # full-rewrite path taken
+
+    new_dir = resolve(path)
+    idx = load_stats_index(new_dir)
+    assert idx is not None, "full rewrite dropped the stats index"
+    assert {e["file"] for e in idx} == set(list_data_files(new_dir))
+
+    # and the NEXT narrow merge is file-targeted again (no perf cliff)
+    src2 = spark.createDataFrame([(5, 1, "x")], "k long, v long, tag string")
+    stats2 = merge_into(spark, path, src2, on=["k"])
+    assert stats2["files_carried"] > 0
+
+
+def test_merge_incomplete_index_falls_back_to_full_rewrite(spark, tmp_path):
+    """ADVICE r9 (low): a data file present on disk but missing from the
+    index was neither carried nor a candidate — its rows silently vanished
+    from the new version. An incomplete index must force a full rewrite."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from weightlifting_wod_etl_spark.operators.skipping import _INDEX_NAME
+
+    path = str(tmp_path / "incomplete")
+    _clustered_table(spark, path, n_files=4, rows_per=50)
+
+    # corrupt the index: drop one file's entry
+    idx_path = os.path.join(path, _INDEX_NAME)
+    tbl = pq.read_table(idx_path)
+    pq.write_table(tbl.slice(0, tbl.num_rows - 1), idx_path)
+
+    src = spark.createDataFrame([(5, 9999, "new")], "k long, v long, tag string")
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["files_carried"] == 0  # fell back to full rewrite
+    got = _rows(spark, path)
+    assert len(got) == 200  # no rows vanished
+    assert got[5] == (9999, "new")
+
+
+def test_merge_prune_sees_same_snapshot_as_write(spark, tmp_path):
+    """ADVICE r9 (medium): the prune collect ran on the raw source and the
+    localCheckpoint happened after — a source that is non-deterministic
+    under recomputation could produce a key at write time whose file the
+    prune had carried, silently duplicating/losing that row. The source is
+    now checkpointed BEFORE the prune, so both phases see one snapshot."""
+    import os
+
+    import pandas as pd
+
+    path = str(tmp_path / "snapshot")
+    _clustered_table(spark, path, n_files=4, rows_per=50)
+
+    # a source whose lineage yields DIFFERENT keys on each evaluation:
+    # first evaluation hits only file 0 (k=5), later ones hit file 3
+    # (k=190). Without the early checkpoint the prune would carry file 3
+    # and the write would try to update a key inside a carried file.
+    counter_file = str(tmp_path / "evals")
+
+    def unstable(batches):
+        with open(counter_file, "a") as f:
+            f.write("x")
+        n = os.path.getsize(counter_file)
+        k = 5 if n <= 1 else 190
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"k": [k], "v": [9999], "tag": ["new"]})
+
+    src = (
+        spark.range(1)
+        .repartition(1)
+        .mapInPandas(unstable, "k long, v long, tag string")
+    )
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["matched"] == 1
+    got = _rows(spark, path)
+    assert len(got) == 200  # one snapshot: no duplicate, no lost update
+    assert got[5] == (9999, "new")
+    assert got[190] == (380, "old")

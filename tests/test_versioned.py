@@ -505,3 +505,64 @@ def test_first_commit_gc_spares_unrelated_directories(spark, tmp_path):
     assert os.path.isdir(backup)  # spared: not table data
     assert not os.path.isdir(os.path.join(path, "date=2021-01-03"))  # GC'd
     assert read_table(spark, path).count() == 2
+
+
+def test_corrupt_lock_content_is_stale_after_grace_not_a_spin(spark, tmp_path):
+    """ADVICE r9 (medium): non-numeric lock content raised ValueError in
+    the owner parse, which the old except treated as 'vanished mid-race'
+    and retried the create — FileExistsError, forever, with no sleep.
+    Corrupt content must parse as owner 0: fresh → loud
+    ConcurrentCommitError (grace window), old → reclaimed."""
+    import signal
+    import time as _time
+
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        ConcurrentCommitError,
+        _lock_path,
+    )
+
+    path = str(tmp_path / "corrupt")
+    spark.range(3).write.parquet(path)
+    lock = _lock_path(path, 1)
+    with open(lock, "w") as f:
+        f.write("garbage-not-a-pid\n")
+
+    # fail loudly rather than hang if the busy-spin regresses
+    def _boom(signum, frame):
+        raise AssertionError("begin_commit busy-spun on a corrupt lock")
+
+    old_handler = signal.signal(signal.SIGALRM, _boom)
+    signal.alarm(30)
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            begin_commit(path)  # fresh corrupt lock: refused, not spun
+
+        past = _time.time() - 60
+        os.utime(lock, (past, past))
+        staging, v = begin_commit(path)  # old corrupt lock: reclaimed
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
+    spark.range(4).write.parquet(staging)
+    finish_commit(path, v)
+    assert current_version(path) == 1
+
+
+def test_abort_commit_after_flip_is_noop(spark, tmp_path):
+    """ADVICE r9 (medium): callers run abort_commit on BaseException around
+    finish_commit. If the failure lands AFTER the _CURRENT flip (a
+    KeyboardInterrupt, an OSError in the GC loop), the _v{version} dir is
+    the LIVE table — abort must not rmtree it and leave the pointer
+    dangling at a deleted directory."""
+    from weightlifting_wod_etl_spark.operators.versioned import abort_commit
+
+    path = str(tmp_path / "lateabort")
+    spark.range(3).write.parquet(path)
+    staging, v = begin_commit(path)
+    spark.range(7).write.parquet(staging)
+    finish_commit(path, v)
+
+    abort_commit(path, v)  # failure landed after the flip
+    assert current_version(path) == v
+    assert os.path.isdir(staging)
+    assert read_table(spark, path).count() == 7

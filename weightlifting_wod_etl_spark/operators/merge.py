@@ -87,6 +87,13 @@ def merge_into(
     data_dir = resolve(target_path)
     exists = os.path.exists(data_dir)
 
+    # Checkpoint BEFORE the prune collect: _prune_rewrite_set and the
+    # clause joins must consume the SAME source snapshot. A source that is
+    # non-deterministic under recomputation (sampled, rand-salted) could
+    # otherwise produce a key at write time that the prune didn't see —
+    # whose file was carried — silently duplicating or losing that row.
+    source = source.localCheckpoint(eager=False)
+
     # File-targeted path: with a persisted stats index covering the first
     # merge key, read/rewrite only the files whose key interval can hold a
     # source key; carry the rest by reference. Requires source schema ⊆
@@ -113,7 +120,6 @@ def merge_into(
     # counts give the dup guard, matched/total counts, and the matched-key
     # set — the lazy localCheckpoint materializes key_stats at the agg and
     # the clause joins reuse it without re-running the join lineage.
-    source = source.localCheckpoint(eager=False)
     key_stats = (
         source.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("_scnt"))
@@ -166,6 +172,13 @@ def merge_into(
         out.write.mode("overwrite").parquet(staging)
         if carried_files:
             carry_files(carried_files, data_dir, staging)
+        if exists:
+            # Unconditional, not carried-gated: a full-rewrite merge over a
+            # previously indexed table must publish a rebuilt index (from
+            # the new files' footers), or every later merge degrades to
+            # full rewrites and read_pruned to live footer scans — a
+            # silent one-way perf cliff. No-op when the old table had no
+            # index (nothing promised pruning).
             from .skipping import refresh_stats_index
 
             refresh_stats_index(data_dir, staging)
@@ -197,13 +210,20 @@ def _prune_rewrite_set(
     when there is no usable index, the key is not indexed, or the source
     introduces columns the target lacks (schema drift would make carried
     files diverge from rewritten ones)."""
-    from .skipping import load_stats_index
+    from .skipping import list_data_files, load_stats_index
 
     if not set(source.columns) <= target_cols:
         return [], []
     index = load_stats_index(data_dir)
     key = on[0]
     if not index or f"{key}_min" not in index[0]:
+        return [], []
+    # The index must be a COMPLETE file manifest: a data file with no index
+    # entry would be neither carried nor a candidate — its rows silently
+    # vanish from the new version. All in-repo writers keep it complete;
+    # enforce it here, where incompleteness means data loss, by falling
+    # back to a full rewrite.
+    if not set(list_data_files(data_dir)) <= {e["file"] for e in index}:
         return [], []
     bounds = [(e["file"], e.get(f"{key}_min"), e.get(f"{key}_max")) for e in index]
     blind = [f for f, lo, hi in bounds if lo is None or hi is None]

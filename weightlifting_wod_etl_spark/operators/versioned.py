@@ -193,10 +193,18 @@ def begin_commit(path: str) -> tuple[str, int]:
                 pass
             try:
                 with open(lock) as f:
-                    owner = int(f.read().strip() or 0)
+                    raw = f.read().strip()
                 mtime = os.path.getmtime(lock)
-            except (OSError, ValueError):
-                continue  # vanished or unreadable mid-race: retry create
+            except OSError:
+                continue  # vanished mid-race: retry create
+            try:
+                owner = int(raw or 0)
+            except ValueError:
+                # Corrupt (non-numeric) content must read as owner 0 and
+                # take the grace/stale path below — retrying the create
+                # here would busy-spin forever against a lock that no
+                # live process will ever release.
+                owner = 0
             if _pid_is_live(owner):
                 raise ConcurrentCommitError(
                     f"version {version} of {path} is being committed by "
@@ -243,7 +251,16 @@ def abort_commit(path: str, version: int, *, keep_staging: bool = False) -> None
     :class:`ConcurrentCommitError`. Only a lock owned by THIS process is
     released (a racer's fresh lock is never clobbered); the orphaned
     staging dir is removed unless ``keep_staging`` (debugging). Idempotent
-    and safe to call when the lock is already gone."""
+    and safe to call when the lock is already gone.
+
+    If the ``_CURRENT`` pointer already names ``version`` (or later), the
+    flip happened before the failure — ``_v{version}`` is LIVE data, not
+    orphaned staging — so this is a no-op: rmtree'ing it would leave the
+    pointer dangling at a deleted directory. Callers wrap
+    ``finish_commit`` in the same try/except, and a ``KeyboardInterrupt``
+    or GC-loop ``OSError`` can land after the ``os.replace``."""
+    if current_version(path) >= version:
+        return
     if not keep_staging:
         shutil.rmtree(os.path.join(path, f"_v{version:06d}"), ignore_errors=True)
     lock = _lock_path(path, version)
