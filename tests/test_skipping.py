@@ -11,6 +11,7 @@ from weightlifting_wod_etl_spark.operators.skipping import (
     file_stats_index,
     prune_files,
 )
+from weightlifting_wod_etl_spark.operators.versioned import resolve
 from weightlifting_wod_etl_spark.operators.zorder import zorder_write
 
 
@@ -22,6 +23,7 @@ def _layouts(spark, tmp_path):
     )
     zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
     zorder_write(src, zpath, ["a", "b"], bits=8, num_files=16)
+    zpath = resolve(zpath)  # zorder_write commits a versioned layout now
     (
         src.repartitionByRange(16, "a")
         .sortWithinPartitions("a")

@@ -112,7 +112,17 @@ def zorder_write(
     The footer-stats skipping index over the clustered columns is
     persisted beside the data by default — the layout exists to make
     pruning effective, so ``io.read_pruned`` should find its index ready
-    rather than re-reading footers."""
+    rather than re-reading footers.
+
+    The write commits through the manifest-pointer protocol
+    (operators/versioned.py), same as ``compact_parquet`` and
+    ``merge_into``: the clustered layout is staged in the next version
+    dir and published by one atomic pointer flip, so re-clustering a LIVE
+    table crash-safely leaves exactly the old or exactly the new layout —
+    never a partial mix. Read results back with ``io.read_table`` /
+    ``versioned.resolve``, not a raw ``spark.read.parquet(path)``."""
+    from .versioned import abort_commit, begin_commit, finish_commit
+
     domain = 1 << (len(cols) * bits)
     width = -(-domain // num_files)  # ceil — last bucket may be partial
     markers = _partition_markers(df.sparkSession, num_files)
@@ -123,14 +133,19 @@ def zorder_write(
         F.expr(f"cast(__zkey div {width}L as int) + 1"),
     )
     keyed = df.withColumn("__zkey", morton_key(cols, bits))
-    (
+    out = (
         keyed.repartition(num_files, route)
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
-        .write.mode("overwrite")
-        .parquet(path)
     )
-    if save_index:
-        from .skipping import save_stats_index
+    staging, version = begin_commit(path)
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        if save_index:
+            from .skipping import save_stats_index
 
-        save_stats_index(path, cols)
+            save_stats_index(staging, cols)
+        finish_commit(path, version)
+    except BaseException:
+        abort_commit(path, version)  # failed clustering must not hold the lock
+        raise
