@@ -16,6 +16,12 @@ Healthy result: targeted time roughly flat as the table grows Kx while
 full-rewrite time grows with the table — the local[32] analog of
 "right-to-be-forgotten touches one file of 100 TB, not the table".
 
+Round 10 adds the CDC section: the same 1x/Kx comparison driven through
+``streaming/cdc_apply.py``'s per-batch loop — N micro-batches of mixed
+upserts+deletes (each batch up to two file-targeted merges) — measuring
+that PER-BATCH latency stays flat as the table grows Kx, the claim the
+cdc_apply docstring makes.
+
 Usage: python tools/merge_scale_smoke.py [--factor 30] [--files 32]
 Writes MERGE_SCALE.json at the repo root.
 """
@@ -63,12 +69,46 @@ def one_merge(spark, path: str, keys_lo: int, n_keys: int) -> dict:
     return {"seconds": secs, **{k: stats[k] for k in ("files_rewritten", "files_carried", "matched", "inserted")}}
 
 
+def cdc_run(spark, path: str, n_batches: int, batch_rows: int) -> list[dict]:
+    """Drive ``make_cdc_apply``'s foreachBatch function with ``n_batches``
+    micro-batches of mixed changes keyed inside the FIRST file's range
+    (90% upserts, 10% deletes, several changes per key so the in-batch
+    collapse does real work). Returns per-batch timing + merge shape."""
+    from weightlifting_wod_etl_spark.operators.skipping import load_stats_index
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    apply_batch = make_cdc_apply(path, on=["k"], seq_col="seq")
+    out = []
+    for b in range(n_batches):
+        # two changes per key (an earlier U superseded by the final U/D)
+        batch = spark.range(batch_rows).selectExpr(
+            f"id + {b} AS k",  # drift the key window per batch
+            "id AS seq0",
+        ).selectExpr(
+            "k",
+            "stack(2, "
+            " 'U', seq0 * 2, concat('mid-', k), "
+            " CASE WHEN k % 10 = 0 THEN 'D' ELSE 'U' END, seq0 * 2 + 1, "
+            " concat('fin-', k)"
+            ") AS (op, seq, payload)",
+            "k * -1 AS v",
+        ).select("k", "v", "payload", "op", "seq")
+        t0 = time.perf_counter()
+        apply_batch(batch, b)
+        secs = round(time.perf_counter() - t0, 3)
+        idx = load_stats_index(resolve(path)) or []
+        out.append({"batch": b, "seconds": secs, "n_files": len(idx)})
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=30)
     ap.add_argument("--files", type=int, default=32)
     ap.add_argument("--base-rows", type=int, default=200_000)
     ap.add_argument("--increment", type=int, default=2_000)
+    ap.add_argument("--cdc-batches", type=int, default=5)
     ap.add_argument("--out", default=os.path.join(REPO, "MERGE_SCALE.json"))
     args = ap.parse_args()
 
@@ -94,26 +134,41 @@ def main() -> None:
         build_clustered(spark, rows, args.files, path)
         os.remove(os.path.join(path, "_stats_index.parquet"))
         full = one_merge(spark, path, keys_lo=0, n_keys=args.increment)
+
+        # CDC path: N micro-batches through cdc_apply's foreachBatch loop
+        # against a fresh clustered (indexed) table of this size
+        build_clustered(spark, rows, args.files, path)
+        cdc = cdc_run(spark, path, n_batches=args.cdc_batches,
+                      batch_rows=args.increment)
         shutil.rmtree(path, ignore_errors=True)
 
         report["sizes"][label] = {
             "table_rows": rows,
             "targeted": targeted,
             "full_rewrite": full,
+            "cdc_batches": cdc,
+            "cdc_mean_seconds": round(
+                sum(c["seconds"] for c in cdc) / len(cdc), 3
+            ),
         }
         print(f"[merge_scale] {label} rows={rows}: targeted={targeted} "
-              f"full={full}", file=sys.stderr)
+              f"full={full} cdc_mean={report['sizes'][label]['cdc_mean_seconds']}",
+              file=sys.stderr)
 
     t1 = report["sizes"]["1x"]["targeted"]["seconds"]
     tk = report["sizes"][f"{args.factor}x"]["targeted"]["seconds"]
     f1 = report["sizes"]["1x"]["full_rewrite"]["seconds"]
     fk = report["sizes"][f"{args.factor}x"]["full_rewrite"]["seconds"]
+    c1 = report["sizes"]["1x"]["cdc_mean_seconds"]
+    ck = report["sizes"][f"{args.factor}x"]["cdc_mean_seconds"]
     report["targeted_growth"] = round(tk / t1, 2) if t1 else None
     report["full_growth"] = round(fk / f1, 2) if f1 else None
+    report["cdc_growth"] = round(ck / c1, 2) if c1 else None
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"targeted_growth": report["targeted_growth"],
-                      "full_growth": report["full_growth"]}))
+                      "full_growth": report["full_growth"],
+                      "cdc_growth": report["cdc_growth"]}))
 
 
 if __name__ == "__main__":
