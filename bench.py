@@ -24,6 +24,15 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
+# HEADLINE membership policy: a registered query is benched here iff its
+# plan is shuffle-bearing or otherwise scale-sensitive (joins, windows,
+# aggregations, dedup/similarity, storage lifecycle) — the plans whose
+# timing would change at 100 TB. The ~45 registrations left out are
+# scan-local function-surface queries (q_string_fns, q_map_fns,
+# q_clean_normalize, ...) where a bench row times parquet scan + codegen
+# of stateless expressions and adds no scaling signal; their correctness
+# is still driver-checked every rotation. New queries with a shuffle in
+# the plan must be added here at registration time (benched from birth).
 HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
