@@ -106,6 +106,12 @@ def kv_upsert_parquet(
 
     spark = df.sparkSession
     data_dir = resolve(path)
+    if df.isEmpty():
+        # Empty increment: nothing to merge in ANY branch. Without this, a
+        # first-write empty batch would create a parquet dir with no data
+        # files (unreadable), and a later empty batch would pay a full
+        # no-op rewrite on the unpartitioned path.
+        return
     if partition_by and os.path.exists(data_dir):
         # a pre-partitioning plain layout (loose root files) can't be
         # carried per-partition — migrate it with one full rewrite below
