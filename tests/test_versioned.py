@@ -566,3 +566,96 @@ def test_abort_commit_after_flip_is_noop(spark, tmp_path):
     assert current_version(path) == v
     assert os.path.isdir(staging)
     assert read_table(spark, path).count() == 7
+
+
+_RACER = r"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from weightlifting_wod_etl_spark.operators.versioned import (
+    ConcurrentCommitError, begin_commit, finish_commit,
+)
+path, tag, n_losers = sys.argv[1], sys.argv[2], int(sys.argv[3])
+go = os.path.join(path, "go")
+while not os.path.exists(go):  # start barrier: all racers call together
+    time.sleep(0.005)
+try:
+    staging, v = begin_commit(path)
+except ConcurrentCommitError:
+    open(os.path.join(path, f"refused_{tag}"), "w").close()
+    sys.exit(3)
+# winner: hold the lock until every loser has reported refusal, so no
+# loser can legitimately start a SEQUENTIAL v2 commit and muddy the count
+deadline = time.time() + 30
+while time.time() < deadline:
+    if sum(f.startswith("refused_") for f in os.listdir(path)) >= n_losers:
+        break
+    time.sleep(0.01)
+os.makedirs(staging, exist_ok=True)
+with open(os.path.join(staging, "data.parquet"), "w") as f:
+    f.write(tag)
+finish_commit(path, v)
+open(os.path.join(path, f"won_{tag}"), "w").close()
+"""
+
+
+def test_begin_commit_race_real_processes(tmp_path):
+    """EIGHT real processes race begin_commit on one table: exactly one
+    must win the version-1 lock; the other seven must get
+    ConcurrentCommitError (never a clobbered staging dir or a second
+    flip). This is the lock protocol under genuine OS concurrency — the
+    in-process tests above only simulate the contender."""
+    import subprocess
+    import sys as _sys
+
+    path = str(tmp_path / "race")
+    os.makedirs(path)
+    n = 8
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _RACER, path, f"p{i}", str(n - 1)]
+        )
+        for i in range(n)
+    ]
+    with open(os.path.join(path, "go"), "w"):  # release the barrier
+        pass
+    rcs = [p.wait(timeout=60) for p in procs]
+    assert sorted(rcs) == [0] + [3] * (n - 1), rcs
+    entries = os.listdir(path)
+    assert sum(e.startswith("won_") for e in entries) == 1
+    assert sum(e.startswith("refused_") for e in entries) == n - 1
+    assert current_version(path) == 1
+    assert not [e for e in entries if e.startswith(".lock_")]  # lock released
+
+
+def test_sigkilled_writer_lock_reclaimed_by_real_dead_pid(tmp_path):
+    """A writer SIGKILLed while holding the commit lock must not wedge the
+    table: the next begin_commit sees a REAL dead pid and reclaims."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    path = str(tmp_path / "kill")
+    os.makedirs(path)
+    holder = subprocess.Popen(
+        [
+            _sys.executable,
+            "-c",
+            "import sys, time; sys.path.insert(0, '/root/repo');"
+            "from weightlifting_wod_etl_spark.operators.versioned import begin_commit;"
+            f"begin_commit({path!r}); print('HELD', flush=True); time.sleep(60)",
+        ],
+        stdout=subprocess.PIPE,
+    )
+    assert holder.stdout.readline().strip() == b"HELD"
+    holder.send_signal(_signal.SIGKILL)
+    holder.wait(timeout=30)
+    _time.sleep(0.1)
+
+    staging, v = begin_commit(path)  # reclaims the dead writer's lock
+    assert v == 1
+    os.makedirs(staging, exist_ok=True)
+    with open(os.path.join(staging, "data.parquet"), "w") as f:
+        f.write("x")
+    finish_commit(path, v)
+    assert current_version(path) == 1
