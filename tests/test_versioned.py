@@ -568,9 +568,11 @@ def test_abort_commit_after_flip_is_noop(spark, tmp_path):
     assert read_table(spark, path).count() == 7
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 _RACER = r"""
 import os, sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[4])
 from weightlifting_wod_etl_spark.operators.versioned import (
     ConcurrentCommitError, begin_commit, finish_commit,
 )
@@ -612,7 +614,7 @@ def test_begin_commit_race_real_processes(tmp_path):
     n = 8
     procs = [
         subprocess.Popen(
-            [_sys.executable, "-c", _RACER, path, f"p{i}", str(n - 1)]
+            [_sys.executable, "-c", _RACER, path, f"p{i}", str(n - 1), _REPO_ROOT]
         )
         for i in range(n)
     ]
@@ -641,7 +643,7 @@ def test_sigkilled_writer_lock_reclaimed_by_real_dead_pid(tmp_path):
         [
             _sys.executable,
             "-c",
-            "import sys, time; sys.path.insert(0, '/root/repo');"
+            f"import sys, time; sys.path.insert(0, {_REPO_ROOT!r});"
             "from weightlifting_wod_etl_spark.operators.versioned import begin_commit;"
             f"begin_commit({path!r}); print('HELD', flush=True); time.sleep(60)",
         ],
@@ -659,3 +661,48 @@ def test_sigkilled_writer_lock_reclaimed_by_real_dead_pid(tmp_path):
         f.write("x")
     finish_commit(path, v)
     assert current_version(path) == 1
+
+
+def test_begin_commit_base_moved_during_acquire_never_deletes_live_version(
+    tmp_path, monkeypatch
+):
+    """Review r10: writer B computes version=1 while A holds the v1 lock;
+    A's finish_commit flips _CURRENT to _v000001 and unlinks the lock; B's
+    retry then WINS the (now meaningless) v1 lock. Without the
+    post-acquisition base check B would rmtree _v000001 — A's committed
+    LIVE data. B must instead release the lock and fail loudly."""
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "window")
+    os.makedirs(path)
+
+    real_link = os.link
+    fired = {"n": 0}
+
+    def link_with_interleaved_commit(src, dst, *a, **k):
+        if ".lock_v" in dst and fired["n"] == 0:
+            fired["n"] = 1
+            # simulate writer A completing version 1 in the race window:
+            # data dir + pointer flip + lock removal happen "concurrently"
+            vdir = os.path.join(path, "_v000001")
+            os.makedirs(vdir, exist_ok=True)
+            with open(os.path.join(vdir, "data.parquet"), "w") as f:
+                f.write("live")
+            with open(os.path.join(path, "_CURRENT"), "w") as f:
+                f.write("_v000001")
+            raise FileExistsError(dst)  # A's lock was present at link time
+        return real_link(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "link", link_with_interleaved_commit)
+    with pytest.raises(ConcurrentCommitError, match="committed by another"):
+        begin_commit(path)
+    monkeypatch.undo()
+
+    # A's committed version survives, B's dead lock is gone, retry works
+    assert current_version(path) == 1
+    assert os.path.exists(os.path.join(path, "_v000001", "data.parquet"))
+    assert not [e for e in os.listdir(path) if e.startswith(".lock_")]
+    staging, v = begin_commit(path)
+    assert v == 2

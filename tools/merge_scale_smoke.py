@@ -84,7 +84,10 @@ def cdc_run(spark, path: str, n_batches: int, batch_rows: int) -> list[dict]:
         # two changes per key (an earlier U superseded by the final U/D)
         batch = spark.range(batch_rows).selectExpr(
             f"id + {b} AS k",  # drift the key window per batch
-            "id AS seq0",
+            # per-batch offset keeps seq MONOTONE per key across batches
+            # (the cross-batch ordering contract cdc_apply's docstring
+            # states) — without it later batches would replay stale history
+            f"id + {b * batch_rows} AS seq0",
         ).selectExpr(
             "k",
             "stack(2, "
@@ -149,7 +152,7 @@ def main() -> None:
             "cdc_batches": cdc,
             "cdc_mean_seconds": round(
                 sum(c["seconds"] for c in cdc) / len(cdc), 3
-            ),
+            ) if cdc else None,
         }
         print(f"[merge_scale] {label} rows={rows}: targeted={targeted} "
               f"full={full} cdc_mean={report['sizes'][label]['cdc_mean_seconds']}",
@@ -163,7 +166,7 @@ def main() -> None:
     ck = report["sizes"][f"{args.factor}x"]["cdc_mean_seconds"]
     report["targeted_growth"] = round(tk / t1, 2) if t1 else None
     report["full_growth"] = round(fk / f1, 2) if f1 else None
-    report["cdc_growth"] = round(ck / c1, 2) if c1 else None
+    report["cdc_growth"] = round(ck / c1, 2) if c1 and ck is not None else None
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"targeted_growth": report["targeted_growth"],

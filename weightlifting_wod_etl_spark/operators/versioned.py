@@ -195,8 +195,17 @@ def begin_commit(path: str) -> tuple[str, int]:
                 with open(lock) as f:
                     raw = f.read().strip()
                 mtime = os.path.getmtime(lock)
-            except OSError:
+            except FileNotFoundError:
                 continue  # vanished mid-race: retry create
+            except OSError as e:
+                # Present but unreadable (e.g. EACCES on a foreign-owner
+                # lock in a shared dir): retrying the create would
+                # busy-spin against FileExistsError forever — same
+                # no-progress class as the corrupt-content spin. Fail loud.
+                raise ConcurrentCommitError(
+                    f"version {version} lock of {path} exists but is "
+                    f"unreadable ({e}) — cannot determine its owner"
+                ) from e
             try:
                 owner = int(raw or 0)
             except ValueError:
@@ -236,6 +245,21 @@ def begin_commit(path: str) -> tuple[str, int]:
             os.unlink(tmp)
         except OSError:
             pass
+    # Post-acquisition base check: between computing `version` and winning
+    # the lock, the previous holder may have FINISHED committing this very
+    # version (its finish_commit unlinked the lock we then created). In
+    # that window ``_v{version}`` is LIVE data — rmtree'ing it as "orphaned
+    # staging" would destroy the table. The committed pointer is the source
+    # of truth: if the base moved, release our lock and fail loudly.
+    if current_version(path) != version - 1:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+        raise ConcurrentCommitError(
+            f"version {version} of {path} was committed by another writer "
+            "while acquiring its lock — retry against the new current version"
+        )
     staging = os.path.join(path, f"_v{version:06d}")
     shutil.rmtree(staging, ignore_errors=True)
     return staging, version

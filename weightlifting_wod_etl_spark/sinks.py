@@ -106,12 +106,6 @@ def kv_upsert_parquet(
 
     spark = df.sparkSession
     data_dir = resolve(path)
-    if df.isEmpty():
-        # Empty increment: nothing to merge in ANY branch. Without this, a
-        # first-write empty batch would create a parquet dir with no data
-        # files (unreadable), and a later empty batch would pay a full
-        # no-op rewrite on the unpartitioned path.
-        return
     if partition_by and os.path.exists(data_dir):
         # a pre-partitioning plain layout (loose root files) can't be
         # carried per-partition — migrate it with one full rewrite below
@@ -157,6 +151,14 @@ def kv_upsert_parquet(
                 raise
             return
 
+    # Empty-increment guard for the full-rewrite branches: a first-write
+    # empty batch would otherwise create a parquet dir with no data files
+    # (unreadable table), and an empty batch over an existing unpartitioned
+    # table would pay a pointless full rewrite. The probe evaluates the
+    # increment once (limit-1); the partitioned-incremental branch above
+    # derives emptiness for free from its collected partition list instead.
+    if df.isEmpty():
+        return
     if os.path.exists(data_dir):
         existing = spark.read.parquet(data_dir)
         merged = existing.unionByName(df, allowMissingColumns=True)
