@@ -82,3 +82,33 @@ def test_compaction_with_sort_clusters_output(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, _hi2)}"
+
+
+def test_default_compact_preserves_existing_stats_index(spark, tmp_path):
+    """Review r10: a maintenance compact with no sort_by/stats_cols used to
+    publish a version with NO index over a previously indexed table — a
+    silent one-way perf cliff (merges degrade to full rewrites forever).
+    The old index's columns must be re-derived over the new files."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.skipping import (
+        index_cols,
+        list_data_files,
+        load_stats_index,
+        save_stats_index,
+    )
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    path = str(tmp_path / "idx")
+    df = spark.range(20_000).selectExpr("id AS k", "id * 2 AS v")
+    df.repartition(16).write.parquet(path)
+    save_stats_index(path, ["k"])
+
+    before, after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert after < before  # a real compaction happened
+
+    new_dir = resolve(path)
+    idx = load_stats_index(new_dir)
+    assert idx is not None, "default compact dropped the stats index"
+    assert index_cols(idx) == ["k"]
+    assert {e["file"] for e in idx} == set(list_data_files(new_dir))

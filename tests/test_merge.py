@@ -315,3 +315,59 @@ def test_merge_prune_sees_same_snapshot_as_write(spark, tmp_path):
     assert len(got) == 200  # one snapshot: no duplicate, no lost update
     assert got[5] == (9999, "new")
     assert got[190] == (380, "old")
+
+
+def test_merge_retry_after_failed_first_commit_not_wedged(spark, tmp_path):
+    """Review r10: a failed FIRST commit leaves a bare makedirs'd dir (and
+    possibly an orphan staging dir). Retrying used to treat the empty dir
+    as an existing table and wedge forever on 'Unable to infer schema';
+    it must instead be treated as a fresh table."""
+    import os
+
+    path = str(tmp_path / "wedge")
+    os.makedirs(path)  # what begin_commit's makedirs left behind
+    os.makedirs(os.path.join(path, "_v000001"))  # orphan staging, no flip
+
+    src = spark.createDataFrame([(1, 10, "a")], "k long, v long, tag string")
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["inserted"] == 1
+    assert _rows(spark, path) == {1: (10, "a")}
+
+
+def test_merge_refuses_commit_when_base_moved_before_lock(spark, tmp_path):
+    """Review r10: reads resolved BEFORE begin_commit; if another writer
+    commits in that window, both old guards pass and the other commit is
+    silently discarded. verify_read_base must refuse instead."""
+    from weightlifting_wod_etl_spark.operators import merge as merge_mod
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        ConcurrentCommitError,
+    )
+
+    path = str(tmp_path / "window")
+    _table(spark, path, [(1, 10, "old")])
+
+    real_begin = merge_mod.begin_commit
+    fired = {"n": 0}
+
+    def begin_after_other_writer(p):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # another writer commits version 1 in the resolve→begin window
+            other = spark.createDataFrame(
+                [(2, 20, "other")], "k long, v long, tag string"
+            )
+            merge_mod.merge_into(spark, p, other, on=["k"])
+        return real_begin(p)
+
+    merge_mod.begin_commit = begin_after_other_writer
+    try:
+        src = spark.createDataFrame([(3, 30, "c")], "k long, v long, tag string")
+        with pytest.raises(ConcurrentCommitError, match="between resolve"):
+            merge_into(spark, path, src, on=["k"])
+    finally:
+        merge_mod.begin_commit = real_begin
+
+    # the other writer's commit survives, the lock is released, retry works
+    assert _rows(spark, path) == {1: (10, "old"), 2: (20, "other")}
+    src = spark.createDataFrame([(3, 30, "c")], "k long, v long, tag string")
+    assert merge_into(spark, path, src, on=["k"])["inserted"] == 1

@@ -606,3 +606,52 @@ def test_stream_stream_interval_join_left_outer_emits_unmatched(
     assert len(got_unmatched) >= 0.8 * len(want_unmatched) > 0
     # no click may appear both matched and null-partnered
     assert not ({c for c, _ in got_matched} & got_unmatched)
+
+
+def test_cdc_batch_collapse_seq_tie_is_deterministic_and_replay_safe(
+    spark, tmp_path
+):
+    """Review r10: collapsing by seq alone picked a partition-order winner
+    on sequence ties, so a replay could apply a DIFFERENT change than the
+    first delivery — breaking the documented replay idempotence. The
+    collapse now uses a total order (seq, then every remaining column)."""
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    target = str(tmp_path / "tie")
+    spark.createDataFrame([(1, "base")], "k long, payload string").write.parquet(
+        target
+    )
+    # two changes for k=1 at the SAME sequence value, shuffled across
+    # partitions: the total order must pick one winner stably
+    batch = spark.createDataFrame(
+        [(1, "U", 5, "aaa"), (1, "U", 5, "zzz")],
+        "k long, op string, seq long, payload string",
+    ).repartition(4)
+    apply = make_cdc_apply(target, on=["k"], seq_col="seq")
+    apply(batch, 0)
+    first = read_table(spark, target).collect()[0].payload
+    assert first == "zzz"  # max by the (seq, op, payload) total order
+    apply(batch, 1)  # at-least-once replay of the same batch
+    again = [r.payload for r in read_table(spark, target).collect()]
+    assert again == ["zzz"]  # same winner, no duplicate
+
+
+def test_cdc_null_op_row_is_an_upsert_not_silently_dropped(spark, tmp_path):
+    """Review r10: op = NULL failed BOTH branch filters (== and != each
+    evaluate NULL) and the change vanished. Non-delete — including
+    null/unknown op — must apply as an upsert."""
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    target = str(tmp_path / "nullop")
+    spark.createDataFrame([(1, "old")], "k long, payload string").write.parquet(
+        target
+    )
+    batch = spark.createDataFrame(
+        [(1, None, 1, "new"), (2, None, 1, "ins")],
+        "k long, op string, seq long, payload string",
+    )
+    make_cdc_apply(target, on=["k"], seq_col="seq")(batch, 0)
+    got = {r.k: r.payload for r in read_table(spark, target).collect()}
+    assert got == {1: "new", 2: "ins"}

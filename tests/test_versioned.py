@@ -706,3 +706,20 @@ def test_begin_commit_base_moved_during_acquire_never_deletes_live_version(
     assert not [e for e in os.listdir(path) if e.startswith(".lock_")]
     staging, v = begin_commit(path)
     assert v == 2
+
+
+def test_kv_upsert_retry_after_failed_first_write_not_wedged(spark, tmp_path):
+    """Review r10: a failed first write leaves a bare makedirs'd dir; the
+    retry used to read it as an existing table and wedge on 'Unable to
+    infer schema' — in both the partitioned and plain branches."""
+    for part in (["p"], None):
+        path = str(tmp_path / f"wedge_{bool(part)}")
+        os.makedirs(path)
+        os.makedirs(os.path.join(path, "_v000001"))  # orphan staging
+        df = spark.createDataFrame(
+            [(1, 0, 1, 10)], "k long, p long, ver long, v long"
+        )
+        kv_upsert_parquet(
+            df, path, key_cols=["k", "p"], order_cols=["ver"], partition_by=part
+        )
+        assert read_table(spark, path).count() == 1

@@ -26,7 +26,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-from .versioned import abort_commit, begin_commit, finish_commit, resolve
+from .versioned import (
+    abort_commit,
+    begin_commit,
+    finish_commit,
+    resolve,
+    verify_read_base,
+)
 
 
 def dir_stats(path: str) -> tuple[int, int]:
@@ -76,12 +82,22 @@ def compact_parquet(
         out = df.repartition(want)
     staging, version = begin_commit(path)
     try:
+        verify_read_base(path, data_dir)  # df reads data_dir (resolved above)
         out.write.mode("overwrite").parquet(staging)
         index_cols = stats_cols if stats_cols is not None else (sort_by or [])
         if index_cols:
             from .skipping import save_stats_index
 
             save_stats_index(staging, index_cols)
+        else:
+            # A maintenance compact with no explicit columns must not DROP
+            # a previously persisted index (that silently degrades every
+            # later merge to full rewrites and read_pruned to footer
+            # scans). Rebuild it over the new files with the old index's
+            # columns; no-op when the table never had one.
+            from .skipping import refresh_stats_index
+
+            refresh_stats_index(data_dir, staging)
         finish_commit(path, version)
     except BaseException:
         abort_commit(path, version)  # failed rewrite must not hold the lock

@@ -53,6 +53,8 @@ from .versioned import (
     carry_files,
     finish_commit,
     resolve,
+    table_exists,
+    verify_read_base,
 )
 
 
@@ -82,10 +84,10 @@ def merge_into(
     if when_matched == "ignore" and when_not_matched == "ignore":
         return {"matched": 0, "inserted": 0, "deleted": 0}  # nothing can change
 
-    import os
-
     data_dir = resolve(target_path)
-    exists = os.path.exists(data_dir)
+    # Committed data, not bare directory existence: a failed first commit
+    # leaves an empty makedirs'd path whose "read" would wedge every retry.
+    exists = table_exists(target_path)
 
     # Checkpoint BEFORE the prune collect: _prune_rewrite_set and the
     # clause joins must consume the SAME source snapshot. A source that is
@@ -164,6 +166,9 @@ def merge_into(
 
     staging, version = begin_commit(target_path)
     try:
+        # every frame above reads data_dir: refuse to commit if another
+        # writer moved the live version while those plans were built
+        verify_read_base(target_path, data_dir)
         if carried_files:
             # keep file granularity ≈ the files being replaced — without
             # this the rewritten slice fans out to one file per shuffle

@@ -106,6 +106,37 @@ def resolve(path: str) -> str:
     return os.path.join(path, name) if _VDIR.match(name) else path
 
 
+def table_exists(path: str) -> bool:
+    """True iff ``path`` holds committed, readable table data: a committed
+    version pointer, or (plain layout) at least one visible parquet data
+    file. A bare directory — e.g. left by a failed first commit's
+    ``os.makedirs`` — is NOT a table: writers that treat it as one feed an
+    empty dir to ``spark.read.parquet`` and wedge every retry with
+    'Unable to infer schema'."""
+    d = resolve(path)
+    if d != path:
+        return True  # pointer present: finish_commit published this dir
+    return os.path.isdir(path) and _contains_parquet(path)
+
+
+def verify_read_base(path: str, data_dir: str) -> None:
+    """Guard the resolve→begin_commit window: callers resolve the table and
+    build their read plans BEFORE taking the commit lock. If another writer
+    committed in between, those plans are stale — committing their output
+    would silently discard the other writer's changes (both existing guards
+    only cover the begin→finish span). Call AFTER ``begin_commit`` with the
+    directory the read plans were built against; raises
+    :class:`ConcurrentCommitError` on staleness (caller's abort path then
+    releases the lock)."""
+    live = resolve(path)
+    if live != data_dir:
+        raise ConcurrentCommitError(
+            f"read plans for {path} were built against {data_dir!r} but the "
+            f"live version is now {live!r} — another writer committed "
+            "between resolve and begin_commit; retry against the new version"
+        )
+
+
 def current_version(path: str) -> int:
     """Committed version number; 0 for plain/new tables."""
     m = _VDIR.match(os.path.basename(resolve(path)))

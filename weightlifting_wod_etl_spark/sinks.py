@@ -55,12 +55,16 @@ def write_jsonl_idempotent(
     fresh = df if ledger is None else df.join(
         F.broadcast(ledger.withColumnRenamed("idem_key", key_col)), key_col, "left_anti"
     )
-    fresh = fresh.cache()
+    # localCheckpoint, not cache(): three actions (count, JSON write,
+    # ledger write) must see ONE snapshot. A cache() partition evicted
+    # under memory pressure recomputes — with a non-deterministic df the
+    # ledger could record a key whose row never reached the JSON output,
+    # suppressing that record on every future rerun.
+    fresh = fresh.localCheckpoint(eager=False)
     n = fresh.count()
     if n:
         fresh.drop(key_col).write.mode("append").json(path)
         fresh.select(F.col(key_col).alias("idem_key")).write.mode("append").parquet(ledger_path)
-    fresh.unpersist()
     return n
 
 
@@ -102,11 +106,22 @@ def kv_upsert_parquet(
         carry_missing_partitions,
         finish_commit,
         resolve,
+        table_exists,
+        verify_read_base,
     )
 
     spark = df.sparkSession
     data_dir = resolve(path)
-    if partition_by and os.path.exists(data_dir):
+    # One snapshot for ALL evaluations of the increment (partition-list
+    # collect, emptiness probe, and the write): a source that is
+    # non-deterministic under recomputation could otherwise materialize a
+    # partition value at write time that the collect didn't see — that
+    # partition's existing rows were never unioned in, and the staging
+    # subtree (which blocks the carry) would silently replace them.
+    df = df.localCheckpoint(eager=False)
+    # table_exists, not bare path existence: a failed first write leaves an
+    # empty makedirs'd dir whose "read" would wedge every retry
+    if partition_by and table_exists(path):
         # a pre-partitioning plain layout (loose root files) can't be
         # carried per-partition — migrate it with one full rewrite below
         loose = any(
@@ -138,6 +153,7 @@ def kv_upsert_parquet(
             )
             staging, version = begin_commit(path)
             try:
+                verify_read_base(path, data_dir)  # plans above read data_dir
                 winners.write.mode("overwrite").partitionBy(*partition_by).parquet(
                     staging
                 )
@@ -159,7 +175,7 @@ def kv_upsert_parquet(
     # derives emptiness for free from its collected partition list instead.
     if df.isEmpty():
         return
-    if os.path.exists(data_dir):
+    if table_exists(path):
         existing = spark.read.parquet(data_dir)
         merged = existing.unionByName(df, allowMissingColumns=True)
     else:
@@ -175,6 +191,7 @@ def kv_upsert_parquet(
     # At cluster scale this branch is a Delta MERGE INTO keyed on key_cols.
     staging, version = begin_commit(path)
     try:
+        verify_read_base(path, data_dir)
         w = winners.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -27,8 +27,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
+from ..operators.dedup import exact_dedup
 from ..operators.merge import merge_into
 
 
@@ -45,18 +45,30 @@ def make_cdc_apply(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        w = Window.partitionBy(*on).orderBy(F.col(seq_col).desc())
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        # TOTAL order for the in-batch collapse: seq first, then every
+        # remaining column as tie-breakers. Ordering by seq alone would
+        # pick a partition-order-dependent winner when a producer emits
+        # two changes at the same sequence value — the first application
+        # and an at-least-once replay could then disagree, breaking the
+        # replay-idempotence contract above.
+        tiebreak = [
+            F.col(c).desc()
+            for c in batch_df.columns
+            if c not in set(on) | {seq_col}
+        ]
+        latest = exact_dedup(
+            batch_df, key_cols=list(on),
+            order_cols=[F.col(seq_col).desc(), *tiebreak],
         )
         latest.persist()
         try:
             deletes = latest.filter(F.col(op_col) == delete_op).select(*on)
-            upserts = latest.filter(F.col(op_col) != delete_op).drop(
-                op_col, seq_col
-            )
+            # non-delete INCLUDING a null/unknown op is an upsert: a plain
+            # != would evaluate NULL for a malformed row and silently drop
+            # the change from both branches
+            upserts = latest.filter(
+                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+            ).drop(op_col, seq_col)
             if deletes.limit(1).count():
                 merge_into(
                     spark, target_path, deletes, on,
