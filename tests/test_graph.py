@@ -40,3 +40,21 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(edges)
     assert out.columns == ["node", "r"]
     assert out.count() == 0
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """Review r10: exhausting max_iter used to return intermediate labels
+    silently — one true component reported as several clusters. A chain
+    whose diameter exceeds max_iter must raise, not lie."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # ample rounds: one component labeled by its min node id
+    got = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}

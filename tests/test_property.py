@@ -587,3 +587,22 @@ def test_kv_upsert_lww_matches_dict_model(spark, tmp_path_factory, batches):
         for r in read_table(spark, path).collect()
     )
     assert got == sorted(model.items())
+
+
+def test_hash_sample_cutoff_case_insensitive_and_validated(spark):
+    """Review r10: md5 hex is lowercase; an uppercase cutoff compared by
+    raw ASCII and silently shifted the sampling rate. Cutoffs are now
+    normalized; malformed ones are loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).selectExpr("cast(id AS string) AS id")
+    lo = df.filter(hash_sample(F.col("id"), "4f")).count()
+    hi = df.filter(hash_sample(F.col("id"), "4F")).count()
+    assert lo == hi > 0  # same rate either case
+    with pytest.raises(ValueError, match="hex digits"):
+        hash_sample(F.col("id"), "4g")
+    with pytest.raises(ValueError, match="hex digits"):
+        hash_sample(F.col("id"), "abc")

@@ -65,3 +65,79 @@ def test_kmeans_centroids_feed_ivf_and_beat_seed_baseline(spark):
         (r.vec_id, round(r.cos_sim, 9)) for r in trained
     ]
     _ = vector_to_array  # pins that the array<->vector API pair exists
+
+
+def test_zero_norm_embedding_is_never_a_top_hit_or_neardup(spark):
+    """Review r10: 0/0 = NaN, and Spark sorts NaN above every real double
+    AND passes NaN >= threshold — an all-zeros embedding ranked FIRST in
+    top-k and paired with everything in neardup. Undefined similarity is
+    NULL now: last in rank, excluded by thresholds."""
+    from weightlifting_wod_etl_spark.operators.similarity import (
+        brute_force_topk,
+        neardup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 1.0, 1.0]),
+        (2, [1.0, 0.1, 1.0, 0.9]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: empty-doc embedding
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probe = spark.createDataFrame([(0, [1.0, 0.0, 1.0, 1.0])], ["vec_id", "embedding"])
+
+    top = brute_force_topk(df, probe, k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+    assert all(r.cos_sim == r.cos_sim for r in top)  # no NaN survives
+
+    pairs = neardup_pairs(df, min_cosine=0.5, n_bits=2).collect()
+    assert all(3 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_lsh_band_bucket_cap_drops_mass_dup_group_keeps_rare_pair(spark):
+    """Review r10: m copies of one boilerplate doc share every band key —
+    one bucket row would expand ~m²/2 pair structs. Over-cap buckets are
+    dropped (exact dedup's job) while a genuine near-dup pair of unique
+    docs is still found."""
+    from weightlifting_wod_etl_spark.operators.minhash import lsh_candidate_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(30)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = lsh_candidate_pairs(docs, max_band_df=10).toPandas()
+    assert (100, 101) in set(zip(capped.doc_a, capped.doc_b))
+    assert not ((capped.doc_a < 100) & (capped.doc_b < 100)).any()
+
+    uncapped = lsh_candidate_pairs(docs, max_band_df=None).toPandas()
+    assert ((uncapped.doc_a < 100) & (uncapped.doc_b < 100)).sum() == 30 * 29 / 2
+
+
+def test_shingles_regex_metachar_separator(spark):
+    """Review r10: F.split treats the separator as a Java regex while
+    concat_ws joins with the literal — sep='|' used to split on EVERY
+    character. The separator is now regex-quoted."""
+    from weightlifting_wod_etl_spark.operators.minhash import shingles
+
+    df = spark.createDataFrame([("a|b|c|d",)], ["t"])
+    got = df.select(shingles(F.col("t"), 3, sep="|").alias("s")).collect()[0].s
+    assert got == ["a|b|c", "b|c|d"]
+
+
+def test_unknown_hash_family_raises(spark):
+    """Review r10: a typo'd family ('xxHash64') silently fell through to
+    the md5 slow path — benchmarks of 'the fast path' measured the wrong
+    code. Unknown families are now loud."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        simhash_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="hash_family"):
+        lsh_candidate_pairs(df, hash_family="xxHash64").collect()
+    with pytest.raises(ValueError, match="hash_family"):
+        simhash_fingerprint(df, hash_family="xxhash").collect()

@@ -83,3 +83,19 @@ def test_single_and_empty_inputs():
     assert digest_quantile(m, w, 0.5) == 3.5
     m0, w0 = build_digest(np.array([]))
     assert m0.size == 0 and np.isnan(digest_quantile(m0, w0, 0.5))
+
+
+def test_merge_digests_empty_list_returns_empty_digest(spark):
+    """Review r10: np.concatenate([]) raises ValueError; merging zero
+    digests must return the empty digest (quantile of it is NaN), matching
+    digest_quantile's documented empty handling."""
+    import math
+
+    from weightlifting_wod_etl_spark.operators.tdigest import (
+        digest_quantile,
+        merge_digests,
+    )
+
+    means, weights = merge_digests([])
+    assert len(means) == 0 and len(weights) == 0
+    assert math.isnan(digest_quantile(means, weights, 0.5))

@@ -56,6 +56,7 @@ def connected_components(
         "component", F.col("node")
     )
 
+    converged = False
     for _ in range(max_iter):
         neighbor = und.join(
             labels.select(F.col("node").alias("v"), "component"), "v"
@@ -73,7 +74,18 @@ def connected_components(
         )
         labels = new_labels
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # Min-label propagation needs ~diameter rounds. Returning the
+        # intermediate labels would silently split one true component into
+        # several clusters (dedup then keeps extra duplicates) — wrong
+        # answers must be loud, not quiet.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds — the graph's diameter exceeds it; "
+            "raise max_iter"
+        )
     return labels
 
 

@@ -34,6 +34,14 @@ from pyspark.sql import functions as F
 from ..functions.expr import let as _let
 
 
+def _quote_regex(sep: str) -> str:
+    """Java-regex literal quoting for the separator: ``F.split`` treats its
+    pattern as a regex, so a metachar separator ('.', '|') would otherwise
+    split on the WRONG boundaries while ``concat_ws`` joins with the
+    literal — silently garbling every shingle set."""
+    return "\\Q" + sep + "\\E"
+
+
 def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     """Distinct n-gram token shingles, joined by spaces.
 
@@ -49,7 +57,16 @@ def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
         empty = F.array().cast("array<string>")
         return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(empty)
 
-    return _let(F.split(text, sep), inner)
+    return _let(F.split(text, _quote_regex(sep)), inner)
+
+
+def _has_min_tokens(text: Column, n: int, sep: str = " ") -> Column:
+    """Cheap shingle-nonempty predicate: ``size(split) >= n`` is exactly
+    'shingles() yields a non-empty array', without the full shingle
+    pipeline. Filtering on ``F.size("shingles") > 0`` looks free but
+    CollapseProject inlines the whole pipeline into the predicate — every
+    surviving row pays shingling twice (the module's measured pitfall)."""
+    return F.size(F.split(text, _quote_regex(sep))) >= n
 
 
 def _combined_md5(s: Column) -> Column:
@@ -75,32 +92,14 @@ def _xx_seeded(seed: int):
     return lambda x: F.xxhash64(F.lit(seed), x)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """K min-hashes: per seed, the lexicographic min of hash-slice k over
-    the shingles (see ``_combined_md5``). K ≤ 8 with two md5s of material.
-
-    Pure per-row expressions — the signature never shuffles.
-    """
-    assert num_hashes <= 8, "one _combined_md5 yields 8 hash slices"
-
-    def inner(hh: Column) -> Column:
-        return F.array(
-            *[F.array_min(F.transform(hh, _hash_slice(seed))) for seed in range(num_hashes)]
+def _check_family(hash_family: str) -> None:
+    """Fail loudly on an unknown family: a typo ('xxHash64', 'xxhash')
+    would otherwise silently fall through to the slow md5 path — and a
+    benchmark 'of the fast path' would measure the wrong code."""
+    if hash_family not in ("md5", "xxhash64"):
+        raise ValueError(
+            f"hash_family must be 'md5' or 'xxhash64', got {hash_family!r}"
         )
-
-    sig = _let(F.transform(shingle_col, _combined_md5), inner)
-    return [sig[seed].alias(f"mh_{seed}") for seed in range(num_hashes)]
-
-
-def band_keys(sig_cols: list[Column | str], rows_per_band: int) -> Column:
-    """Group the signature into bands; each band key is the '|' join of its
-    rows. Returns an array<string> of length K / rows_per_band."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in sig_cols]
-    bands = [
-        F.concat_ws("|", *cols[i : i + rows_per_band])
-        for i in range(0, len(cols), rows_per_band)
-    ]
-    return F.array(*bands)
 
 
 def band_keys_from_shingles(
@@ -120,7 +119,7 @@ def band_keys_from_shingles(
     xxhash64 (one JVM long per (seed, shingle), numeric min) — the fast
     path when oracle portability isn't needed.
     """
-
+    _check_family(hash_family)
     if hash_family == "xxhash64":
 
         def inner_xx(sh: Column) -> Column:
@@ -186,6 +185,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     hash_family: str = "md5",
+    max_band_df: int | None = 1024,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing ≥1 LSH band, with exact
     Jaccard computed on the shingle sets for verification.
@@ -193,9 +193,19 @@ def lsh_candidate_pairs(
     ``hash_family``: "md5" (default, oracle-portable) or "xxhash64"
     (native JVM fast path — same plan shape, different candidate hash
     family, so pair sets may differ at the margin as any LSH re-seed
-    would)."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
-    sh = sh.filter(F.size("shingles") > 0)
+    would).
+
+    ``max_band_df`` caps band-bucket size, the same quadratic-blowup guard
+    ``ngram_jaccard_pairs`` carries: m exact copies of one boilerplate doc
+    share ALL their band keys, so one bucket row would hold an m-element
+    array and expand ~m²/2 pair structs IN THAT ROW — executor death at
+    corpus scale. Buckets above the cap are dropped before expansion; a
+    ≥cap-sized group of mutual near-dups is an exact/boilerplate dup
+    cluster, which exact dedup (hash-groupBy) removes at linear cost —
+    LSH's job is the pairs exact hashing can't see. ``None`` disables."""
+    sh = df.filter(_has_min_tokens(F.col(text_col), shingle_n)).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
     banded = sh.select(
         id_col,
         F.posexplode(
@@ -210,10 +220,13 @@ def lsh_candidate_pairs(
     # shuffle it twice; this shape computes it once and shuffles once, on
     # the uniformly-distributed band hash. Bucket sizes are tiny for any
     # sane (K, B), so the within-bucket expansion is O(dups²), not O(n²).
+    bucket_ok = F.size("ids") > 1
+    if max_band_df is not None:
+        bucket_ok = bucket_ok & (F.size("ids") <= max_band_df)
     cand = (
         banded.groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(bucket_ok)
         .select(F.explode(_pairs_within("ids")).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
@@ -263,8 +276,9 @@ def ngram_jaccard_pairs(
     loses only pairs whose every shared shingle is corpus-hot — pairs LSH
     would also bucket with half the corpus. ``None`` disables the cap.
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles"))
-    sh = sh.filter(F.size("shingles") > 0)
+    sh = df.filter(_has_min_tokens(F.col(text_col), shingle_n)).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
     # Same single-pass bucket-pair shape as lsh_candidate_pairs: one shuffle
     # on the shingle, pairs expanded inside each bucket.
@@ -312,34 +326,32 @@ def simhash_fingerprint(
     Tokens are weighted by frequency (explode keeps duplicates). One
     shuffle: groupBy(doc).
     """
+    _check_family(hash_family)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
+    # only the per-(token, bit) vote expression differs per family — the
+    # votes/groupBy/fingerprint fold is shared so a fix to the fold can
+    # never leave one family computing different fingerprints
     if hash_family == "xxhash64":
         assert bits <= 63, "xxhash64 vote family provides 63 usable bits"
         toks = toks.select(F.col(id_col), F.xxhash64("tok").alias("h"))
-        votes = [
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v_{j}")
-            for j in range(bits)
-        ]
-        agg = toks.groupBy(id_col).agg(*votes)
-        fp = None
-        for j in range(bits):
-            term = F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-            fp = term if fp is None else fp + term
-        return agg.select(F.col(id_col), fp.cast("bigint").alias("fingerprint"))
-    assert bits <= 32, "hex-digit vote family provides 32 independent bits"
-    toks = toks.select(F.col(id_col), F.md5("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.substring(F.col("h"), j + 1, 1) < "8", 1).otherwise(-1)
-        ).alias(f"v_{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+
+        def vote(j: int) -> Column:
+            return F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+    else:
+        assert bits <= 32, "hex-digit vote family provides 32 independent bits"
+        toks = toks.select(F.col(id_col), F.md5("tok").alias("h"))
+
+        def vote(j: int) -> Column:
+            return F.when(F.substring(F.col("h"), j + 1, 1) < "8", 1).otherwise(-1)
+
+    agg = toks.groupBy(id_col).agg(
+        *[F.sum(vote(j)).alias(f"v_{j}") for j in range(bits)]
+    )
     fp = None
     for j in range(bits):
         term = F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))

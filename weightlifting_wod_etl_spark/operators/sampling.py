@@ -26,12 +26,22 @@ def hash_bucket(id_col: Column) -> Column:
     return F.substring(F.md5(id_col.cast("string")), 1, 2)
 
 
+def _hex_cutoff(c: str) -> str:
+    """Normalize + validate a bucket cutoff. md5 hex is always LOWERCASE:
+    an uppercase cutoff would compare by raw ASCII ('4F' excludes buckets
+    '4a'-'4f') and silently shift the sampling rate / split boundaries."""
+    c = c.lower()
+    if len(c) != 2 or any(ch not in "0123456789abcdef" for ch in c):
+        raise ValueError(f"cutoff must be two hex digits, got {c!r}")
+    return c
+
+
 def hash_sample(id_col: Column, hex_cutoff: str) -> Column:
     """Keep-predicate sampling at rate ≈ int(hex_cutoff, 16)/256.
 
     ``hex_cutoff`` is a two-hex-digit string, e.g. '1a' → 26/256 ≈ 10.2%.
     """
-    return hash_bucket(id_col) < F.lit(hex_cutoff)
+    return hash_bucket(id_col) < F.lit(_hex_cutoff(hex_cutoff))
 
 
 def dataset_split(id_col: Column, train_cutoff: str = "cd", val_cutoff: str = "e6") -> Column:
@@ -40,8 +50,8 @@ def dataset_split(id_col: Column, train_cutoff: str = "cd", val_cutoff: str = "e
     splits when the corpus grows (no leakage across reruns)."""
     b = hash_bucket(id_col)
     return (
-        F.when(b < F.lit(train_cutoff), F.lit("train"))
-        .when(b < F.lit(val_cutoff), F.lit("val"))
+        F.when(b < F.lit(_hex_cutoff(train_cutoff)), F.lit("train"))
+        .when(b < F.lit(_hex_cutoff(val_cutoff)), F.lit("val"))
         .otherwise(F.lit("test"))
     )
 

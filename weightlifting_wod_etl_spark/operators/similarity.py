@@ -50,8 +50,14 @@ def _sim_from_parts(va, vb, na, nb) -> Column:
     before the join, not once per pair: a pairwise cosine join otherwise
     folds 3 dot products per candidate pair (dot(a,b), dot(a,a), dot(b,b))
     — 3× the hot-loop work, and the norm of a hot row is redone for every
-    partner it meets."""
-    return F.round(dot(va, vb) / (na * nb), 6)
+    partner it meets.
+
+    Zero-norm guard: an all-zeros embedding (an empty doc) would yield
+    0/0 = NaN, and Spark sorts NaN ABOVE every real double and passes
+    ``NaN >= threshold`` — the zero vector would rank FIRST in every top-k
+    and pair with everything in neardup. Undefined similarity is NULL:
+    nulls sort last under desc and fail every threshold filter."""
+    return F.when(na * nb > 0, F.round(dot(va, vb) / (na * nb), 6))
 
 
 def brute_force_topk(

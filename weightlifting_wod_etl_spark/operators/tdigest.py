@@ -79,6 +79,8 @@ def make_digest_fns(k: int = DEFAULT_K):
     def merge_digests(parts):
         """Merge [(means, weights), ...]: concat, stable-sort by mean,
         re-compress. Input order only matters for exact-mean ties."""
+        if not parts:  # np.concatenate([]) raises; empty merge = empty digest
+            return np.array([]), np.array([])
         means = np.concatenate([p[0] for p in parts])
         weights = np.concatenate([p[1] for p in parts])
         order = np.argsort(means, kind="stable")
