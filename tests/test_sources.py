@@ -389,3 +389,95 @@ def test_json_corrupt_records_are_quarantined_not_fatal(spark, tmp_path):
         spark.read.schema("id long, name string").option(
             "mode", "FAILFAST"
         ).json(p).collect()
+
+
+def test_discover_pages_ignores_non_numeric_page_files(spark, tmp_path):
+    """Review r10: a stray 'page-draft.json' in pages_dir aborted partition
+    planning with ValueError; non-numeric page names must be ignored."""
+    import json
+    import os
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump([{"id": 1, "date": "2024-01-01", "slug": "s",
+                    "title": "t", "content": "c", "link": "l",
+                    "categories": [2]}], f)
+    for junk in ("page-draft.json", "page-.json", "page-2 (copy).json"):
+        with open(os.path.join(d, junk), "w") as f:
+            f.write("[]")
+    df = (
+        spark.read.format("wod_posts")
+        .option("pages_dir", d)
+        .option("per_page", "10")
+        .load()
+    )
+    assert df.count() == 1
+
+
+def test_read_tolerates_explicit_json_nulls(spark, tmp_path):
+    """Review r10: {'categories': null} and {'id': null} killed the whole
+    page's task (iterating/int-ing None); malformed posts must not fail
+    the scan."""
+    import json
+    import os
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump(
+            [
+                {"id": 7, "date": "2024-01-01", "slug": "ok", "title": "t",
+                 "content": "c", "link": "l", "categories": None},
+                {"id": None, "date": "2024-01-02", "slug": "nullid",
+                 "title": "t2", "content": "c2", "link": "l2",
+                 "categories": [1, None, 3]},
+            ],
+            f,
+        )
+    rows = (
+        spark.read.format("wod_posts")
+        .option("pages_dir", d)
+        .option("per_page", "10")
+        .load()
+        .collect()
+    )
+    by_slug = {r.slug: r for r in rows}
+    assert by_slug["ok"].categories == []
+    assert by_slug["nullid"].post_id == 0
+    assert by_slug["nullid"].categories == [1, 3]
+
+
+def test_stream_restart_after_retention_deletion_not_wedged(tmp_path):
+    """Review r10: after a restart, the contiguity walk restarted from
+    start_page; with consumed page files deleted by retention it could
+    never advance past the hole — the stream wedged forever. The committed
+    cursor hint persisted at commit time seeds the walk past the hole."""
+    import json
+    import os
+
+    from weightlifting_wod_etl_spark.sources.rest_posts import (
+        _PostsStreamReader,
+    )
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    for p in range(1, 6):
+        with open(os.path.join(d, f"page-{p}.json"), "w") as f:
+            json.dump([{"id": p}], f)
+
+    r1 = _PostsStreamReader({"pages_dir": d})
+    end = r1.latestOffset()
+    assert end == {"next_page": 6}
+    r1.commit(end)  # batch committed: hint persisted
+
+    # retention deletes the consumed pages, a new page lands, we restart
+    for p in range(1, 5):
+        os.remove(os.path.join(d, f"page-{p}.json"))
+    with open(os.path.join(d, "page-6.json"), "w") as f:
+        json.dump([{"id": 6}], f)
+
+    r2 = _PostsStreamReader({"pages_dir": d})  # fresh reader = restart
+    assert r2.latestOffset() == {"next_page": 7}  # not wedged at 1
+    parts = r2.partitions({"next_page": 6}, {"next_page": 7})
+    assert [p.page for p in parts] == [6]

@@ -655,3 +655,135 @@ def test_cdc_null_op_row_is_an_upsert_not_silently_dropped(spark, tmp_path):
     make_cdc_apply(target, on=["k"], seq_col="seq")(batch, 0)
     got = {r.k: r.payload for r in read_table(spark, target).collect()}
     assert got == {1: "new", 2: "ins"}
+
+
+def test_tws_processor_late_event_never_regresses_open_session():
+    """Review r10: a late-but-in-watermark event used to set last_us
+    backwards unconditionally — emitting inverted sessions (end < start)
+    and re-arming the close timer at an earlier horizon (premature
+    flush). Late events now extend-or-singleton, never regress."""
+    import pandas as pd
+
+    from weightlifting_wod_etl_spark.streaming.sessions import (
+        make_gap_session_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ts_ms):
+            self.timers.append(ts_ms)
+
+    proc = make_gap_session_processor(gap_seconds=1800)
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def hours(h):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)
+
+    # batch 1: one event at h=10 opens the session
+    b1 = pd.DataFrame({"ts": [hours(10)], "value": [1.0]})
+    assert not list(proc.handleInputRows((7,), iter([b1]), None))
+    t_open = handle.timers[-1]
+
+    # batch 2 delivers LATE events h=9 (before the session's gap reach —
+    # singleton) and h=9.7 (within gap of h=10 — extends start backwards)
+    b2 = pd.DataFrame({"ts": [hours(9), hours(9.7)], "value": [2.0, 4.0]})
+    out = list(proc.handleInputRows((7,), iter([b2]), None))
+    flat = pd.concat(out) if out else pd.DataFrame()
+    assert len(flat) == 1  # exactly the singleton for h=9
+    assert flat.iloc[0].session_start == flat.iloc[0].session_end == hours(9)
+
+    start_us, last_us, n, total = handle.state.get()
+    assert last_us // 1_000_000 == int(hours(10).timestamp())  # NOT regressed
+    assert start_us // 1_000_000 == int(hours(9.7).timestamp())  # extended back
+    assert n == 2 and total == 5.0
+    # the re-armed timer must not be EARLIER than the original horizon
+    assert handle.timers[-1] >= t_open
+
+
+def test_stateful_sessionize_out_of_order_microbatch_no_inverted_sessions(
+    spark, tmp_path
+):
+    """Same defect through the applyInPandasWithState path, end-to-end:
+    micro-batch 2 carries events EARLIER than batch 1's (inside the
+    watermark). No emitted session may have end < start."""
+    import datetime as dt
+
+    from weightlifting_wod_etl_spark.streaming.sessions import (
+        stateful_gap_sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(rows, name):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.parquet(str(tmp_path / "in" / name))
+
+    mk([(7, base, 1.0)], "batch_a")  # 10:00
+    mk(
+        [
+            (7, base - dt.timedelta(hours=1), 2.0),  # 09:00 — very late
+            (7, base - dt.timedelta(minutes=20), 4.0),  # 09:40 — in gap
+        ],
+        "batch_b",
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    got = _run_stream(
+        spark,
+        stateful_gap_sessionize(stream, gap_seconds=1800, watermark="4 hours"),
+        str(tmp_path / "ckpt"),
+        "late_out",
+    ).collect()
+    for r in got:
+        assert r.session_start <= r.session_end, r
+
+
+def test_interval_join_outer_keeps_right_side_key(spark):
+    """Review r10: under full/right outer the unmatched right row's key
+    lived only in the renamed right column, which was dropped — the row
+    came out with a NULL key and no attribution."""
+    import datetime as dt
+
+    from weightlifting_wod_etl_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0)], "user_id long, click_ts timestamp"
+    )
+    purchases = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5)), (2, t0)],
+        "user_id long, purchase_ts timestamp",
+    )
+    out = interval_join(
+        clicks, purchases, key="user_id", left_ts="click_ts",
+        right_ts="purchase_ts", max_delay="30 minutes", how="full_outer",
+    ).collect()
+    keys = sorted(r.user_id for r in out)
+    assert keys == [1, 2]  # user 2's unmatched purchase keeps its key

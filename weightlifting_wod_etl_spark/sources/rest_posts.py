@@ -144,10 +144,14 @@ class _PostsReader(DataSourceReader):
         elif not self.pages_dir:
             raise ValueError("endpoint transport requires explicit max_pages")
         else:
+            # digit guard: a stray 'page-draft.json' / 'page-2 (copy).json'
+            # must be ignored, not abort partition planning with ValueError
             pages = sorted(
-                int(fn[len("page-") : -len(".json")])
+                int(mid)
                 for fn in os.listdir(self.pages_dir)
-                if fn.startswith("page-") and fn.endswith(".json")
+                if fn.startswith("page-")
+                and fn.endswith(".json")
+                and (mid := fn[len("page-") : -len(".json")]).isdigit()
             )
             pages = [p for p in pages if p >= self.start_page]
         if self._page_lo is not None:
@@ -191,14 +195,19 @@ class _PostsReader(DataSourceReader):
             content = post.get("content")
             if isinstance(content, dict):
                 content = content.get("rendered")
+            # explicit JSON nulls: .get(k, default) returns None when the
+            # key is PRESENT with null — int(None)/iterating None would
+            # kill the whole page's task for one malformed post
+            pid = post.get("id")
+            cats = post.get("categories") or []
             yield (
-                int(post.get("id", 0)),
+                int(pid) if pid is not None else 0,
                 post.get("date"),
                 post.get("slug"),
                 title,
                 content,
                 post.get("link"),
-                [int(c) for c in post.get("categories", [])],
+                [int(c) for c in cats if c is not None],
                 partition.page,
             )
 
@@ -217,6 +226,8 @@ class _PostsStreamReader(DataSourceStreamReader):
     batch reader, so the same pipeline definition backfills (batch) and
     tails (stream)."""
 
+    _CURSOR_HINT = ".cursor"
+
     def __init__(self, options: dict):
         self._inner = _PostsReader(options)
         if not self._inner.pages_dir:
@@ -224,8 +235,26 @@ class _PostsStreamReader(DataSourceStreamReader):
         # resume the contiguity walk from the last returned cursor instead
         # of start_page: a long-running tail probes O(new pages) per
         # trigger, not O(table age). Sound because pages are immutable and
-        # the cursor only ever advances over pages that exist.
-        self._cursor = self._inner.start_page
+        # the cursor only ever advances over pages that exist. Across
+        # RESTARTS the walk resumes from the committed-cursor hint (written
+        # best-effort at commit): without it, a restart after retention
+        # deleted consumed page files would walk from start_page, hit the
+        # hole, and return an offset below the committed one — wedging the
+        # stream forever. The hint only ever holds COMMITTED offsets, so
+        # resuming there can never skip an unprocessed page; a fresh query
+        # over the same dir still reads everything (Spark plans partitions
+        # from ITS initialOffset, the hint only seeds the end-offset walk).
+        self._cursor = max(self._inner.start_page, self._read_hint())
+
+    def _hint_path(self) -> str:
+        return os.path.join(self._inner.pages_dir, self._CURSOR_HINT)
+
+    def _read_hint(self) -> int:
+        try:
+            with open(self._hint_path(), encoding="utf-8") as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return self._inner.start_page
 
     def initialOffset(self) -> dict:
         return {"next_page": self._inner.start_page}
@@ -238,6 +267,9 @@ class _PostsStreamReader(DataSourceStreamReader):
         return {"next_page": p}
 
     def partitions(self, start: dict, end: dict):
+        # Spark hands us the checkpointed start when (re)planning a batch:
+        # the walk must never restart below an offset Spark already holds
+        self._cursor = max(self._cursor, start["next_page"])
         return [
             _PagePartition(p) for p in range(start["next_page"], end["next_page"])
         ]
@@ -246,7 +278,17 @@ class _PostsStreamReader(DataSourceStreamReader):
         return self._inner.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # pages are immutable files; nothing to acknowledge
+        # pages are immutable files — nothing to acknowledge upstream; the
+        # committed cursor is persisted as a best-effort restart hint (a
+        # read-only pages_dir just falls back to the start_page walk)
+        try:
+            hint = max(self._read_hint(), end["next_page"])
+            tmp = self._hint_path() + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(str(hint))
+            os.replace(tmp, self._hint_path())
+        except OSError:
+            pass
 
 
 class PaginatedPostsDataSource(DataSource):

@@ -40,7 +40,8 @@ def interval_join(
     ignores watermarks) — tests cross-check the streamed result against
     the batch join on the same data. Column names other than ``key`` must
     be disjoint between the two sides; the right key column is dropped
-    from the output."""
+    from the output (coalesced into ``key`` first, so right/full outer
+    rows keep their key instead of emitting NULL with the value dropped)."""
     l_ = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r_ = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     rkey = f"__r_{key}"
@@ -50,4 +51,8 @@ def interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l_.join(r_, cond, how).drop(rkey)
+    out = l_.join(r_, cond, how)
+    # under right/full outer an unmatched right row has key = NULL (left's
+    # column) and rkey holding the only copy of its key — keep it
+    out = out.withColumn(key, F.coalesce(F.col(key), F.col(rkey)))
+    return out.drop(rkey)

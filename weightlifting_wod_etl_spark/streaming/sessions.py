@@ -91,14 +91,25 @@ def stateful_gap_sessionize(
         out = []
         for i in order:
             t, v = ts_list[i], val_list[i]
-            if last_us is not None and t - last_us > gap_us:
+            if last_us is None:
+                start_us, last_us, n, total = t, t, 1, v
+            elif t > last_us + gap_us:
                 out.append((user_id, start_us, last_us, n, total))
-                start_us, n, total = t, 0, 0.0
-            if start_us is None:
-                start_us = t
-            last_us = t
-            n += 1
-            total += v
+                start_us, last_us, n, total = t, t, 1, v
+            elif t < start_us - gap_us:
+                # very-late event (inside the watermark, before the open
+                # session's reach): its own session is already gone, and
+                # single-session state cannot retro-merge — emit it as a
+                # singleton session rather than silently regressing the
+                # open session's bounds (which produced end < start rows)
+                out.append((user_id, t, t, 1, v))
+            else:
+                # in or adjacent to the open session, possibly out of
+                # order within the watermark: extend bounds, NEVER regress
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
+                total += v
         state.update((start_us, last_us, n, total))
         if out:
             df = pd.DataFrame(
@@ -178,14 +189,25 @@ def make_gap_session_processor(gap_seconds: int = 1800):
                 n, total = 0, 0.0
             for i in order:
                 t, v = ts[i], vals[i]
-                if last_us is not None and t - last_us > gap_us:
+                if last_us is None:
+                    start_us, last_us, n, total = t, t, 1, v
+                elif t > last_us + gap_us:
                     yield self._emit(user_id, (start_us, last_us, n, total))
-                    start_us, n, total = t, 0, 0.0
-                if start_us is None:
-                    start_us = t
-                last_us = t
-                n += 1
-                total += v
+                    start_us, last_us, n, total = t, t, 1, v
+                elif t < start_us - gap_us:
+                    # very-late event before the open session's reach:
+                    # emit as a singleton (same rationale as the
+                    # applyInPandasWithState variant above)
+                    yield self._emit(user_id, (t, t, 1, v))
+                else:
+                    # out-of-order within the watermark: extend, never
+                    # regress — a regressed last_us would also re-arm the
+                    # close timer at an earlier horizon and flush the open
+                    # session prematurely
+                    start_us = min(start_us, t)
+                    last_us = max(last_us, t)
+                    n += 1
+                    total += v
             self._state.update((start_us, last_us, n, total))
             # (re-)arm the close timer: fires once the watermark passes the
             # open session's gap horizon
