@@ -56,3 +56,22 @@ def test_fidelity_null_passthrough(spark):
     df = spark.createDataFrame([(None,), ("<p>x</p>",)], "content string")
     vals = [r.t for r in df.select(strip_html_fidelity("content").alias("t")).collect()]
     assert vals == [None, "x"]
+
+
+def test_escaped_literal_entities_decode_once_not_twice(spark):
+    """Review r10: replacing '&amp;' before '&lt;'/'&gt;' double-decoded —
+    an author writing '&lt;' as visible text ('&amp;lt;' in HTML) came out
+    as '<'. Single-pass semantics require amp LAST; regex mode and the
+    fidelity parser must agree."""
+    from weightlifting_wod_etl_spark.functions.html import (
+        decode_entities,
+        strip_html,
+    )
+
+    df = spark.createDataFrame(
+        [("<p>a &amp;lt; b &amp; c &lt; d</p>",)], ["html"]
+    )
+    got = df.select(strip_html(F.col("html")).alias("t")).collect()[0].t
+    assert got == "a &lt; b & c < d"
+    got2 = df.select(decode_entities(F.col("html")).alias("t")).collect()[0].t
+    assert got2 == "<p>a &lt; b & c < d</p>"

@@ -141,3 +141,45 @@ def test_unknown_hash_family_raises(spark):
         lsh_candidate_pairs(df, hash_family="xxHash64").collect()
     with pytest.raises(ValueError, match="hash_family"):
         simhash_fingerprint(df, hash_family="xxhash").collect()
+
+
+def test_text_fns_null_text_yields_null_not_garbage(spark):
+    """Review r10 (confirmed by repro): with ANSI off, size() of a null
+    array is -1 — lang_id(NULL) was 'en', quality_score(NULL) was -1.504,
+    token counts were -1. All must be NULL for NULL text."""
+    from weightlifting_wod_etl_spark.operators.text import (
+        bpe_ish_token_count,
+        lang_id,
+        quality_score,
+        ws_token_count,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "the cat and the hat")],
+                               "doc_id long, text string")
+    r = {x.doc_id: x for x in df.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert (r[1].ws, r[1].bpe, r[1].lang, r[1].q) == (None, None, None, None)
+    assert r[2].ws == 5 and r[2].lang == "en" and 0 <= r[2].q <= 1
+
+
+def test_punct_ratio_ignores_accents_and_whitespace(spark):
+    """Review r10: the complement-of-[a-z0-9 ] definition scored every
+    accented letter, newline, and tab as punctuation — depressing quality
+    for the fr/es/de corpora the stopword lists support."""
+    from weightlifting_wod_etl_spark.operators.text import punct_ratio
+
+    df = spark.createDataFrame(
+        [(1, "le café est agréable"), (2, "a\nb\tc"), (3, "end. stop!")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x.p for x in df.select(
+        "doc_id", punct_ratio(F.col("text")).alias("p")
+    ).collect()}
+    assert r[1] == 0.0  # accents are letters, not punctuation
+    assert r[2] == 0.0  # newline/tab are whitespace, not punctuation
+    assert r[3] == 2 / len("end. stop!")  # real punctuation still counts

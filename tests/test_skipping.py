@@ -204,3 +204,31 @@ def test_persisted_index_is_committed_with_version_and_consumed(
         .count()
     )
     assert pruned.count() == want > 0
+
+
+def test_read_pruned_on_hive_partitioned_table(spark, tmp_path):
+    """Review r10: reading pruned leaf files without basePath dropped the
+    directory-derived partition columns — a different schema than the full
+    scan, and an unresolvable filter when pruning on the partition column
+    itself."""
+    from weightlifting_wod_etl_spark.io import read_pruned
+
+    path = str(tmp_path / "part")
+    df = spark.range(100).selectExpr(
+        "id AS k", "cast(id % 4 AS int) AS bucket", "id * 2 AS v"
+    )
+    df.write.partitionBy("bucket").parquet(path)
+
+    # pruning on a DATA column: partition columns must survive in the schema
+    got = read_pruned(spark, path, "k", 10, 20)
+    assert set(got.columns) == {"k", "bucket", "v"}
+    want = df.filter((F.col("k") >= 10) & (F.col("k") <= 20))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(got.columns).collect())
+    )
+
+    # pruning on the PARTITION column: footers carry no stats for it, so
+    # every file is kept — the filter must still resolve and apply
+    got2 = read_pruned(spark, path, "bucket", 1, 2)
+    assert got2.count() == 50
+    assert {r.bucket for r in got2.select("bucket").distinct().collect()} == {1, 2}

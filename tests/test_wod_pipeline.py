@@ -106,3 +106,47 @@ def test_preamble_dropped(records):
         for r in records.values()
     )
     assert "Intro preamble" not in joined
+
+
+def test_explode_lines_metachar_separator(spark):
+    """Review r10: F.split treats sep as a Java regex — sep='.' split at
+    every character. The separator is regex-quoted now."""
+    from weightlifting_wod_etl_spark.operators.sessionize import explode_lines
+
+    df = spark.createDataFrame([(1, "one.two.three")], ["post_id", "text"])
+    rows = explode_lines(df, id_cols=["post_id"], sep=".").collect()
+    assert [(r.line_idx, r.line) for r in rows] == [
+        (0, "one"), (1, "two"), (2, "three")
+    ]
+
+
+def test_date_spine_zero_days_is_empty(spark):
+    """Review r10: sequence(start, start-1) auto-reverses into a
+    descending 2-element array; a 0-day spine must be empty."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.dates import date_spine
+
+    df = spark.createDataFrame([(dt.date(2024, 1, 7),)], ["d"])
+    row = df.select(
+        date_spine(F.col("d"), 0).alias("zero"),
+        date_spine(F.col("d"), 3).alias("three"),
+    ).collect()[0]
+    assert row.zero == []
+    assert row.three == [dt.date(2024, 1, 7 + i) for i in range(3)]
+
+
+def test_load_table_restores_nanos_conf(spark):
+    """Review r10: load_table left spark.sql.legacy.parquet.nanosAsLong
+    set session-wide, so any LATER read of an external nanos parquet
+    silently returned bigints. The conf must be scoped to the call."""
+    from weightlifting_wod_etl_spark.io import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"  # normalization intact
+    assert df.count() > 0
+    assert spark.conf.get(key, None) == prior  # no session-wide leak

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 
 # minimal entity table — the ones WordPress titles/content actually emit
 # (reference replaces &#8211; explicitly, transforms.py:57)
+# ORDER MATTERS: '&amp;' must decode LAST. Sequential replacement with amp
+# first double-decodes escaped literals — '&amp;lt;' (an author writing
+# '&lt;' as text) became '<' instead of '&lt;', diverging from the
+# single-pass decode a real parser (and the fidelity mode) performs.
 _ENTITIES = {
     "&#8211;": "–",
     "&#8212;": "—",
@@ -36,9 +40,9 @@ _ENTITIES = {
     "&#8220;": "“",
     "&#8221;": "”",
     "&nbsp;": " ",
-    "&amp;": "&",
     "&lt;": "<",
     "&gt;": ">",
+    "&amp;": "&",
 }
 
 

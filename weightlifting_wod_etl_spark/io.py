@@ -48,8 +48,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``DIV``, not float ``/`` — a double mantissa cannot hold epoch-ns),
     agreeing bit-for-bit with any us-precision engine reading the same file.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    # Scope the legacy-nanos conf to THIS schema inference: leaving it set
+    # session-wide made every later parquet read in the session silently
+    # return raw epoch-nanos bigints for TIMESTAMP(NANOS) columns. Safe to
+    # restore immediately — spark.read.parquet infers the schema eagerly,
+    # and later actions execute against the analyzed plan (verified).
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -123,8 +136,14 @@ def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
     files = prune_files(index, col, lo, hi)
     if not files:  # nothing can match; keep the schema, scan nothing
         return spark.read.parquet(data_dir).where(F.lit(False))
-    return spark.read.parquet(*files).where(
-        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    # basePath restores directory-derived (hive) partition columns when the
+    # table is partitioned: a bare leaf-file read would drop them — a
+    # different schema than the full scan, and an unresolvable filter when
+    # the pruned column IS the partition column
+    return (
+        spark.read.option("basePath", data_dir)
+        .parquet(*files)
+        .where((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
     )
 
 

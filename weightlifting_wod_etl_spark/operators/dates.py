@@ -55,7 +55,11 @@ def date_spine(start: Column, num_days: Column | int) -> Column:
     ``dates[1:]`` with day groups (``transforms.py:247-259``).
     """
     n = F.lit(num_days) if isinstance(num_days, int) else num_days
-    return F.sequence(start, F.date_add(start, n - F.lit(1)))
+    # guard num_days <= 0: sequence(start, start-1) auto-reverses into a
+    # DESCENDING 2-element array instead of the empty spine it should be
+    return F.when(
+        n > 0, F.sequence(start, F.date_add(start, n - F.lit(1)))
+    ).otherwise(F.array().cast("array<date>"))
 
 
 # slug form: 'april-1-7-2024' (month-d1-d2-year); title form 'April 1-7, 2024'

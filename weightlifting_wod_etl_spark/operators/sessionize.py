@@ -47,9 +47,14 @@ def explode_lines(
     step orders by — no row order assumptions survive a shuffle otherwise.
     """
     id_cols = id_cols or []
+    # \Q..\E: F.split treats the separator as a Java regex — sep='.' would
+    # otherwise split at EVERY character boundary (quoting is a no-op for
+    # the default '\n')
     return df.select(
         *id_cols,
-        F.posexplode(F.split(F.col(text_col), sep)).alias(idx_col, line_col),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            idx_col, line_col
+        ),
     )
 
 

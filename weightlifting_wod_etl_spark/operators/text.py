@@ -23,25 +23,49 @@ STOPWORDS = {
 }
 
 
+# ASCII punctuation (codepoints 33-47, 58-64, 91-96, 123-126) — the same
+# class in Java regex (Spark) and RE2 (DuckDB), so oracles stay portable.
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(text, " ")).cast("bigint")
+    """Whitespace token count: split-on-single-space segments — the
+    cross-engine convention every oracle shares (``len(string_split)``);
+    run-collapsing belongs to normalization (see ``doc_fingerprint``).
+    NULL text → NULL: with ANSI off, ``size()`` of a null array is -1,
+    which silently poisoned sums and rankings."""
+    return F.when(
+        text.isNotNull(), F.size(F.split(text, " ")).cast("bigint")
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Regex token count approximating a BPE pre-tokenizer's segment count."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)).cast("bigint")
+    """Regex token count approximating a BPE pre-tokenizer's segment count.
+    NULL text → NULL (not -1)."""
+    return F.when(
+        text.isNotNull(),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)).cast("bigint"),
+    )
 
 
 def punct_ratio(text: Column) -> Column:
-    """Non-alphanumeric-non-space chars / total chars."""
-    stripped = F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")
-    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+    """ASCII-punctuation chars / total chars. The old complement-class
+    definition (everything outside ``[a-z0-9 ]``) counted every accented
+    letter, newline, and tab as punctuation — systematically depressing
+    quality_score for the very fr/es/de corpora the stopword lists
+    support. NULL text → NULL."""
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_CLASS), 0))
+    return F.when(
+        text.isNotNull(), n_punct / F.greatest(F.length(text), F.lit(1))
+    )
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
     pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint")
+    return F.when(
+        text.isNotNull(),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint"),
+    )
 
 
 def quality_score(text: Column) -> Column:
@@ -63,7 +87,10 @@ def quality_score(text: Column) -> Column:
         stop_sig = F.least(f.stop / F.greatest(f.n_toks, F.lit(1)) * 5, F.lit(1.0))
         return F.round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * stop_sig, 4)
 
-    return _let(feats, body)
+    # explicit NULL guard: least()/greatest() SKIP nulls (Spark and DuckDB
+    # alike), so null features would quietly blend into a bogus in-range
+    # score (-1.504 before the feature null fixes) instead of propagating
+    return F.when(text.isNotNull(), _let(feats, body))
 
 
 def lang_id(text: Column) -> Column:
@@ -81,7 +108,10 @@ def lang_id(text: Column) -> Column:
             out = out.when(c[lang] == best, F.lit(lang))
         return out
 
-    return _let(counts, body)
+    # NULL text → NULL, not 'en': unguarded, every count is NULL, greatest
+    # skips nulls, and the first tie-break branch (en) matched NULL == NULL
+    # semantics through the ANSI-off -1 path
+    return F.when(text.isNotNull(), _let(counts, body))
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.html import decode_entities, strip_html
 from ..operators.clean import DEFAULT_RENAME, clean_records
-from ..operators.dates import extract_date_range, isoweekday
+from ..operators.dates import extract_date_range, week_start_sunday
 from ..operators.pivot import ordered_concat_expr
 from ..operators.sessionize import explode_lines, sessionize_by_marker
 
@@ -127,7 +127,7 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
     rng_start, _ = extract_date_range(F.col("slug"), F.col("title"))
     anchor = F.coalesce(rng_start, F.to_date("post_date"))
     week_start = stripped.select(
-        "post_id", F.date_sub(anchor, isoweekday(anchor)).alias("week_start")
+        "post_id", week_start_sunday(anchor).alias("week_start")
     )
     return (
         wide.join(week_start, "post_id")

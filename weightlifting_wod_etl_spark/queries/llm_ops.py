@@ -326,7 +326,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+           CASE WHEN greatest(c_en, c_fr, c_es, c_de) IS NULL THEN NULL
+                WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
                 WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
                 WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
                 WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
@@ -350,15 +351,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feats AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_toks,
-               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+               len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE
                    / greatest(length(text), 1) AS punct_ratio,
                len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
         FROM documents
     )
     SELECT doc_id,
+           CASE WHEN n_toks IS NULL THEN NULL ELSE
            round(0.4 * least(n_toks / 100.0, 1.0)
                  + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-                 + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4) AS quality
+                 + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4)
+           END AS quality
     FROM feats
     """,
 )

@@ -218,7 +218,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feats AS (
         SELECT doc_id, lang, source, text,
                len(string_split(text, ' ')) AS n_toks,
-               length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+               len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE
                    / greatest(length(text), 1) AS punct_ratio,
                len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
         FROM documents
