@@ -43,13 +43,13 @@ def test_bitmap_prunes_most_nonmatching_rows(spark):
     dim = spark.range(50_000).filter("id % 100 = 0").select(F.col("id").alias("d"))
     bitmap = (
         _with_slot(dim.select("d"), "d", 1 << 22)
-        .groupBy("bf_word")
-        .agg(F.bit_or("bf_mask").alias("bf_bits"))
+        .groupBy("__bf_word")
+        .agg(F.bit_or("__bf_mask").alias("__bf_bits"))
     )
     survivors = (
         _with_slot(fact, "k", 1 << 22)
-        .join(F.broadcast(bitmap), "bf_word")
-        .filter(F.col("bf_bits").bitwiseAND(F.col("bf_mask")) != 0)
+        .join(F.broadcast(bitmap), "__bf_word")
+        .filter(F.col("__bf_bits").bitwiseAND(F.col("__bf_mask")) != 0)
         .count()
     )
     true_matches = 500

@@ -606,3 +606,102 @@ def test_hash_sample_cutoff_case_insensitive_and_validated(spark):
         hash_sample(F.col("id"), "4g")
     with pytest.raises(ValueError, match="hex digits"):
         hash_sample(F.col("id"), "abc")
+
+
+def test_skew_ops_null_and_outer_contracts(spark):
+    """Review r10: salted_groupby's 'count' partial was count(*) (ignored
+    the named column's nulls), and replicated_salted_join silently emitted
+    buckets-fold copies of unmatched small rows under full outer."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.skew import (
+        replicated_salted_join,
+        salted_groupby,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "u1", 5), (1, "u2", None), (1, "u3", 7), (2, "u4", None)],
+        "k long, uid string, v long",
+    )
+    got = {
+        r.k: r.n
+        for r in salted_groupby(df, ["k"], [("v", "count", "n")], "uid").collect()
+    }
+    want = {r.k: r.n for r in df.groupBy("k").agg(F.count("v").alias("n")).collect()}
+    assert got == want == {1: 2, 2: 0}
+
+    small = spark.createDataFrame([(9, "x")], "k long, tag string")
+    with pytest.raises(ValueError, match="unsupported"):
+        replicated_salted_join(df, small, "k", "k", "uid", how="full")
+
+
+def test_exact_percentiles_ignore_nulls_and_fractional_names(spark):
+    """Review r10: null values shifted every percentile index (nulls sort
+    first) and inflated n_items; fractional cuts could collide into one
+    column name."""
+    from weightlifting_wod_etl_spark.operators.percentile import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1), ("g", 2), ("g", 3)], "g string, v long"
+    )
+    row = exact_percentiles(df, ["g"], "v", [0.5]).collect()[0]
+    assert row.n_items == 3 and row.p50 == 2.0
+
+    cols = exact_percentiles(df, ["g"], "v", [0.115, 0.125]).columns
+    assert "p11_5" in cols and "p12_5" in cols
+
+
+def test_asof_join_null_right_ts_and_keys_never_match(spark):
+    """Review r10: a NULL right_ts sorted first and its payload was
+    carried into every left row with no earlier real match; NULL keys
+    matched each other through the window partition."""
+    ldf = spark.createDataFrame(
+        [(1, 10), (None, 10)], "k int, lts int"
+    )
+    rdf = spark.createDataFrame(
+        [(1, None, 99), (None, 5, 77)], "k int, rts int, tb int"
+    )
+    out = {
+        (r.k, r.lts): r.asof_tb
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["tb"], tiebreak="tb",
+        ).collect()
+    }
+    assert out[(1, 10)] is None  # null-ts right row never matches
+    assert out[(None, 10)] is None  # null keys never match each other
+
+
+def test_band_range_join_caps_corrupt_interval_spans(spark):
+    """Review r10: one far-future end_ts materialized a multi-billion-bin
+    array and killed the job; over-cap intervals are excluded by the
+    dirty-data guard (and only them)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = spark.createDataFrame([(1, base + dt.timedelta(seconds=30))], ["pid", "pts"])
+    idf = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(seconds=60)),
+            (2, base, dt.datetime(9999, 1, 1)),  # corrupt far-future end
+        ],
+        ["iid", "istart", "iend"],
+    )
+    got = band_range_join(
+        pdf, idf, "pts", "istart", "iend", 60, max_bins_per_interval=1000
+    ).collect()
+    assert [r.iid for r in got] == [1]  # clean interval matched, dirty excluded
+
+
+def test_bloom_semi_join_rejects_colliding_work_columns(spark):
+    """Review r10: a fact column named like a working column was silently
+    replaced-then-dropped (or made the bitmap join ambiguous)."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    fact = spark.createDataFrame([(1, 5)], "k long, __bf_word long")
+    dim = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_semi_join(fact, dim, "k", "k")

@@ -28,11 +28,19 @@ def sum_fixed(col: Column | str, scale: int = 2, out_scale: int | None = None) -
     op so the double is identical in every engine.
     """
     out_scale = scale if out_scale is None else out_scale
-    return (F.sum(to_fixed(col, scale)) / F.lit(float(10**out_scale))).alias("sum")
+    # alias carries the source name so two sum_fixed measures in one agg()
+    # never produce duplicate 'sum' columns
+    name = f"sum_{col}" if isinstance(col, str) else "sum_fixed"
+    return (F.sum(to_fixed(col, scale)) / F.lit(float(10**out_scale))).alias(name)
 
 
 def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
-    """Order-free average: exact integer sum / count, then one rounding."""
+    """Order-free average: exact integer sum / count, then one rounding.
+
+    The denominator is the NON-NULL count of the measure (``F.count(col)``)
+    — ``count(*)`` would disagree with ``F.avg`` on any nullable column
+    (sum skips nulls, so the divisor must too)."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        F.sum(to_fixed(col, scale)) / F.count(F.lit(1)) / F.lit(float(10**scale)), round_to
+        F.sum(to_fixed(c, scale)) / F.count(c) / F.lit(float(10**scale)), round_to
     )

@@ -52,9 +52,18 @@ def asof_join(
     ``tiebreak``: right column ordering duplicates within (key, right_ts);
     the max row wins (last-writer-wins, OP18 semantics). Without it,
     duplicate right timestamps make the carried payload nondeterministic.
+
+    SQL ASOF semantics for NULLs: a right row with NULL key or NULL
+    ``right_ts`` matches nothing (``c.ts >= p.ts`` is NULL-false in any
+    SQL oracle) — without the filter below, a NULL right_ts sorted FIRST
+    in its partition and its payload was carried into every left row with
+    no earlier real match, and NULL keys matched each other through the
+    window partition. Left rows with a NULL key simply never match
+    (left-outer NULL payload), which the filtered union gives for free.
     """
     tie = F.col(tiebreak) if tiebreak is not None else F.lit(0)
     payload = F.struct(*[F.col(c) for c in right_payload])
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     r_side = right.select(
         F.col(key).alias("__key"),
         F.col(right_ts).alias("__ts"),

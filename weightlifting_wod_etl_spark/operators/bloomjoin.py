@@ -30,17 +30,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_WORK_COLS = ("__bf_h", "__bf_word", "__bf_mask", "__bf_bits", "__bf_dim_key")
+
+
 def _with_slot(df: DataFrame, key: str, num_bits: int) -> DataFrame:
-    """Add (bf_word, bf_mask): bitmap word index and in-word bit mask of
-    the key's hash slot. SQL ``shiftleft`` is used because the Python
-    binding only accepts a literal shift amount."""
+    """Add (__bf_word, __bf_mask): bitmap word index and in-word bit mask
+    of the key's hash slot. SQL ``shiftleft`` is used because the Python
+    binding only accepts a literal shift amount. Working columns are
+    dunder-prefixed AND checked against the input — ``withColumn`` would
+    silently REPLACE a caller column of the same name, and a duplicate
+    would make the bitmap join ambiguous."""
+    clash = [c for c in df.columns if c in _WORK_COLS]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with bloom_semi_join's working "
+            "columns — rename them before calling"
+        )
     return df.withColumn(
-        "bf_h", F.pmod(F.xxhash64(F.col(key)), F.lit(num_bits))
+        "__bf_h", F.pmod(F.xxhash64(F.col(key)), F.lit(num_bits))
     ).selectExpr(
         "*",
-        "bf_h DIV 64 AS bf_word",
-        "shiftleft(1L, CAST(bf_h % 64 AS INT)) AS bf_mask",
-    ).drop("bf_h")
+        "__bf_h DIV 64 AS __bf_word",
+        "shiftleft(1L, CAST(__bf_h % 64 AS INT)) AS __bf_mask",
+    ).drop("__bf_h")
 
 
 def bloom_semi_join(
@@ -59,14 +71,14 @@ def bloom_semi_join(
     exact semi join removes every false positive."""
     bitmap = (
         _with_slot(dim.select(dim_key), dim_key, num_bits)
-        .groupBy("bf_word")
-        .agg(F.bit_or("bf_mask").alias("bf_bits"))
+        .groupBy("__bf_word")
+        .agg(F.bit_or("__bf_mask").alias("__bf_bits"))
     )
     pruned = (
         _with_slot(fact, fact_key, num_bits)
-        .join(F.broadcast(bitmap), "bf_word")  # inner: unset word = no partner
-        .filter(F.col("bf_bits").bitwiseAND(F.col("bf_mask")) != 0)
-        .drop("bf_word", "bf_mask", "bf_bits")
+        .join(F.broadcast(bitmap), "__bf_word")  # inner: unset word = no partner
+        .filter(F.col("__bf_bits").bitwiseAND(F.col("__bf_mask")) != 0)
+        .drop("__bf_word", "__bf_mask", "__bf_bits")
     )
     return pruned.join(
         dim.select(F.col(dim_key).alias("__bf_dim_key")).distinct(),

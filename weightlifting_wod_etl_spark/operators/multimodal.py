@@ -99,14 +99,21 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
-        def _features(payload: bytes) -> list[float]:
+        # NULL payloads (schema says nullable; documents_as_media yields
+        # them for NULL text) must produce NULL features, not a TypeError
+        # that kills the stage after task retries
+        def _features(payload) -> list[float] | None:
+            if payload is None:
+                return None
             digest = _hashlib.sha256(payload).digest()
             return [
                 int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
                 for i in range(n_feat)
             ]
 
-        def _u32(payload: bytes) -> int:
+        def _u32(payload):
+            if payload is None:
+                return None
             return int.from_bytes(
                 _hashlib.sha256(payload).digest()[:4], "big"
             )
@@ -116,9 +123,11 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda p: None if p is None else len(p)
+                    ).astype("Int64"),
                     "features": payloads.map(_features),
-                    "feature0_u32": payloads.map(_u32).astype("int64"),
+                    "feature0_u32": payloads.map(_u32).astype("Int64"),
                 }
             )
 
@@ -164,7 +173,9 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 
         tag = f"{w}x{h}".encode()
 
-        def _resize(payload: bytes) -> bytes:
+        def _resize(payload):
+            if payload is None:  # null payload stays null, never a crash
+                return None
             return _hashlib.sha256(bytes(payload) + tag).digest()
 
         for pdf in it:
@@ -214,6 +225,8 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in it:
             ids, idxs, payloads, sizes = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # no payload → no frames, not a crash
+                    continue
                 raw = bytes(payload)
                 n_frames = max(1, len(raw) // 64)
                 for i in range(0, n_frames, step):

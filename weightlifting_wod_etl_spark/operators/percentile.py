@@ -37,8 +37,17 @@ def exact_percentiles(
     """Per-group exact linear-interpolation percentiles of ``value_col``
     (numeric) at each fraction in ``cuts``; also returns ``n_items``.
 
-    Output columns: ``{out_prefix}{int(cut*100)}`` per cut, e.g. p25, p50.
+    Output columns: ``{out_prefix}{cut*100:g}`` per cut with '.' → '_',
+    e.g. p25, p50, p11_5 — exact formatting so two distinct cuts can never
+    silently share (or fight over) one column name.
+
+    NULL values of ``value_col`` are ignored, matching Spark/DuckDB
+    ``percentile``/``quantile_cont``; counting them would both inflate
+    ``n_items`` and shift every percentile index (nulls sort first).
     """
+    if len(set(cuts)) != len(cuts):
+        raise ValueError(f"duplicate cuts: {cuts}")
+    df = df.filter(F.col(value_col).isNotNull())
     counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
     wcum = (
         Window.partitionBy(*group_cols)
@@ -64,7 +73,7 @@ def exact_percentiles(
         frac = agg_pos - F.floor(agg_pos)
         lo = F.min(F.when(F.col("__cum") > row_idx, F.col("__v")))
         hi = F.min(F.when(F.col("__cum") > row_idx + 1, F.col("__v")))
-        name = f"{out_prefix}{int(round(p * 100))}"
+        name = f"{out_prefix}{p * 100:g}".replace(".", "_")
         names.append(name)
         aggs.append((lo + frac * (F.coalesce(hi, lo) - lo)).alias(name))
     out = cum.groupBy(*group_cols).agg(*aggs)

@@ -47,6 +47,7 @@ def band_range_join(
     start_ts: str,
     end_ts: str,
     bin_width_s: int,
+    max_bins_per_interval: int | None = 100_000,
 ) -> DataFrame:
     """Inner-join ``points`` to ``intervals`` on
     ``start_ts <= point_ts < end_ts`` (half-open), shuffling on time bins
@@ -54,9 +55,24 @@ def band_range_join(
 
     Column names must be disjoint between the two frames (select/alias
     before calling); the result carries all columns from both.
+
+    ``max_bins_per_interval`` is the dirty-data guard: one interval row
+    with a corrupt far-future ``end_ts`` would otherwise materialize a
+    multi-billion-element bin array (array-size abort / OOM) and take the
+    whole job with it. Intervals spanning more bins are EXCLUDED from the
+    join — at the default (100k bins), that is an interval longer than
+    100k × bin_width, data-error territory; size ``bin_width_s`` so real
+    intervals span a handful of bins, or pass ``None`` to disable.
     """
     p = points.withColumn("__bin", _bin_of(F.col(point_ts), bin_width_s).cast("bigint"))
-    iv = intervals.withColumn(
+    iv = intervals
+    if max_bins_per_interval is not None:
+        iv = iv.filter(
+            _bin_of(F.col(end_ts), bin_width_s)
+            - _bin_of(F.col(start_ts), bin_width_s)
+            < F.lit(max_bins_per_interval)
+        )
+    iv = iv.withColumn(
         "__bins",
         F.sequence(
             _bin_of(F.col(start_ts), bin_width_s).cast("bigint"),

@@ -35,7 +35,10 @@ _MERGE = {
 }
 _PARTIAL = {
     "sum": F.sum,
-    "count": lambda c: F.count(F.lit(1)),
+    # count(col) — null-skipping, like the direct groupBy's F.count(col).
+    # count(*) here silently over-counted groups with nulls in the named
+    # column, contradicting the (column, fn, alias) signature.
+    "count": F.count,
     "min": F.min,
     "max": F.max,
 }
@@ -83,7 +86,18 @@ def replicated_salted_join(
     large to broadcast outright but small enough to replicate B-fold
     (cost: B× shuffle volume of the small side — still tiny next to one
     straggler task holding the hot key's entire partition).
+
+    ``how`` is restricted to joins that preserve row-identity under
+    small-side replication (inner / left / left_semi / left_anti /
+    cross): a right or full outer join would emit ``buckets`` null-padded
+    copies of every unmatched small-side row — silently wrong counts.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"how={how!r} unsupported: small-side replication emits "
+            f"{buckets} copies of each unmatched small row under "
+            "right/full outer — use the unsalted join (AQE skew split) there"
+        )
     b = big.withColumn("__salt", deterministic_salt(salt_on, buckets))
     s = small.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(buckets)]))
