@@ -226,7 +226,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_type,
            round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value,
-           count(*)::BIGINT AS n_events,
+           count(value)::BIGINT AS n_events,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events
@@ -792,7 +792,7 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, measure,
            count(*)::BIGINT AS n,
-           round(avg(val), 4) AS avg_val,
+           round(sum(round(val * 10000)::BIGINT) / 10000.0 / count(*), 4) AS avg_val,
            round(sum(round(val * 10000)::BIGINT) / 10000.0, 4) AS sum_val
     FROM long GROUP BY l_returnflag, measure
     """,
@@ -823,9 +823,18 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+    # avg through the SAME fixed-point sum as sum_val: raw F.avg sums
+    # doubles in partial-merge order, which can flip the 4th decimal at a
+    # rounding boundary between runs/engines — the exact drift the
+    # docstring promises away
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.round(
+            F.sum(F.round(F.col("val") * 10000).cast("long"))
+            / F.lit(10000.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_val"),
         F.round(
             F.sum(F.round(F.col("val") * 10000).cast("long")) / F.lit(10000.0), 4
         ).alias("sum_val"),

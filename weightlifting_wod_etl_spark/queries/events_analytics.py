@@ -466,14 +466,23 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     is needed anywhere."""
     from ..operators.percentile import exact_percentiles
 
+    # dev feeds mad AND the final agg: checkpoint it so its scan +
+    # broadcast-join lineage runs once, not once per consumer (was 4
+    # events FileScans per execution; now 2 — med's own pruned scan of
+    # the 2-column projection is cheaper than materializing the full
+    # fact, so e itself stays un-checkpointed).
     e = load_table(spark, sf_dir, "events").select(
         "event_type", to_fixed("value").alias("cents")
     )
     med = exact_percentiles(e, ["event_type"], "cents", [0.5], out_prefix="m").select(
         "event_type", F.col("m50")
     )
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type", "m50", F.abs(F.col("cents") - F.col("m50")).alias("dev")
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "m50", F.abs(F.col("cents") - F.col("m50")).alias("dev")
+        )
+        .localCheckpoint(eager=False)
     )
     mad = exact_percentiles(dev, ["event_type"], "dev", [0.5], out_prefix="d").select(
         "event_type", F.col("d50")

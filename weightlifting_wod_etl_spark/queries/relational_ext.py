@@ -520,8 +520,12 @@ def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # NO broadcast hint on customer: it is data-proportional (~1.5M
+    # rows/TB — the q_tpch_q3 rule), so the hint must stay with AQE,
+    # which broadcasts at bench SF and degrades to shuffle at 100 TB
+    # instead of OOMing
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)

@@ -237,7 +237,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev_fp = to_fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
-    revenue = l.groupBy("l_suppkey").agg(F.sum(rev_fp).alias("total_fp"))
+    # checkpoint the SMALL per-suppkey aggregate: it feeds both the
+    # scalar-max branch and the probe side, and without lineage truncation
+    # the quarterly lineitem scan+agg executes once per consumer (verified:
+    # 2 FileScans, 0 ReusedExchange) — the measured multi-consumer gotcha
+    revenue = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(rev_fp).alias("total_fp"))
+        .localCheckpoint(eager=False)
+    )
     best = revenue.agg(F.max("total_fp").alias("best_fp"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -341,11 +349,16 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL")
     ).select("p_partkey")
+    # the brand-pruned lines (a ~1% slice of lineitem) feed BOTH the
+    # per-part aggregate and the probe join: checkpoint so the scan +
+    # broadcast prune run once, not once per consumer (verified: was 2
+    # lineitem FileScans per execution)
     l = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(bp, F.col("l_partkey") == bp.p_partkey)
         .drop("p_partkey")
+        .localCheckpoint(eager=False)
     )
     part_avg = l.groupBy("l_partkey").agg(
         F.sum(to_fixed("l_quantity")).alias("qty_cents_sum"),
