@@ -183,3 +183,22 @@ def test_punct_ratio_ignores_accents_and_whitespace(spark):
     assert r[1] == 0.0  # accents are letters, not punctuation
     assert r[2] == 0.0  # newline/tab are whitespace, not punctuation
     assert r[3] == 2 / len("end. stop!")  # real punctuation still counts
+
+
+def test_bigram_lm_score_single_token_docs_do_not_crash(spark, tmp_path):
+    """Review r10: sequence(1, size-1) counts DOWN for 1-token docs and
+    element_at(arr, 0) aborts the whole job (INVALID_INDEX_OF_ZERO).
+    Short docs must contribute zero bigrams instead."""
+    import os
+
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "hello", "en", "src0", 5),
+         (2, "the cat sat on the mat and the cat ran", "en", "src0", 39)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(src, "documents.parquet"))
+    rows = QUERIES["q_bigram_lm_score"](spark, src).collect()
+    assert all(r.doc_id == 2 for r in rows)  # doc 1 yields no bigrams, no crash

@@ -154,14 +154,23 @@ def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _two_phase_top_per_group(
-    df: DataFrame, group_col: str, order_cols: list, k: int
+    df: DataFrame, group_col: str, order_cols: list, k: int, bucket_col=None
 ) -> DataFrame:
     """Exact top-k per group without a single-reducer group sort: local
     top-k inside each (group, 16-way hash bucket), then the true top-k
     among the ≤ 16k survivors. Both windows sort, but the first is spread
     over 16x the reducers and the second's input is bounded by 16k rows
-    per group regardless of corpus size."""
-    bucket = F.substring(hash_bucket(F.col("doc_id")), 1, 1)
+    per group regardless of corpus size.
+
+    ``bucket_col``: the 16-way spreading expression; defaults to the
+    first hex digit of md5(doc_id) — pass one explicitly when the frame
+    has no doc_id column or already carries the hash (CollapseProject
+    does NOT CSE two identical md5 projections)."""
+    bucket = (
+        bucket_col
+        if bucket_col is not None
+        else F.substring(hash_bucket(F.col("doc_id")), 1, 1)
+    )
     survivors = (
         df.withColumn("__rn", F.row_number().over(
             Window.partitionBy(group_col, bucket).orderBy(*order_cols)
@@ -227,7 +236,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
     docs = docs.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
     kept = _two_phase_top_per_group(
-        docs, "lang", [F.col("__h"), F.col("doc_id")], 30
+        docs,
+        "lang",
+        [F.col("__h"), F.col("doc_id")],
+        30,
+        # reuse __h's first hex digit: the default bucket would evaluate a
+        # SECOND md5 per row (no CSE across projections)
+        bucket_col=F.substring(F.col("__h"), 1, 1),
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

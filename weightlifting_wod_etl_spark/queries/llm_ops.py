@@ -50,9 +50,18 @@ _SHINGLED_CTE = """
         SELECT doc_id, seed // 2 AS band_idx, string_agg(mh, '|' ORDER BY seed) AS band_key
         FROM sigs GROUP BY doc_id, seed // 2
     ),
+    ok_bands AS (
+        -- mirror the operator's max_band_df=1024 bucket cap: a band
+        -- bucket larger than the cap is dropped before pair expansion
+        SELECT band_idx, band_key FROM bands
+        GROUP BY band_idx, band_key
+        HAVING count(*) BETWEEN 2 AND 1024
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN ok_bands k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+        JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -522,13 +531,17 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_frame_sample",
     oracle="""
     WITH f AS (
+        -- octet_length of the UTF-8 payload, NOT length(text): the
+        -- operator counts BYTES, and the two diverge on any multi-byte
+        -- character (same rule q_binary_meta's oracle follows)
         SELECT doc_id, text,
-               unnest(range(0, greatest(1, length(text) // 64), 2)) AS frame_idx
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               unnest(range(0, greatest(1, octet_length(encode(text)) // 64), 2)) AS frame_idx
         FROM documents
     )
     SELECT doc_id AS media_id, frame_idx::BIGINT AS frame_idx,
            sha256(text || ':' || frame_idx) AS digest_hex,
-           length(text)::BIGINT AS n_src_bytes
+           n_bytes AS n_src_bytes
     FROM f
     """,
 )

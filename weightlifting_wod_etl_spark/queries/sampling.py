@@ -137,17 +137,21 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle for the audit agg."""
     from ..operators.sampling import hash_bucket
 
-    rates = spark.createDataFrame(
-        [(i, ["ff", "bf", "80", "40"][i % 4]) for i in range(20)],
-        ["src_idx", "cutoff"],
+    # rate lookup by src_idx % 4 expression, not a 20-row inner-join dim:
+    # the join silently DROPPED any source outside src0..src19 (or one
+    # whose index failed to parse) while the oracle's CASE keeps every
+    # source — element_at covers the whole domain like the CASE does
+    cutoff = F.coalesce(
+        F.element_at(
+            F.array(*[F.lit(c) for c in ("ff", "bf", "80", "40")]),
+            (F.col("src_idx") % 4) + 1,
+        ),
+        F.lit("40"),  # unparseable source index = the oracle's ELSE arm
     )
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "src_idx", F.substring("source", 4, 10).cast("int")
     )
-    kept = (
-        docs.join(F.broadcast(rates), "src_idx")
-        .filter(hash_bucket(F.col("doc_id")) < F.col("cutoff"))
-    )
+    kept = docs.filter(hash_bucket(F.col("doc_id")) < cutoff)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 

@@ -148,7 +148,14 @@ def q_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc: dict[str, tuple] = {}
         for pdf in batches:
             for etype, grp in pdf.groupby("event_type"):
-                d = build_digest(grp["value"].to_numpy())
+                # drop nulls before digesting: a NULL value arrives as NaN,
+                # np.sort places it last, and the compress fold would smear
+                # NaN through every tail centroid mean (the exact band side
+                # already drops nulls — percentile.py)
+                vals = grp["value"].dropna().to_numpy()
+                if len(vals) == 0:
+                    continue
+                d = build_digest(vals)
                 prev = acc.get(etype)
                 acc[etype] = d if prev is None else merge_digests([prev, d])
         if acc:

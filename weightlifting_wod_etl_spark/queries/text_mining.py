@@ -359,15 +359,21 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             let(
                 w,
-                lambda arr: F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - 1),
-                    lambda i: F.struct(
-                        F.element_at(arr, i).alias("w1"),
-                        F.concat_ws(
-                            " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                        ).alias("bg"),
+                # single-token guard (same hazard q_bigram_topk documents):
+                # sequence(1, 0) counts DOWN and element_at(arr, 0) aborts
+                # the job — a 1-token doc must yield zero bigrams instead
+                lambda arr: F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.struct(
+                            F.element_at(arr, i).alias("w1"),
+                            F.concat_ws(
+                                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                            ).alias("bg"),
+                        ),
                     ),
-                ),
+                ).otherwise(F.expr("array()").cast("array<struct<w1:string,bg:string>>")),
             )
         ).alias("t"),
     ).select("doc_id", "t.w1", "t.bg")

@@ -61,12 +61,17 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     wday = Window.partitionBy("user_id", "day").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    # daily feeds both the per-user bounds aggregate (spine) and the grid
+    # join: checkpoint the small one-row-per-(user, day) frame so the
+    # events scan + dedup window run once per execution, not once per
+    # consumer (2 FileScans, 0 ReusedExchange before — the q15/q17 class)
     daily = (
         e.select("user_id", F.date_trunc("day", "ts").alias("day"), "ts",
                  "event_id", "value")
         .withColumn("rn", F.row_number().over(wday))
         .filter(F.col("rn") == 1)
         .select("user_id", "day", to_fixed("value").alias("cents"))
+        .localCheckpoint(eager=False)
     )
     spine = (
         daily.groupBy("user_id")
