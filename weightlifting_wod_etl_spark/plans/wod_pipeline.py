@@ -121,7 +121,6 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
         kv_all.groupBy("post_id", "day_idx")
         .pivot("k", SEGMENT_KEYS)
         .agg(F.max_by("v", "seg_idx"))
-        .withColumnRenamed("session", "session_raw")
     )
     # week spine (OP12+OP13): Sunday before slug/title range start, else post_date
     rng_start, _ = extract_date_range(F.col("slug"), F.col("title"))
@@ -133,7 +132,6 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
         wide.join(week_start, "post_id")
         .withColumn("date", F.date_add(F.col("week_start"), F.col("day_idx").cast("int")))
         .drop("week_start")
-        .withColumnRenamed("session_raw", "session")
     )
 
 

@@ -73,8 +73,6 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint + duplicate cluster size —
     the content-defined-chunking primitive of dedup pipelines (complements
     q_doc_fingerprint's normalized md5)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", rolling_hash(F.col("text")).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
@@ -342,7 +340,7 @@ def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <= TIMESTAMP '1996-03-31 00:00:00'
@@ -367,32 +365,61 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
     import tempfile
 
+    # Fingerprint the SOURCE table into the scratch name: a regenerated
+    # testdata generation (new bytes at the same sf_dir) lands in a NEW
+    # scratch dir instead of silently serving the stale clustered copy the
+    # oracle no longer matches. The fingerprint is cheap (file sizes +
+    # mtimes of orders.parquet), not a data read.
+    src_path = os.path.join(sf_dir, "orders.parquet")
+    stat_parts = []
+    for root, _dirs, files in os.walk(src_path):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    if not stat_parts and os.path.exists(src_path):
+        st = os.stat(src_path)
+        stat_parts.append(f"orders:{st.st_size}:{st.st_mtime_ns}")
+    import hashlib as _hashlib
+
+    fp = _hashlib.md5(";".join(stat_parts).encode()).hexdigest()[:12]
     scratch = os.path.join(
         tempfile.gettempdir(),
-        "wod_etl_pruned_scan_" + _re.sub(r"\W+", "_", sf_dir).strip("_"),
+        "wod_etl_pruned_scan_"
+        + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        + "_"
+        + fp,
     )
     # The clustered layout is a FIXTURE, not the thing measured: build it
-    # once per sf_dir (marker-guarded) so the bench times the pruned READ —
+    # once per (sf_dir, generation) so the bench times the pruned READ —
     # at deployment the table is maintained clustered by compact/zorder,
     # not rebuilt per query (VERDICT r8 §next.6: timings used to include
     # the rewrite + footer indexing on every run).
     marker = os.path.join(scratch, "_BUILT")
     if not os.path.exists(marker):
+        # concurrent builders (pytest + bench) write private staging dirs;
+        # exactly one atomic rename publishes — the loser just reuses it
+        staging = f"{scratch}.tmp.{os.getpid()}"
         orders = load_table(spark, sf_dir, "orders")
         (
             orders.select("o_orderdate", "o_orderpriority", "o_totalprice")
             .repartitionByRange(8, "o_orderdate")
             .sortWithinPartitions("o_orderdate")
             .write.mode("overwrite")
-            .parquet(scratch)
+            .parquet(staging)
         )
         # persist the skipping index next to the data — read_pruned consumes
         # the persisted form (the metadata-layer path), not a live footer scan
         from ..operators.skipping import save_stats_index
 
-        save_stats_index(scratch, ["o_orderdate"])
-        with open(marker, "w") as f:
+        save_stats_index(staging, ["o_orderdate"])
+        with open(os.path.join(staging, "_BUILT"), "w") as f:
             f.write(sf_dir)
+        try:
+            os.rename(staging, scratch)
+        except OSError:
+            import shutil as _shutil
+
+            _shutil.rmtree(staging, ignore_errors=True)  # another builder won
     from ..io import read_pruned
 
     pruned = read_pruned(
@@ -404,7 +431,10 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0),
+            2,
+        ).alias("revenue"),
     )
 
 

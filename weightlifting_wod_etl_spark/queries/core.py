@@ -31,7 +31,7 @@ from ..queries_registry import register
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
     FROM sess
     GROUP BY user_id, session_id
     """,

@@ -382,7 +382,7 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            count(*)::BIGINT AS n_orders,
-           round(sum(o.o_totalprice), 2) AS revenue
+           round(sum(round(o.o_totalprice * 100)::BIGINT) / 100.0, 2) AS revenue
     FROM orders o
     WHERE o.o_custkey IN (
         SELECT c.c_custkey
@@ -417,7 +417,9 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
     return matched.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(
+            F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2
+        ).alias("revenue"),
     )
 
 
@@ -491,9 +493,7 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-                / F.lit(100.0),
-                2,
+                F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2
             ).alias("revenue"),
         )
     )

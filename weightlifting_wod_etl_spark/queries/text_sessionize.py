@@ -31,7 +31,7 @@ _GROUPED_CTE = f"""
     WITH {_EXPLODE_CTE},
     marked AS (
         SELECT doc_id, word_idx, word,
-               CASE WHEN regexp_matches(word, '^(scan|join)$') THEN 1 ELSE 0 END AS is_marker
+               CASE WHEN regexp_matches(word, '{MARKER_PAT}') THEN 1 ELSE 0 END AS is_marker
         FROM exploded
     ),
     grouped AS (

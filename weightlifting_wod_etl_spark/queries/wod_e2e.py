@@ -115,7 +115,12 @@ _ORACLE = r"""
 
 def _synth_posts(docs: DataFrame) -> DataFrame:
     toks = F.split("text", " ")
-    seg = lambda start: F.array_join(F.slice(toks, start, 5), " ")  # noqa: E731
+    # coalesce mirrors the oracle's coalesce(array_to_string(...), ''):
+    # without it a NULL text null-propagates through F.concat and the post
+    # vanishes from the Spark side while the oracle still emits it
+    seg = lambda start: F.coalesce(  # noqa: E731
+        F.array_join(F.slice(toks, start, 5), " "), F.lit("")
+    )
     html = F.concat(
         F.lit("<p><strong>Monday (Session One)</strong><br />\n"),
         F.lit("Suggested Warm-Up\n"),
