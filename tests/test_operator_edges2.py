@@ -1,0 +1,138 @@
+"""Regression tests for the glue/edge review findings (round 10, batch 10):
+null-propagating idempotency keys, never-expires ledger entries, reserved
+column collision in exact_dedup, NULL media_id through the multimodal
+mapInPandas stubs, empty persisted stats index in read_pruned, and the
+sum_fixed scaling contract."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp(prefix="wod_edges2_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_idempotency_key_null_identifier_yields_null_key(spark):
+    """NULL identifier must produce a NULL key (like sha256('op:' || id) in
+    SQL) — concat_ws would collapse all null rows onto sha256('put'), and a
+    single ledger hit would then anti-join away EVERY null-identifier row."""
+    from weightlifting_wod_etl_spark.operators.dedup import (
+        anti_join_ledger,
+        idempotency_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "id long, ident string"
+    ).select("id", idempotency_key("put", F.col("ident")).alias("idem_key"))
+    rows = {r.id: r.idem_key for r in df.collect()}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None
+
+    # a ledger containing one of the (null-keyed) rows must not suppress
+    # the other null-keyed row: NULL never equals NULL in the anti-join
+    ledger = df.filter(F.col("id") == 2).select("idem_key")
+    kept = {r.id for r in anti_join_ledger(df, ledger, "idem_key").collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_expire_ledger_keeps_null_ttl(spark):
+    from weightlifting_wod_etl_spark.operators.dedup import expire_ledger
+
+    ledger = spark.createDataFrame(
+        [("k1", None), ("k2", 1), ("k3", 2**33)], "idem_key string, ttl long"
+    )
+    kept = {r.idem_key for r in expire_ledger(ledger).collect()}
+    # k1 (never expires) and k3 (far future) survive; k2 (1970) expires
+    assert kept == {"k1", "k3"}
+
+
+def test_exact_dedup_preserves_preexisting_rn_column(spark):
+    from weightlifting_wod_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, 10, "keep-me"), (1, 20, "keep-me-too"), (2, 5, "x")],
+        "k long, v long, __rn string",
+    )
+    out = exact_dedup(df, key_cols=["k"], order_cols=[F.col("v").desc()])
+    assert "__rn" in out.columns  # caller's column survives
+    got = {(r["k"], r["v"], r["__rn"]) for r in out.collect()}
+    assert got == {(1, 20, "keep-me-too"), (2, 5, "x")}
+
+
+def test_multimodal_null_media_id_does_not_crash(spark):
+    """A NULL media_id arrives in pandas as NaN; astype('int64')/int(NaN)
+    used to kill the stage after task retries. All three stubs must pass
+    nulls through (features/resize) or emit null-keyed rows (frames)."""
+    from weightlifting_wod_etl_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (None, "image", bytearray(b"payload-bytes"), {"src": "t"}),
+            (7, "image", None, {"src": "t"}),
+            (8, "image", bytearray(b"x" * 130), {"src": "t"}),
+        ],
+        "media_id long, media_type string, payload binary, meta map<string,string>",
+    )
+
+    feats = {
+        r.media_id: r for r in extract_features(media).collect()
+    }
+    assert feats[None].n_bytes == 13 and len(feats[None].features) == 8
+    assert feats[7].features is None and feats[7].n_bytes is None
+    assert feats[8].feature0_u32 is not None
+
+    resized = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    assert resized[None].payload is not None and resized[7].payload is None
+
+    frames = sample_frames(media, every_n=1).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_id[None] == [0]  # 13 bytes → 1 fake frame, null-keyed
+    assert 7 not in by_id  # null payload → no frames
+    assert by_id[8] == [0, 1]  # 130 bytes → 2 fake frames
+
+
+def test_read_pruned_rebuilds_on_empty_index_with_data_present(spark, tmp):
+    """A zero-entry persisted index next to real data files must trigger a
+    footer rebuild, not a vacuous prune-to-nothing (all() over [] is True)."""
+    from weightlifting_wod_etl_spark.io import read_pruned
+    from weightlifting_wod_etl_spark.operators.skipping import save_stats_index
+
+    path = os.path.join(tmp, "t")
+    spark.range(100).select(F.col("id").alias("k")).write.parquet(path)
+    # build a VALID zero-entry index in an empty sibling, then plant it
+    # here to simulate data appended outside the commit protocol
+    empty = os.path.join(tmp, "empty")
+    os.makedirs(empty)
+    shutil.copy(save_stats_index(empty, ["k"]), os.path.join(path, "_stats_index.parquet"))
+    got = read_pruned(spark, path, "k", 10, 19).count()
+    assert got == 10  # rows present, not silently empty
+
+
+def test_sum_fixed_scaling_contract(spark):
+    from weightlifting_wod_etl_spark.functions.money import avg_fixed, sum_fixed
+
+    df = spark.createDataFrame([(1.21,), (2.34,)], "x double")
+    row = df.agg(
+        sum_fixed("x").alias("s2"),
+        sum_fixed("x", scale=4).alias("s4"),
+        avg_fixed("x", round_to=4).alias("a"),
+    ).collect()[0]
+    # scale only changes quantization, never the magnitude
+    assert row.s2 == pytest.approx(3.55, abs=1e-9)
+    assert row.s4 == pytest.approx(3.55, abs=1e-9)
+    assert row.a == pytest.approx(1.775, abs=1e-9)

@@ -21,17 +21,14 @@ def to_fixed(col: Column | str, scale: int = 2) -> Column:
     return F.round(c * F.lit(10**scale)).cast("long")
 
 
-def sum_fixed(col: Column | str, scale: int = 2, out_scale: int | None = None) -> Column:
+def sum_fixed(col: Column | str, scale: int = 2) -> Column:
     """Order-free exact sum of a double measure, returned as double.
 
-    ``out_scale`` defaults to ``scale``; the final division is a single IEEE
-    op so the double is identical in every engine.
-    """
-    out_scale = scale if out_scale is None else out_scale
-    # alias carries the source name so two sum_fixed measures in one agg()
-    # never produce duplicate 'sum' columns
-    name = f"sum_{col}" if isinstance(col, str) else "sum_fixed"
-    return (F.sum(to_fixed(col, scale)) / F.lit(float(10**out_scale))).alias(name)
+    The final division by 10^scale is a single IEEE op so the double is
+    identical in every engine. Unaliased — callers ``.alias(...)`` like any
+    aggregate (an implicit alias here could not be made unique for Column
+    arguments)."""
+    return F.sum(to_fixed(col, scale)) / F.lit(float(10**scale))
 
 
 def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:

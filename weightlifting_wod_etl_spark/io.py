@@ -129,9 +129,11 @@ def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
 
     data_dir = resolve(path)
     index = load_stats_index(data_dir)
-    if index is None or not all(
-        f"{col}_min" in e for e in index
-    ):  # absent or built for other columns → live footer scan
+    # absent, EMPTY, or built for other columns → live footer scan. The
+    # empty check matters: all() over [] is vacuously true, and a zero-entry
+    # index next to real data files (e.g. data appended outside the commit
+    # protocol) would otherwise prune to zero files and silently drop rows.
+    if not index or not all(f"{col}_min" in e for e in index):
         index = file_stats_index(data_dir, [col])
     files = prune_files(index, col, lo, hi)
     if not files:  # nothing can match; keep the schema, scan nothing

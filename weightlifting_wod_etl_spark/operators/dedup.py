@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 
 def idempotency_key(op: str, identifier: Column | str) -> Column:
     """sha256 hex of 'op:identifier' — reference keygen at
-    services/idempotency_service.py:27-40."""
+    services/idempotency_service.py:27-40.
+
+    NULL identifier → NULL key (``concat`` null-propagates, matching SQL's
+    ``sha256('op:' || id)``); ``concat_ws`` would instead collapse every
+    null-identifier row onto the shared key sha256('op'), letting one
+    ledger hit suppress ALL of them through the anti-join."""
     c = F.col(identifier) if isinstance(identifier, str) else identifier
-    return F.sha2(F.concat_ws(":", F.lit(op), c), 256)
+    return F.sha2(F.concat(F.lit(op + ":"), c), 256)
 
 
 def anti_join_ledger(df: DataFrame, ledger: DataFrame, key: str = "idem_key") -> DataFrame:
@@ -32,8 +37,13 @@ def anti_join_ledger(df: DataFrame, ledger: DataFrame, key: str = "idem_key") ->
 
 def expire_ledger(ledger: DataFrame, ttl_col: str = "ttl") -> DataFrame:
     """Drop expired ledger entries (reference 24 h TTL,
-    services/idempotency_service.py:75-106)."""
-    return ledger.filter(F.col(ttl_col) > F.unix_timestamp())
+    services/idempotency_service.py:75-106).
+
+    NULL ttl means never-expires and is KEPT: a bare ``ttl > now`` filter
+    would silently drop it (NULL comparison), evicting the key and
+    re-admitting already-done work through the guard."""
+    c = F.col(ttl_col)
+    return ledger.filter(c.isNull() | (c > F.unix_timestamp()))
 
 
 def exact_dedup(
@@ -41,6 +51,7 @@ def exact_dedup(
 ) -> DataFrame:
     """One canonical row per key, survivor chosen by a TOTAL order."""
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    )
+    rn = "__rn"  # collision-proof: never clobber a caller's column
+    while rn in df.columns:
+        rn += "_"
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)

@@ -39,7 +39,9 @@ def observe_quality(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
         )
     if measure is not None:
-        cents = F.round(F.col(measure) * 100).cast("long")
+        from ..functions.money import to_fixed
+
+        cents = to_fixed(measure)
         exprs.append(F.sum(cents).alias(f"sum_{measure}_cents"))
         exprs.append(F.min(cents).alias(f"min_{measure}_cents"))
         exprs.append(F.max(cents).alias(f"max_{measure}_cents"))

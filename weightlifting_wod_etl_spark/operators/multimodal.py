@@ -102,32 +102,36 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
         # NULL payloads (schema says nullable; documents_as_media yields
         # them for NULL text) must produce NULL features, not a TypeError
         # that kills the stage after task retries
-        def _features(payload) -> list[float] | None:
-            if payload is None:
-                return None
-            digest = _hashlib.sha256(payload).digest()
-            return [
-                int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
-                for i in range(n_feat)
-            ]
-
-        def _u32(payload):
-            if payload is None:
-                return None
-            return int.from_bytes(
-                _hashlib.sha256(payload).digest()[:4], "big"
-            )
-
         for pdf in it:
             payloads = pdf[payload_col]
+            # ONE sha256 per payload (the dominant CPU cost at scale);
+            # features / feature0_u32 / n_bytes all derive from the same
+            # digest pass
+            n_bytes, features, u32s = [], [], []
+            for p in payloads:
+                if p is None:
+                    n_bytes.append(None)
+                    features.append(None)
+                    u32s.append(None)
+                    continue
+                digest = _hashlib.sha256(p).digest()
+                n_bytes.append(len(p))
+                features.append(
+                    [
+                        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+                        for i in range(n_feat)
+                    ]
+                )
+                u32s.append(int.from_bytes(digest[:4], "big"))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].astype("int64"),
-                    "n_bytes": payloads.map(
-                        lambda p: None if p is None else len(p)
-                    ).astype("Int64"),
-                    "features": payloads.map(_features),
-                    "feature0_u32": payloads.map(_u32).astype("Int64"),
+                    # nullable Int64: a NULL media_id arrives as NaN in a
+                    # float64 series, and astype('int64') would kill the
+                    # stage with a non-finite conversion error
+                    "media_id": pdf[id_col].astype("Int64"),
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "features": pd.Series(features, dtype="object"),
+                    "feature0_u32": pd.array(u32s, dtype="Int64"),
                 }
             )
 
@@ -184,7 +188,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             )
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_id": pdf["media_id"].astype("Int64"),  # nullable: NaN-safe
                     "media_type": pdf["media_type"],
                     "payload": pdf["payload"].map(_resize),
                     "meta": meta,
@@ -229,8 +233,11 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     continue
                 raw = bytes(payload)
                 n_frames = max(1, len(raw) // 64)
+                # a NULL media_id (NaN here) yields NULL-keyed frames, not
+                # an int(NaN) stage crash
+                mid = None if pd.isna(media_id) else int(media_id)
                 for i in range(0, n_frames, step):
-                    ids.append(int(media_id))
+                    ids.append(mid)
                     idxs.append(i)
                     # ":{i}" text tag (not raw bytes) so an engine-external
                     # oracle can reconstruct the digest with string concat
@@ -240,7 +247,7 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     sizes.append(len(raw))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(ids, dtype="int64"),
+                    "media_id": pd.array(ids, dtype="Int64"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
                     "frame_payload": payloads,
                     "n_src_bytes": pd.Series(sizes, dtype="int64"),
