@@ -63,9 +63,13 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
-    n_pii = (
+    # explicit NULL-text guard: size(NULL) is -1 under ANSI-off and NULL
+    # under ANSI-on, so an unguarded sum would emit an environment-
+    # dependent -2 where the oracle's len(NULL) arithmetic yields NULL
+    n_pii = F.when(
+        F.col("text").isNotNull(),
         F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
-        + F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0))),
     ).cast("bigint")
     return docs.select(
         "doc_id", "lang", n_pii.alias("n_pii"), F.md5(redacted).alias("redacted_md5")

@@ -5,14 +5,23 @@ per distinct (group, value) pair; at 100 TB the default is a mergeable
 sketch whose wire volume is independent of row count. A sketch's output
 can't hash-match an oracle directly (the approximation is engine-
 specific), so these queries verify the thing the sketch GUARANTEES
-instead: the estimate must land inside a generous exact-percentile band
-(rank error ≤1.6% for K=128 vs a ±5-percentile-point band, ≤0.01% for
-accuracy=10000 vs a ±10-point band). Spark computes the booleans
-genuinely — estimate vs exact bands, both its own; the DuckDB oracle
-asserts the guaranteed outcome (TRUE) plus the exact per-group counts and
-(for the built-in) the exact dyadic percentiles themselves. A sketch
+instead: the estimate must land inside a generous exact RANK band:
+the estimate's true rank in the group (counted exactly from the data)
+must sit within the sketch's promised rank error of the target quantile,
+plus a ±1-2 row discreteness slack so the check is deterministic for
+groups of ANY size (an interpolated value-percentile band is knife-edge
+for tiny groups, where a discrete sketch answer legitimately falls
+outside the interpolated p±band). Spark computes the booleans genuinely
+— estimate vs exact rank counts, both its own; the DuckDB oracle asserts
+the guaranteed outcome (TRUE) plus the exact per-group counts and (for
+the built-in) the exact dyadic percentiles themselves. A sketch
 regression (lost mass, broken merge, rank drift) flips a boolean or a
 count and the driver's value-hash catches it.
+
+All three group-keyed queries restrict to non-NULL (event_type, value)
+in BOTH engines: sketches and exact twins drop NULL measures by
+definition, and a NULL group key would silently vanish from the pandas
+stages while the oracle's GROUP BY emits it.
 """
 
 from __future__ import annotations
@@ -42,7 +51,8 @@ from ..queries_registry import register
     "q_quantile_bound",
     oracle="""
     WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents
-               FROM events)
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL)
     SELECT event_type,
            quantile_cont(cents, [0.25, 0.5, 0.75])[1]::DOUBLE / 100.0 AS p25,
            quantile_cont(cents, [0.25, 0.5, 0.75])[2]::DOUBLE / 100.0 AS p50,
@@ -59,34 +69,56 @@ def q_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Outputs the EXACT dyadic p25/p50/p75 (hash-verified values, same
     engine-exactness argument as q_percentile) plus ``approx_in_band``:
-    the sketch's p50 estimate must land between the exact p40 and p60.
-    accuracy=10000 bounds rank error at 0.01% — four orders of magnitude
-    inside the band — so the boolean is deterministically TRUE unless the
-    sketch itself breaks. Plan: the sketch agg is one combine-friendly
-    pass (constant-size buffers); the exact side is the counts-first
-    percentile operator; both reduce to |groups| rows before a broadcast
-    join — the fact table is scanned twice but never shuffled raw."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", to_fixed("value").alias("__cents")
+    the sketch guarantees it returns an ELEMENT whose rank is within
+    eps·n of 0.5·n (eps = 1/accuracy = 1e-4), so the check counts the
+    estimate's true rank straddle (rows strictly below / at-or-below it)
+    and asserts it inside 0.5·n ± (eps·n + 1); the +1 absorbs rank
+    discreteness so the boolean is deterministically TRUE for groups of
+    any size — including n=2, where any interpolated value band fails a
+    correct discrete answer. Plan: the sketch agg and the rank counts are
+    combine-friendly passes (constant-size buffers / two conditional
+    sums); the exact side is the counts-first percentile operator; all
+    reduce to |groups| rows before broadcast joins — the fact table is
+    scanned by the verification twins but never shuffled raw."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", to_fixed("value").alias("__cents"))
     )
-    exact = exact_percentiles(
-        e, ["event_type"], "__cents", [0.25, 0.4, 0.5, 0.6, 0.75]
-    )
+    exact = exact_percentiles(e, ["event_type"], "__cents", [0.25, 0.5, 0.75])
     approx = e.groupBy("event_type").agg(
         F.percentile_approx("__cents", 0.5, 10000).alias("approx_p50")
     )
+    slack = 1e-4 * F.col("__n") + 1
+    chk = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("__cents") < F.col("approx_p50"), 1).otherwise(0)
+            ).alias("__n_lt"),
+            F.sum(
+                F.when(F.col("__cents") <= F.col("approx_p50"), 1).otherwise(0)
+            ).alias("__n_le"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "event_type",
+            (
+                (F.col("__n_lt") <= 0.5 * F.col("__n") + slack)
+                & (F.col("__n_le") >= 0.5 * F.col("__n") - slack)
+            ).alias("approx_in_band"),
+        )
+    )
     return (
-        exact.join(F.broadcast(approx), "event_type")
+        exact.join(F.broadcast(chk), "event_type")
         .select(
             "event_type",
             (F.col("p25") / F.lit(100.0)).alias("p25"),
             (F.col("p50") / F.lit(100.0)).alias("p50"),
             (F.col("p75") / F.lit(100.0)).alias("p75"),
             "n_items",
-            (
-                (F.col("approx_p50") >= F.col("p40"))
-                & (F.col("approx_p50") <= F.col("p60"))
-            ).alias("approx_in_band"),
+            "approx_in_band",
         )
     )
 
@@ -117,6 +149,7 @@ _EST_SCHEMA = StructType(
            TRUE AS q50_in_band,
            TRUE AS q90_in_band
     FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
     GROUP BY event_type
     """,
 )
@@ -134,13 +167,20 @@ def q_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Verification: ``n_items`` is the digest's total weight (unit weights
     sum exactly in doubles below 2^53, so lost or duplicated mass changes
-    an exact integer the oracle counts directly) and each estimate must
-    land inside the exact ±5-percentile-point band (digest rank error
-    ≲2/K = 1.6%). Raw estimates are NOT output — batch boundaries are
-    nondeterministic, so only the band booleans (stable under ±1.6% rank
-    wobble) and the exact count are hashed."""
+    an exact integer the oracle counts directly) and each estimate's TRUE
+    rank straddle (counted exactly from the data) must sit within
+    q·n ± (0.05·n + 2): the digest's rank error is ≲2/K = 1.6%, the 5%
+    band gives 3× headroom, and the +2 absorbs anchor-clamping on tiny
+    groups (n≤3, where the digest legitimately answers min/max and any
+    interpolated value band is knife-edge). Raw estimates are NOT output
+    — batch boundaries are nondeterministic, so only the rank-band
+    booleans (stable under that wobble) and the exact count are hashed."""
     build_digest, merge_digests, digest_quantile = make_digest_fns(DEFAULT_K)
-    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
 
     def part_digests(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -189,31 +229,38 @@ def q_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(merge_group, _EST_SCHEMA)
     )
-    bands = exact_percentiles(
-        e.select("event_type", to_fixed("value").alias("__cents")),
-        ["event_type"],
-        "__cents",
-        [0.45, 0.55, 0.85, 0.95],
-    ).select(
-        "event_type",
-        (F.col("p45") / F.lit(100.0)).alias("q50_lo"),
-        (F.col("p55") / F.lit(100.0)).alias("q50_hi"),
-        (F.col("p85") / F.lit(100.0)).alias("q90_lo"),
-        (F.col("p95") / F.lit(100.0)).alias("q90_hi"),
-    )
+
+    def _straddle(col: str, bound) -> list:
+        return [
+            F.sum(F.when(F.col("value") < F.col(col), 1).otherwise(0)).alias(
+                f"__lt_{bound}"
+            ),
+            F.sum(F.when(F.col("value") <= F.col(col), 1).otherwise(0)).alias(
+                f"__le_{bound}"
+            ),
+        ]
+
+    def _in_band(q: float, bound: str) -> "F.Column":
+        slack = 0.05 * F.col("__n") + 2
+        return (
+            (F.col(f"__lt_{bound}") <= q * F.col("__n") + slack)
+            & (F.col(f"__le_{bound}") >= q * F.col("__n") - slack)
+        )
+
     return (
-        est.join(F.broadcast(bands), "event_type")
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_digest").alias("n_items"),
+            F.count(F.lit(1)).alias("__n"),
+            *_straddle("q50_est", "50"),
+            *_straddle("q90_est", "90"),
+        )
         .select(
             "event_type",
-            F.col("n_digest").alias("n_items"),
-            (
-                (F.col("q50_est") >= F.col("q50_lo"))
-                & (F.col("q50_est") <= F.col("q50_hi"))
-            ).alias("q50_in_band"),
-            (
-                (F.col("q90_est") >= F.col("q90_lo"))
-                & (F.col("q90_est") <= F.col("q90_hi"))
-            ).alias("q90_in_band"),
+            "n_items",
+            _in_band(0.5, "50").alias("q50_in_band"),
+            _in_band(0.9, "90").alias("q90_in_band"),
         )
     )
 
@@ -253,7 +300,10 @@ def q_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_exact"),
+            # count(user_id), not count(*): the dedup keeps one
+            # (group, NULL) row per group with a NULL user, which the
+            # oracle's count(DISTINCT user_id) — and the HLL — both skip
+            F.count("user_id").alias("n_exact"),
             F.approx_count_distinct("user_id", 0.01).alias("n_hll"),
         )
         .select(

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.expr import let
 from ..io import load_table
 from ..queries_registry import register
 
@@ -105,17 +106,27 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no self-join of token positions — that would shuffle the exploded
     token table twice); the groupBy partial-aggregates before one
     bounded-key shuffle; ORDER+LIMIT plans as TakeOrderedAndProject, so
-    nothing global is ever sorted."""
+    nothing global is ever sorted. The token array is let-bound —
+    CollapseProject would otherwise re-run the full split per lambda
+    reference, twice per bigram (O(tokens²) per document)."""
     docs = load_table(spark, sf_dir, "documents")
     bigrams = docs.select(
         F.explode(
-            # CASE guard: sequence(1, 0) would be DESCENDING in Spark
-            # ([1, 0]) and mint two bogus bigrams for single-token docs
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) > 1 THEN"
-                " transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
-                " ELSE array() END"
+            let(
+                F.split("text", " "),
+                # when-without-otherwise guard: sequence(1, 0) would be
+                # DESCENDING in Spark ([1, 0]) and mint two bogus bigrams
+                # for single-token docs; NULL explodes to no rows, which
+                # also matches the oracle on NULL text
+                lambda w: F.when(
+                    F.size(w) > 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.concat(
+                            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                        ),
+                    ),
+                ),
             )
         ).alias("bigram")
     )
@@ -237,15 +248,27 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The only shuffle keys on passage_hash (md5 — uniform by
     construction, no salting needed); first-occurrence is row_number
     over an explicit total order, not a nondeterministic dropDuplicates.
-    Chunking is a codegen transform+slice, map-side."""
+    Chunking is a codegen transform+slice, map-side, with the token
+    array let-bound (one split per document, not one per chunk). The
+    size >= 1 guard keeps NULL text at zero chunks — unguarded,
+    size(NULL) = -1 makes sequence(0, -1) DESCEND ([0, -1]) and mint two
+    bogus empty passages the oracle never emits."""
     docs = load_table(spark, sf_dir, "documents")
     passages = docs.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 16.0)"
-                " as int) - 1), i -> concat_ws(' ', slice(split(text, ' '),"
-                " i * 16 + 1, 16)))"
+            let(
+                F.split("text", " "),
+                lambda w: F.when(
+                    F.size(w) >= 1,
+                    F.transform(
+                        F.sequence(
+                            F.lit(0),
+                            F.ceil(F.size(w) / F.lit(16.0)).cast("int") - 1,
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(w, i * 16 + 1, 16)),
+                    ),
+                ),
             )
         ).alias("chunk_idx", "passage"),
     ).select(

@@ -18,9 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import to_fixed
+from ..functions.money import sum_fixed, to_fixed
 from ..io import load_table
 from ..queries_registry import register
+
+
+def _daily_revenue(e: DataFrame) -> DataFrame:
+    """Shared (event_type, day_x, rev) daily series for the trend queries
+    (q_linreg_trend, q_autocorr). ``rev`` is the order-free fixed-point
+    sum — a plain round(sum(double)) is knife-edge across partial-agg
+    orders the moment values carry more than 2 decimals."""
+    return e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_x"),
+    ).agg(F.round(sum_fixed("value"), 4).alias("rev"))
 
 
 @register(
@@ -288,7 +301,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type,
                (CAST(ts AS DATE) - DATE '1970-01-01') AS day_x,
-               round(sum(value), 4) AS rev
+               round(sum(round(value * 100)::BIGINT) / 100.0, 4) AS rev
         FROM events GROUP BY 1, 2
     )
     SELECT event_type,
@@ -309,13 +322,7 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     so float summation order can't leak into the fit), then the regr_*
     co-moments aggregate |days| rows per series in a single reduce — at
     100 TB the regression itself touches thousands of rows, not billions."""
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("day_x"),
-    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    daily = _daily_revenue(load_table(spark, sf_dir, "events"))
     return daily.groupBy("event_type").agg(
         F.round(F.expr("regr_slope(rev, day_x)"), 6).alias("slope"),
         F.round(F.expr("regr_intercept(rev, day_x)"), 4).alias("intercept"),
@@ -330,7 +337,7 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type,
                (CAST(ts AS DATE) - DATE '1970-01-01') AS day_x,
-               round(sum(value), 4) AS rev
+               round(sum(round(value * 100)::BIGINT) / 100.0, 4) AS rev
         FROM events GROUP BY 1, 2
     ),
     lagged AS (
@@ -354,13 +361,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the window so float sum order can't leak); lag + corr then run
     per series over |days| rows, one exchange keyed by series. Nothing
     downstream grows with event volume."""
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("day_x"),
-    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    daily = _daily_revenue(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("day_x")
     lagged = daily.withColumn("prev", F.lag("rev").over(w))
     return lagged.groupBy("event_type").agg(
