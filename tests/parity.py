@@ -11,14 +11,21 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 
 
 def _canon_value(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "∅"
-    if isinstance(v, bool):
-        return str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        # format ints like floats: a nullable BIGINT column arrives as
+        # float64 on whichever side holds the NULL row, and an int-vs-
+        # float format split would then flag EVERY row of the column,
+        # drowning the one true diff in dtype noise
+        return f"{float(v):.6f}" if abs(int(v)) < 10**15 else str(int(v))
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"

@@ -32,9 +32,14 @@ DIRTY_QUERIES = [
     "q_tdigest_quantile",
     "q_hll_bound",
     "q_hll_union",
-    # trend series over events (NULL ts/value, tiny day groups)
+    # events time series (NULL ts/value, tiny day groups)
     "q_autocorr",
     "q_linreg_trend",
+    "q_resample_ffill",
+    "q_rolling_range",
+    "q_session_concurrency",
+    "q_ewma",
+    "q_sessionize_events",
     # corpus mining over documents (NULL/empty/1-token/double-space text)
     "q_bigram_topk",
     "q_passage_dedup",
@@ -43,12 +48,30 @@ DIRTY_QUERIES = [
     "q_canonical_rep",
     "q_cms_estimate",
     "q_tfidf_topk",
+    "q_bigram_lm_score",
     # curation over documents
     "q_pii_redact",
     "q_intradoc_repetition",
     "q_decontaminate",
     "q_domain_cap",
     "q_stratified_sample",
+    "q_curation_pipeline",
+    # sampling / chunking over documents
+    "q_hash_sample",
+    "q_dataset_split",
+    "q_token_chunks",
+    "q_chunk_bounds",
+    "q_corpus_mixture",
+    "q_sequence_pack",
+    "q_weighted_sample",
+    # scan surface + text sessionization over documents
+    "q_scan_project",
+    "q_limit_offset",
+    "q_regex_filter",
+    "q_array_fns",
+    "q_explode_lines",
+    "q_sessionize_text",
+    "q_group_concat",
 ]
 
 
@@ -92,7 +115,9 @@ def dirty_dir(tmp_path_factory):
                 (9000003, 'solo', 'en', 'dirty', 4),
                 (9000004, 'a  b', 'en', 'dirty', 4),
                 (9000005, 'dup dup dup dup', NULL, 'dirty', 15),
-                (9000006, 'x y z', 'xx', NULL, 5)
+                (9000006, 'x y z', 'xx', NULL, 5),
+                (9000007, 'negative source index doc', 'en', 'src-1', 25),
+                (9000008, 'even negative source index', 'en', 'src-2', 26)
             ) t(doc_id, text, lang, source, n_chars)
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
         """

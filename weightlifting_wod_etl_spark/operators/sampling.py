@@ -64,15 +64,34 @@ def token_chunks(text: Column, chunk_size: int = 512) -> Column:
     slice tokens downstream. Scan-local — at 100 TB this adds zero shuffle;
     the ×ceil(n/size) row amplification happens map-side where the
     documents already live.
+
+    The token count is let-bound — CollapseProject would otherwise re-run
+    the full split once per chunk element. The ``n >= 0`` guard returns
+    NULL (explodes to zero rows) for NULL text: unguarded, size(NULL) = -1
+    under ANSI-off makes ``sequence(0, -1)`` count DOWN and mint two
+    phantom chunks (chunk_id 0 and -1) no oracle ever emits.
     """
-    n = F.size(F.split(text, " "))
-    n_chunks = (n + F.lit(chunk_size - 1)).cast("bigint") / F.lit(chunk_size)
-    last = F.floor(n_chunks).cast("bigint") - 1
-    return F.transform(
-        F.sequence(F.lit(0).cast("bigint"), last),
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            (i * chunk_size).alias("token_start"),
-            F.least(i * chunk_size + chunk_size, n.cast("bigint")).alias("token_end"),
+    from ..functions.expr import let
+
+    return let(
+        F.size(F.split(text, " ")).cast("bigint"),
+        lambda n: F.when(
+            # n >= 1, not >= 0: split() never returns an empty array for
+            # non-NULL text, and a 0 would make the sequence bound -1
+            n >= 1,
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.floor((n + F.lit(chunk_size - 1)) / F.lit(chunk_size)).cast(
+                        "bigint"
+                    )
+                    - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("chunk_id"),
+                    (i * chunk_size).alias("token_start"),
+                    F.least(i * chunk_size + chunk_size, n).alias("token_end"),
+                ),
+            ),
         ),
     )

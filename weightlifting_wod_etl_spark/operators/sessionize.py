@@ -129,8 +129,14 @@ def gap_sessionize(
     collide — required for deterministic output under parallelism.
     Gap comparison happens at microsecond precision (``unix_micros``) so the
     result is independent of the source file's physical timestamp unit.
+    NULL placement is pinned LAST: Spark's ascending default is NULLS
+    FIRST while DuckDB/Postgres sort NULLS LAST, so an unpinned order
+    diverges the moment a timestamp is missing (a NULL-ts row opens a
+    phantom leading session on one engine only).
     """
-    order_cols = [ts_col, *(tiebreak_cols or [])]
+    order_cols = [
+        F.col(c).asc_nulls_last() for c in [ts_col, *(tiebreak_cols or [])]
+    ]
     w_order = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_us = F.lag(ts_us).over(w_order)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import sum_fixed
 from ..io import load_table
 from ..operators.sessionize import gap_sessionize
 
@@ -22,9 +23,10 @@ GAP_SECONDS = 30 * 60
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_seconds: int = GAP_SECONDS) -> DataFrame:
     """Per-user sessions with start/end/count/value rollups.
 
-    Timestamps are compared at millisecond precision (``unix_millis`` flavor)
-    so results are identical across engines regardless of the parquet file's
-    ns/us physical precision.
+    Timestamps are compared at microsecond precision (``unix_micros``, in
+    gap_sessionize) so results are identical across engines regardless of
+    the parquet file's ns/us physical precision; the oracle mirrors with
+    ``epoch_us``.
     """
     events = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -45,12 +47,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_seconds: int = GAP_S
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            # fixed-point cents: a raw double sum accumulates in
-            # partial-merge order and can flip the 2nd decimal at a half-
-            # cent boundary between engines
-            F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 2
-            ).alias("sum_value"),
+            # fixed-point cents (functions/money.py): a raw double sum
+            # accumulates in partial-merge order and can flip the 2nd
+            # decimal at a half-cent boundary between engines
+            F.round(sum_fixed("value"), 2).alias("sum_value"),
         )
     )
     # no final orderBy: the harness sorts rows itself, and a global

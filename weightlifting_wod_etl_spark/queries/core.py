@@ -19,10 +19,11 @@ from ..queries_registry import register
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     ), sess AS (
         SELECT user_id, value, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts NULLS LAST, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )

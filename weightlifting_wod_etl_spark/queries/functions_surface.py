@@ -46,14 +46,22 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         let(
             F.split(F.col("text"), " "),
-            lambda toks: F.struct(
-                F.size(toks).alias("n_tokens"),
-                F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
-                F.aggregate(
-                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-                ).alias("total_chars"),
-                F.array_join(F.slice(F.array_sort(toks), 1, 5), ",").alias(
-                    "first5_sorted"
+            # NULL-array guard on the whole struct: size(NULL) is -1 under
+            # ANSI-off where the oracle's len(NULL) is NULL — the other
+            # fields are already NULL-propagating
+            lambda toks: F.when(
+                toks.isNotNull(),
+                F.struct(
+                    F.size(toks).alias("n_tokens"),
+                    F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias(
+                        "n_long"
+                    ),
+                    F.aggregate(
+                        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                    ).alias("total_chars"),
+                    F.array_join(F.slice(F.array_sort(toks), 1, 5), ",").alias(
+                        "first5_sorted"
+                    ),
                 ),
             ),
         ).alias("a"),

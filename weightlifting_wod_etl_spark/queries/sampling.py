@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.sampling import dataset_split, hash_sample, token_chunks
+from ..operators.text import ws_token_count
 from ..queries_registry import register
 
 
@@ -70,13 +71,17 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_chunks_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunk ids per document (512-token windows) — the
-    chunk plan for sequence packing, as a scan-local explode."""
+    chunk plan for sequence packing, as a scan-local explode. ``n_tokens``
+    is projected BEFORE the explode (once per document, not once per
+    chunk) via the null-guarded ws_token_count."""
     docs = load_table(spark, sf_dir, "documents")
-    n = F.size(F.split(F.col("text"), " ")).cast("bigint")
-    chunked = docs.select(
+    d = docs.select(
+        "doc_id", "text", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    chunked = d.select(
         "doc_id",
         F.explode(token_chunks(F.col("text"), 512)).alias("c"),
-        n.alias("n_tokens"),
+        "n_tokens",
     )
     return chunked.select("doc_id", F.col("c.chunk_id").alias("chunk_id"), "n_tokens")
 
@@ -118,7 +123,7 @@ def q_chunk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rated AS (
         SELECT doc_id, source,
-               CASE substr(source, 4)::INT % 4
+               CASE TRY_CAST(substr(source, 4) AS INT) % 4
                     WHEN 0 THEN 'ff' WHEN 1 THEN 'bf'
                     WHEN 2 THEN '80' ELSE '40' END AS cutoff
         FROM documents
@@ -138,18 +143,22 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
 
     # rate lookup by src_idx % 4 expression, not a 20-row inner-join dim:
-    # the join silently DROPPED any source outside src0..src19 (or one
-    # whose index failed to parse) while the oracle's CASE keeps every
-    # source — element_at covers the whole domain like the CASE does
-    cutoff = F.coalesce(
-        F.element_at(
-            F.array(*[F.lit(c) for c in ("ff", "bf", "80", "40")]),
-            (F.col("src_idx") % 4) + 1,
-        ),
-        F.lit("40"),  # unparseable source index = the oracle's ELSE arm
+    # the join silently DROPPED any source outside src0..src19 while the
+    # oracle's CASE keeps every source. A when-chain, NOT element_at((%4)+1):
+    # both engines' % is sign-of-dividend, so a negative source index must
+    # fall to the ELSE arm — element_at would raise on index 0 (src_idx
+    # -1) or silently read from the array's tail (src_idx -2, -3). try_cast
+    # keeps unparseable indexes NULL (-> ELSE) in every ANSI mode, exactly
+    # like the oracle's TRY_CAST.
+    m = F.col("src_idx") % 4
+    cutoff = (
+        F.when(m == 0, F.lit("ff"))
+        .when(m == 1, F.lit("bf"))
+        .when(m == 2, F.lit("80"))
+        .otherwise(F.lit("40"))
     )
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "src_idx", F.substring("source", 4, 10).cast("int")
+        "src_idx", F.substring("source", 4, 10).try_cast("int")
     )
     kept = docs.filter(hash_bucket(F.col("doc_id")) < cutoff)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -200,7 +209,9 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", "lang",
         F.substring(hash_bucket(F.col("doc_id")), 1, 1).alias("pack_bucket"),
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_toks"),
+        # null-guarded: a raw size(split) would fold -1 into a real bin on
+        # NULL text AND shift every later row's running sum in the bucket
+        ws_token_count(F.col("text")).alias("n_toks"),
     )
     w = (
         Window.partitionBy("lang", "pack_bucket")
@@ -226,6 +237,10 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / greatest(length(text), 1) AS punct_ratio,
                len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
         FROM documents
+        -- mirror of quality_score's NULL-text guard: without it DuckDB's
+        -- least()/greatest() skip the NULL features, score NULL text 0.7,
+        -- and keep a doc the Spark side's NULL quality filters out
+        WHERE text IS NOT NULL
     ),
     scored AS (
         SELECT doc_id, lang, source,
