@@ -8,10 +8,12 @@ round has found real bugs in exactly that seam (pandas groupby dropping
 NULL keys, count(*) vs count(col), sequence(0, -1) descending on
 size(NULL) = -1, interpolated sketch bands on 2-row groups, ...).
 
-This harness copies ``events`` and ``documents`` into a temp sf dir with
-hostile rows appended, then re-runs the SAME query-vs-oracle comparison
-the driver runs, over the dirty tables, for every registered query that
-reads only these two tables. A query whose Spark plan and DuckDB oracle
+This harness copies ``events``, ``documents``, and ``embeddings`` into a
+temp sf dir with hostile rows appended (NULL keys/measures/text/vectors,
+empty and near-empty text, HTML entities, short/zero vectors, tiny
+groups), then re-runs the SAME query-vs-oracle comparison the driver
+runs, over the dirty tables, for every registered query that reads only
+these tables. A query whose Spark plan and DuckDB oracle
 disagree on any injected edge fails here years before production data
 ever shows it to the driver.
 """
@@ -72,6 +74,29 @@ DIRTY_QUERIES = [
     "q_explode_lines",
     "q_sessionize_text",
     "q_group_concat",
+    # M6 dedup/text family over documents
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    # multimodal plumbing over documents-as-media
+    "q_binary_meta",
+    "q_multimodal_features",
+    "q_media_resize",
+    "q_frame_sample",
+    # embedding similarity / centroid over the dirty embeddings table
+    "q_cosine_topk",
+    "q_ann_lsh_bucket",
+    "q_ann_ivf",
+    "q_embed_neardup",
+    "q_dup_clusters",
+    "q_embed_centroid",
+    # full reference pipeline (entity-bearing text exercises the decode)
+    "q_wod_pipeline",
 ]
 
 
@@ -117,9 +142,27 @@ def dirty_dir(tmp_path_factory):
                 (9000005, 'dup dup dup dup', NULL, 'dirty', 15),
                 (9000006, 'x y z', 'xx', NULL, 5),
                 (9000007, 'negative source index doc', 'en', 'src-1', 25),
-                (9000008, 'even negative source index', 'en', 'src-2', 26)
+                (9000008, 'even negative source index', 'en', 'src-2', 26),
+                (9000009, 'alpha &amp; beta &#8211; gamma &amp;lt; delta',
+                 'en', 'src1', 44)
             ) t(doc_id, text, lang, source, n_chars)
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM read_parquet('{SF_SMOKE}/embeddings.parquet')
+            UNION ALL
+            SELECT * FROM (VALUES
+                (9000001::BIGINT, NULL, 3),
+                (9000002, [0.5::FLOAT, -0.25::FLOAT, 0.125::FLOAT], 4),
+                (9000003, list_transform(range(1, 65),
+                                         i -> 0.0::FLOAT), NULL),
+                (9000004, list_transform(range(1, 65),
+                                         i -> ((i % 7) - 3)::FLOAT / 8), NULL)
+            ) t(vec_id, embedding, label)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
     con.close()
@@ -131,7 +174,7 @@ def dirty_duck(dirty_dir):
     import duckdb
 
     con = duckdb.connect()
-    for name in ("events", "documents"):
+    for name in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {name} AS"
             f" SELECT * FROM read_parquet('{dirty_dir}/{name}.parquet')"

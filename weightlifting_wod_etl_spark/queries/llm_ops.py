@@ -34,6 +34,23 @@ _SHINGLED_CTE = """
     )
 """
 
+# malformed vectors (NULL, or a dim other than the schema's 64) crash
+# DuckDB's list_dot_product outright and would poison the cosine math on
+# the Spark side — every similarity query drops them up front, in BOTH
+# engines, so a single bad row degrades coverage instead of burning the
+# driver's correctness slot with an oracle-side error
+_EMB_VALID_SQL = """emb AS (
+        SELECT * FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+    )"""
+
+
+def _valid_embeddings(emb: DataFrame) -> DataFrame:
+    """Spark mirror of ``_EMB_VALID_SQL``."""
+    return emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+
 
 @register(
     "q_minhash_lsh",
@@ -161,13 +178,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cosine_topk",
-    oracle="""
+    oracle=f"""
+    WITH {_EMB_VALID_SQL}
     SELECT a.vec_id,
            round(list_dot_product(a.embedding::DOUBLE[], p.embedding::DOUBLE[]) /
                  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                   sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
                  6) AS cos_sim
-    FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+    FROM emb a, (SELECT embedding FROM emb WHERE vec_id = 0) p
     ORDER BY cos_sim DESC, a.vec_id
     LIMIT 10
     """,
@@ -175,15 +193,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 probe — exact ANN baseline;
     zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     probe = emb.filter(F.col("vec_id") == 0)
     return brute_force_topk(emb, probe, k=10)
 
 
 @register(
     "q_ann_lsh_bucket",
-    oracle="""
-    WITH bucketed AS (
+    oracle=f"""
+    WITH {_EMB_VALID_SQL},
+    bucketed AS (
         SELECT vec_id, embedding,
                (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
                 CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
@@ -193,7 +212,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END +
                 CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END +
                 CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)::INT AS bucket
-        FROM embeddings
+        FROM emb
     ),
     p AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0)
     SELECT a.vec_id,
@@ -210,24 +229,25 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-bit coarse quantizer (8 bits → 256 buckets);
     probe scans only its own bucket. At 100 TB the bucket is the partition
     key — 1/256 of the data read."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     probe = emb.filter(F.col("vec_id") == 0)
     return lsh_bucket_topk(emb, probe, k=10, n_bits=8)
 
 
 @register(
     "q_ann_ivf",
-    oracle="""
-    WITH c AS (
+    oracle=f"""
+    WITH {_EMB_VALID_SQL},
+    c AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM embeddings ORDER BY vec_id LIMIT 8
+        FROM emb ORDER BY vec_id LIMIT 8
     ),
     scored AS (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
                round(list_dot_product(e.embedding::DOUBLE[], c.cv) /
                      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
                       sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
-        FROM embeddings e CROSS JOIN c
+        FROM emb e CROSS JOIN c
     ),
     ranked AS (
         SELECT vec_id, v, cid,
@@ -236,7 +256,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assign AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
     pc AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= 2),
-    p AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0)
+    p AS (SELECT embedding::DOUBLE[] AS pv FROM emb WHERE vec_id = 0)
     SELECT a.vec_id,
            round(list_dot_product(a.v, p.pv) /
                  (sqrt(list_dot_product(a.v, a.v)) *
@@ -250,21 +270,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: nearest-of-8-centroids coarse quantizer, probe scans its 2
     nearest inverted lists (nprobe=2) — the FAISS-IVF contract; at scale
     the centroid id is the stored partition key (operators/similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     probe = emb.filter(F.col("vec_id") == 0)
     return ivf_topk(emb, probe, k=10, n_centroids=8, nprobe=2)
 
 
 @register(
     "q_embed_neardup",
-    oracle="""
-    WITH b AS (
+    oracle=f"""
+    WITH {_EMB_VALID_SQL},
+    b AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
                 CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
                 CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
                 CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        FROM embeddings
+        FROM emb
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            round(list_dot_product(a.e, c.e) /
@@ -279,7 +300,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: sign-bucket blocking self-join —
     quadratic work confined within 2^4 balanced buckets."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     return neardup_pairs(emb, min_cosine=0.25, n_bits=4)
 
 
@@ -456,14 +477,15 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dup_clusters",
-    oracle="""
-    WITH RECURSIVE b AS (
+    oracle=f"""
+    WITH RECURSIVE {_EMB_VALID_SQL},
+    b AS (
         SELECT vec_id, embedding::DOUBLE[] AS e,
                (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
                 CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
                 CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
                 CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        FROM embeddings
+        FROM emb
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, c.vec_id AS id_b
@@ -494,7 +516,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion."""
     from ..operators.graph import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     pairs = neardup_pairs(emb, min_cosine=0.25, n_bits=4)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     w = Window.partitionBy("cluster_id")
@@ -538,6 +560,9 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                octet_length(encode(text))::BIGINT AS n_bytes,
                unnest(range(0, greatest(1, octet_length(encode(text)) // 64), 2)) AS frame_idx
         FROM documents
+        -- NULL text has no payload and no frames Spark-side; without the
+        -- guard, greatest() skips the NULL and mints one phantom frame
+        WHERE text IS NOT NULL
     )
     SELECT doc_id AS media_id, frame_idx::BIGINT AS frame_idx,
            sha256(text || ':' || frame_idx) AS digest_hex,
@@ -564,8 +589,11 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_centroid",
     oracle="""
     WITH x AS (
+        -- range driven by the ACTUAL list length, mirroring posexplode:
+        -- a hardcoded range(1, 65) would resurrect NULL embeddings (no
+        -- rows Spark-side) and pad short ones with phantom positions
         SELECT label, embedding::DOUBLE[] AS e,
-               unnest(range(1, 65)) AS i
+               unnest(range(1, len(embedding) + 1)) AS i
         FROM embeddings
     )
     SELECT label::BIGINT AS label, (i - 1)::BIGINT AS pos,
