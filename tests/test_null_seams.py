@@ -8,12 +8,12 @@ round has found real bugs in exactly that seam (pandas groupby dropping
 NULL keys, count(*) vs count(col), sequence(0, -1) descending on
 size(NULL) = -1, interpolated sketch bands on 2-row groups, ...).
 
-This harness copies ``events``, ``documents``, and ``embeddings`` into a
-temp sf dir with hostile rows appended (NULL keys/measures/text/vectors,
-empty and near-empty text, HTML entities, short/zero vectors, tiny
-groups), then re-runs the SAME query-vs-oracle comparison the driver
-runs, over the dirty tables, for every registered query that reads only
-these tables. A query whose Spark plan and DuckDB oracle
+This harness copies the WHOLE star schema into a temp sf dir with
+hostile rows appended to every table (NULL keys/measures/text/vectors,
+empty and near-empty text, HTML entities, short/zero vectors, orphan
+fact rows, childless dims, tiny groups), then re-runs the SAME
+query-vs-oracle comparison the driver runs — for EVERY registered query
+that carries an oracle. A query whose Spark plan and DuckDB oracle
 disagree on any injected edge fails here years before production data
 ever shows it to the driver.
 """
@@ -25,93 +25,10 @@ import pytest
 from tests.conftest import SF_SMOKE
 from tests.parity import assert_frames_match
 
-# registered queries whose inputs are exactly {events} or {documents} —
-# each gets the full dirty-parity treatment. Queries with rows-only
-# checks or other input tables are out of scope here.
-DIRTY_QUERIES = [
-    # sketches over events (NULL event_type/value/user_id + tiny groups)
-    "q_quantile_bound",
-    "q_tdigest_quantile",
-    "q_hll_bound",
-    "q_hll_union",
-    # events time series (NULL ts/value, tiny day groups)
-    "q_autocorr",
-    "q_linreg_trend",
-    "q_resample_ffill",
-    "q_rolling_range",
-    "q_session_concurrency",
-    "q_ewma",
-    "q_sessionize_events",
-    # corpus mining over documents (NULL/empty/1-token/double-space text)
-    "q_bigram_topk",
-    "q_passage_dedup",
-    "q_token_topk",
-    "q_trigram_entropy",
-    "q_canonical_rep",
-    "q_cms_estimate",
-    "q_tfidf_topk",
-    "q_bigram_lm_score",
-    # curation over documents
-    "q_pii_redact",
-    "q_intradoc_repetition",
-    "q_decontaminate",
-    "q_domain_cap",
-    "q_stratified_sample",
-    "q_curation_pipeline",
-    # sampling / chunking over documents
-    "q_hash_sample",
-    "q_dataset_split",
-    "q_token_chunks",
-    "q_chunk_bounds",
-    "q_corpus_mixture",
-    "q_sequence_pack",
-    "q_weighted_sample",
-    # scan surface + text sessionization over documents
-    "q_scan_project",
-    "q_limit_offset",
-    "q_regex_filter",
-    "q_array_fns",
-    "q_explode_lines",
-    "q_sessionize_text",
-    "q_group_concat",
-    # M6 dedup/text family over documents
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_ngram_jaccard",
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_quality_score",
-    "q_doc_fingerprint",
-    # multimodal plumbing over documents-as-media
-    "q_binary_meta",
-    "q_multimodal_features",
-    "q_media_resize",
-    "q_frame_sample",
-    # embedding similarity / centroid over the dirty embeddings table
-    "q_cosine_topk",
-    "q_ann_lsh_bucket",
-    "q_ann_ivf",
-    "q_embed_neardup",
-    "q_dup_clusters",
-    "q_embed_centroid",
-    # full reference pipeline (entity-bearing text exercises the decode)
-    "q_wod_pipeline",
-]
-
-
-@pytest.fixture(scope="module")
-def dirty_dir(tmp_path_factory):
-    import duckdb
-
-    d = tmp_path_factory.mktemp("dirty_sf")
-    con = duckdb.connect()
-    con.execute(
-        f"""
-        COPY (
-            SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')
-            UNION ALL
-            SELECT * FROM (VALUES
+# hostile rows per table, as a DuckDB VALUES clause matching the parquet
+# schema; tables absent here are copied verbatim
+_DIRTY_ROWS = {
+    "events": """
                 (9000001::BIGINT, TIMESTAMP '2024-03-01 10:00:00',
                  42::BIGINT, NULL, 5.25::DOUBLE, NULL),
                 (9000002, TIMESTAMP '2024-03-01 11:00:00',
@@ -126,15 +43,8 @@ def dirty_dir(tmp_path_factory):
                 (9000007, TIMESTAMP '2024-03-04 09:30:00',
                  NULL, NULL, NULL, NULL)
             ) t(event_id, ts, user_id, event_type, value, props)
-        ) TO '{d}/events.parquet' (FORMAT PARQUET)
-        """
-    )
-    con.execute(
-        f"""
-        COPY (
-            SELECT * FROM read_parquet('{SF_SMOKE}/documents.parquet')
-            UNION ALL
-            SELECT * FROM (VALUES
+    """,
+    "documents": """
                 (9000001::BIGINT, NULL, 'en', 'dirty', NULL::BIGINT),
                 (9000002, '', 'en', 'dirty', 0),
                 (9000003, 'solo', 'en', 'dirty', 4),
@@ -146,15 +56,8 @@ def dirty_dir(tmp_path_factory):
                 (9000009, 'alpha &amp; beta &#8211; gamma &amp;lt; delta',
                  'en', 'src1', 44)
             ) t(doc_id, text, lang, source, n_chars)
-        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    con.execute(
-        f"""
-        COPY (
-            SELECT * FROM read_parquet('{SF_SMOKE}/embeddings.parquet')
-            UNION ALL
-            SELECT * FROM (VALUES
+    """,
+    "embeddings": """
                 (9000001::BIGINT, NULL, 3),
                 (9000002, [0.5::FLOAT, -0.25::FLOAT, 0.125::FLOAT], 4),
                 (9000003, list_transform(range(1, 65),
@@ -162,9 +65,85 @@ def dirty_dir(tmp_path_factory):
                 (9000004, list_transform(range(1, 65),
                                          i -> ((i % 7) - 3)::FLOAT / 8), NULL)
             ) t(vec_id, embedding, label)
-        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
-        """
-    )
+    """,
+    # orphan order (custkey NULL), all-NULL-attrs order, and an order in
+    # a month no clean row occupies
+    "orders": """
+                (9000001::BIGINT, NULL::BIGINT, 'O', 123.45::DOUBLE,
+                 TIMESTAMP '2031-07-15 00:00:00', '1-URGENT'),
+                (9000002, 1, NULL, NULL, NULL, NULL)
+            ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority)
+    """,
+    # a lineitem for the dirty order, an all-NULL-measures line, and an
+    # orphan line whose orderkey has no parent order
+    "lineitem": """
+                (9000001::BIGINT, 1::BIGINT, 1::BIGINT, 1::INT,
+                 2.0::DOUBLE, 150.25::DOUBLE, 0.05::DOUBLE, 0.02::DOUBLE,
+                 'N', 'O', TIMESTAMP '2031-07-20 00:00:00'),
+                (9000001, NULL, NULL, 2, NULL, NULL, NULL, NULL,
+                 NULL, NULL, NULL),
+                (9000009, 1, 1, 1, 3.0, 99.99, 0.0, 0.0,
+                 'A', 'F', TIMESTAMP '2031-08-01 00:00:00')
+            ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                l_quantity, l_extendedprice, l_discount, l_tax,
+                l_returnflag, l_linestatus, l_shipdate)
+    """,
+    "customer": """
+                (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE, NULL)
+            ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    """,
+    "supplier": """
+                (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE)
+            ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+    """,
+    "part": """
+                (9000001::BIGINT, NULL, NULL, NULL, NULL::INT,
+                 NULL::DOUBLE)
+            ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    """,
+    "nation": """
+                (91::INT, NULL, NULL::INT)
+            ) t(n_nationkey, n_name, n_regionkey)
+    """,
+    "region": """
+                (9::INT, NULL)
+            ) t(r_regionkey, r_name)
+    """,
+}
+
+# oracled queries excluded from the dirty sweep, each with its reason;
+# everything else in the registry runs
+DIRTY_EXCLUDED = {}
+
+
+def _dirty_names():
+    from weightlifting_wod_etl_spark import queries_registry as reg
+
+    return sorted(n for n in reg.ORACLES if n not in DIRTY_EXCLUDED)
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(tmp_path_factory):
+    import duckdb
+
+    from weightlifting_wod_etl_spark.io import TABLES
+
+    d = tmp_path_factory.mktemp("dirty_sf")
+    con = duckdb.connect()
+    for name in TABLES:
+        dirty = _DIRTY_ROWS.get(name)
+        extra = (
+            f"UNION ALL SELECT * FROM (VALUES {dirty}" if dirty else ""
+        )
+        con.execute(
+            f"""
+            COPY (
+                SELECT * FROM read_parquet('{SF_SMOKE}/{name}.parquet')
+                {extra}
+            ) TO '{d}/{name}.parquet' (FORMAT PARQUET)
+            """
+        )
     con.close()
     return str(d)
 
@@ -173,8 +152,10 @@ def dirty_dir(tmp_path_factory):
 def dirty_duck(dirty_dir):
     import duckdb
 
+    from weightlifting_wod_etl_spark.io import TABLES
+
     con = duckdb.connect()
-    for name in ("events", "documents", "embeddings"):
+    for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS"
             f" SELECT * FROM read_parquet('{dirty_dir}/{name}.parquet')"
@@ -183,7 +164,7 @@ def dirty_duck(dirty_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", DIRTY_QUERIES)
+@pytest.mark.parametrize("name", _dirty_names())
 def test_query_matches_oracle_on_dirty_data(
     spark, dirty_duck, dirty_dir, name
 ):

@@ -907,6 +907,9 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER (PARTITION BY source) AS n,
                sum(n_chars) OVER (PARTITION BY source) AS tot
         FROM documents
+        -- a NULL size has no rank: Spark sorts NULLS FIRST, DuckDB
+        -- NULLS LAST, so an unfiltered NULL shifts every other rank i
+        WHERE n_chars IS NOT NULL
     )
     SELECT source,
            round((2.0 * sum(i * n_chars)) / (max(n) * max(tot))
@@ -925,7 +928,9 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a (size, doc_id) total order making rank assignment — and thus
     the result — deterministic. One exchange keyed by source; integer
     rank·size products keep the only float step at the final division."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     w = Window.partitionBy("source")
     ranked = d.select(
         "source",

@@ -56,12 +56,16 @@ def rolling_hash(text: Column) -> Column:
     oracle=r"""
     WITH fp AS (
         SELECT doc_id,
+               -- CASE mirror of Spark's F.aggregate(NULL array) -> NULL:
+               -- DuckDB's list_prepend(0, NULL) is [0], which would hash
+               -- NULL text to fingerprint 0 instead of NULL
+               CASE WHEN text IS NULL THEN NULL ELSE
                list_reduce(
                    list_prepend(0::BIGINT,
                        list_transform(
                            regexp_split_to_array(trim(lower(text)), '\s+'),
                            t -> (ascii(substr(t || '_', 1, 1)) * 1009 + length(t))::BIGINT)),
-                   (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+                   (a, b) -> (a * 1000003 + b) % 2147483647) END AS fingerprint
         FROM documents
     )
     SELECT doc_id, fingerprint,
@@ -82,7 +86,11 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_percentile",
     oracle="""
-    WITH c AS (SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents FROM lineitem)
+    WITH c AS (SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents
+               FROM lineitem
+               -- exact_percentiles ignores NULL values (documented there);
+               -- count(*) must count the same rows it ranks
+               WHERE l_extendedprice IS NOT NULL)
     SELECT l_returnflag,
            quantile_cont(cents, [0.25, 0.5, 0.75])[1]::DOUBLE / 100.0 AS p25,
            quantile_cont(cents, [0.25, 0.5, 0.75])[2]::DOUBLE / 100.0 AS p50,
@@ -177,6 +185,9 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_events,
            round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
     FROM events
+    -- Spark's window() silently drops NULL timestamps; time_bucket(NULL)
+    -- would keep a NULL bucket — both engines filter explicitly
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -184,8 +195,10 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation — the batch analog of the
     streaming `groupBy(window(...))` plan in streaming/sessions.py; windows
     are computed map-side (pure projection), so this is one hash-agg
-    shuffle keyed on (bucket, type) regardless of input size."""
-    ev = load_table(spark, sf_dir, "events")
+    shuffle keyed on (bucket, type) regardless of input size. The NULL-ts
+    filter makes window()'s implicit null-drop explicit (the oracle has
+    no such implicit)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
@@ -209,6 +222,8 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest([time_bucket(INTERVAL '30 minutes', ts),
                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s
         FROM events
+        -- same explicit NULL-ts filter as q_tumbling_window
+        WHERE ts IS NOT NULL
     )
     GROUP BY 1
     """,
@@ -218,8 +233,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exactly 2 windows. Spark expands the window memberships map-side
     (pure projection, ×2 row amplification) then hash-aggregates: one
     shuffle keyed on bucket start, identical to the streaming
-    `groupBy(window(ts, '1 hour', '30 minutes'))` plan."""
-    ev = load_table(spark, sf_dir, "events")
+    `groupBy(window(ts, '1 hour', '30 minutes'))` plan. NULL-ts filter:
+    see q_tumbling_window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(to_fixed("value")) / F.lit(100.0), 2).alias("sum_value"),
@@ -444,7 +460,11 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_partkey, round(p.p_retailprice, 2) AS price,
            p.p_size::BIGINT AS size
     FROM part p
-    WHERE NOT EXISTS (
+    -- a part with an unknown dimension has no place on a Pareto
+    -- frontier: NULL comparisons make it vacuously undominated in the
+    -- NOT EXISTS while the engine's equi-join back drops NULL keys
+    WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      AND NOT EXISTS (
         SELECT 1 FROM part s
         WHERE s.p_retailprice <= p.p_retailprice
           AND s.p_size >= p.p_size
@@ -474,7 +494,9 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     skyline of a union is the skyline of per-partition skylines) to
     pre-reduce before this window — step 1 already is that pre-reduction
     keyed by price."""
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     pts = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
     w = (
         Window.orderBy("p_retailprice")

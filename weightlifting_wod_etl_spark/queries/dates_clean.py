@@ -52,13 +52,18 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     'month-d1-d2-year' form, then parsed back with the engine operator.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # F.concat, NOT concat_ws: the oracle's || propagates a NULL
+    # o_orderdate into a NULL slug, while concat_ws SKIPS null pieces and
+    # would mint the bogus slug '28' (least() also ignores the NULL)
     slugged = orders.select(
         "o_orderkey",
-        F.concat_ws(
-            "-",
+        F.concat(
             F.lower(F.date_format("o_orderdate", "MMMM")),
+            F.lit("-"),
             F.dayofmonth("o_orderdate").cast("string"),
+            F.lit("-"),
             F.least(F.dayofmonth("o_orderdate") + 6, F.lit(28)).cast("string"),
+            F.lit("-"),
             F.year("o_orderdate").cast("string"),
         ).alias("slug"),
     )
@@ -77,6 +82,10 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH weeks AS (
         SELECT DISTINCT (o_orderdate::DATE - isodow(o_orderdate::DATE) * INTERVAL 1 DAY)::DATE AS ws
         FROM orders
+        -- a NULL date anchors no week: without the guard the NULL ws
+        -- cross-joins into 7 phantom ordinals with NULL spine dates,
+        -- while Spark's sequence(NULL, ...) explodes to zero rows
+        WHERE o_orderdate IS NOT NULL
     )
     SELECT strftime(ws, '%Y-%m-%d') AS week_start,
            d::BIGINT AS day_ordinal,
@@ -88,9 +97,11 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP13 — Sunday-anchored week spine, one row per (week, ordinal)
     (transforms.py:227-248; §2.3-3 anchor semantics)."""
     orders = load_table(spark, sf_dir, "orders")
-    weeks = orders.select(
-        week_start_sunday(F.to_date("o_orderdate")).alias("ws")
-    ).distinct()
+    weeks = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .select(week_start_sunday(F.to_date("o_orderdate")).alias("ws"))
+        .distinct()
+    )
     return weeks.select(
         F.date_format("ws", "yyyy-MM-dd").alias("week_start"),
         F.posexplode(date_spine(F.col("ws"), 7)).alias("day_ordinal", "spine_d"),

@@ -719,7 +719,7 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS mode_event_type, n AS n_mode
     FROM counts
     QUALIFY row_number() OVER (PARTITION BY user_id
-                               ORDER BY n DESC, event_type) = 1
+                               ORDER BY n DESC, event_type NULLS LAST) = 1
     """,
 )
 def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,8 +732,11 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+    # tiebreak pins NULLS LAST on both engines: on an exact tie between a
+    # NULL event_type and a real one, Spark's asc default (NULLS FIRST)
+    # would crown NULL the mode while DuckDB picks the real value
     w = Window.partitionBy("user_id").orderBy(
-        F.col("n").desc(), F.col("event_type")
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))

@@ -102,7 +102,12 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.regexp_replace(F.lower("c_name"), "[aeiou]", "").alias("no_vowels"),
-        F.format_string("%s:%d", F.col("c_mktsegment"), F.col("c_custkey")).alias("tag"),
+        # NULL guard: Spark's format_string renders a NULL arg as the
+        # literal 'null' while DuckDB's printf returns NULL
+        F.when(
+            F.col("c_mktsegment").isNotNull() & F.col("c_custkey").isNotNull(),
+            F.format_string("%s:%d", F.col("c_mktsegment"), F.col("c_custkey")),
+        ).alias("tag"),
         F.length("c_name").alias("name_len"),
     )
 

@@ -296,7 +296,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(o_totalprice * 100)::BIGINT AS cents
           FROM orders)
     WINDOW
-      w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w_ord AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate NULLS LAST, o_orderkey),
       w_run AS (w_ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       w_3   AS (w_ord ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
@@ -309,9 +310,13 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     The order key is total (date + orderkey tie-break) — frame results are
     positionally defined, so any tie ambiguity would flip hashes. Sums run
     in integer cents; the /100.0 is a single IEEE op per row in both
-    engines (lag/lead of NULL at partition edges stays NULL)."""
+    engines (lag/lead of NULL at partition edges stays NULL). NULL dates
+    are pinned LAST — Spark's asc default (NULLS FIRST) would shift every
+    frame in the partition against the oracle."""
     orders = load_table(spark, sf_dir, "orders")
-    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_ord = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_3 = w_ord.rowsBetween(-2, Window.currentRow)
     cents = to_fixed("o_totalprice")
