@@ -9,10 +9,10 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
 
-# sf0.001 keeps the pre-commit sweep fast; override to run the same suite
-# at the driver's correctness scale (sf0.01) before shipping a new query
+# sf0.001 keeps the pre-commit sweep fast; before shipping a new query,
+# re-run at the driver's correctness scale with
+#   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")

@@ -16,22 +16,36 @@ import pandas as pd
 
 
 def _canon_value(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "∅"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        items = v.tolist() if isinstance(v, np.ndarray) else v
+        return "[" + ",".join(_canon_value(x) for x in items) + "]"
+    # pd.isna covers None, float NaN, NaT, and pd.NA uniformly — a NULL
+    # timestamp must canonicalize identically whether it arrives as None
+    # (object dtype) or NaT (datetime64 dtype)
+    try:
+        if v is None or pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
     if isinstance(v, (int, np.integer)):
         # format ints like floats: a nullable BIGINT column arrives as
         # float64 on whichever side holds the NULL row, and an int-vs-
         # float format split would then flag EVERY row of the column,
-        # drowning the one true diff in dtype noise
-        return f"{float(v):.6f}" if abs(int(v)) < 10**15 else str(int(v))
+        # drowning the one true diff in dtype noise. Above 1e15 (double
+        # mantissa limit) both branches switch to exact-int form.
+        iv = int(v)
+        return f"{float(iv):.6f}" if abs(iv) < 10**15 else str(iv)
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
+        if not math.isfinite(v):
+            return str(v)  # 'inf' / '-inf' — don't crash int(v)
+        if v == 0:
+            return "0.000000"  # fold -0.0 into +0.0 (numerically equal)
+        if abs(v) >= 1e15:
+            # mirror the int branch's exact form for integral magnitudes
+            return str(int(v)) if v == int(v) else f"{v:.6e}"
         return f"{v:.6f}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
     return str(v)
 
 

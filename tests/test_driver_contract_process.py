@@ -19,7 +19,9 @@ import glob
 import json
 import os
 
-DRIVER_WINDOW = 50
+from weightlifting_wod_etl_spark.queries_registry import (
+    DRIVER_WINDOW_SIZE as DRIVER_WINDOW,
+)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -41,7 +41,11 @@ _DIRTY_ROWS = {
                  45, 'tiny_evt', 7.75, NULL),
                 (9000006, NULL, 46, 'tiny_evt', 3.00, NULL),
                 (9000007, TIMESTAMP '2024-03-04 09:30:00',
-                 NULL, NULL, NULL, NULL)
+                 NULL, NULL, NULL, NULL),
+                (9000008, TIMESTAMP '2024-03-05 09:30:00',
+                 47, 'big_evt', 12345678.99, NULL),
+                (9000009, TIMESTAMP '2024-03-05 10:30:00',
+                 48, 'big_evt', -42.37, NULL)
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """
@@ -54,7 +58,11 @@ _DIRTY_ROWS = {
                 (9000007, 'negative source index doc', 'en', 'src-1', 25),
                 (9000008, 'even negative source index', 'en', 'src-2', 26),
                 (9000009, 'alpha &amp; beta &#8211; gamma &amp;lt; delta',
-                 'en', 'src1', 44)
+                 'en', 'src1', 44),
+                (9000010, 'héllo wörld ünïcode multibyte — tokens',
+                 'fr', 'src2', 38),
+                (9000011, 'regex .* meta [chars] (parens) | pipes $5 ^caret',
+                 'en', 'src3', 48)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """
@@ -127,7 +135,7 @@ def _dirty_names():
 def dirty_dir(tmp_path_factory):
     import duckdb
 
-    from weightlifting_wod_etl_spark.io import TABLES
+    from weightlifting_wod_etl_spark.io import TABLES, table_path
 
     d = tmp_path_factory.mktemp("dirty_sf")
     con = duckdb.connect()
@@ -139,9 +147,9 @@ def dirty_dir(tmp_path_factory):
         con.execute(
             f"""
             COPY (
-                SELECT * FROM read_parquet('{SF_SMOKE}/{name}.parquet')
+                SELECT * FROM read_parquet('{table_path(SF_SMOKE, name)}')
                 {extra}
-            ) TO '{d}/{name}.parquet' (FORMAT PARQUET)
+            ) TO '{table_path(str(d), name)}' (FORMAT PARQUET)
             """
         )
     con.close()
@@ -152,13 +160,13 @@ def dirty_dir(tmp_path_factory):
 def dirty_duck(dirty_dir):
     import duckdb
 
-    from weightlifting_wod_etl_spark.io import TABLES
+    from weightlifting_wod_etl_spark.io import TABLES, table_path
 
     con = duckdb.connect()
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS"
-            f" SELECT * FROM read_parquet('{dirty_dir}/{name}.parquet')"
+            f" SELECT * FROM read_parquet('{table_path(dirty_dir, name)}')"
         )
     yield con
     con.close()

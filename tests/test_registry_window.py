@@ -9,7 +9,7 @@ registered queries — see queries_registry._WINDOW_PRIORITY):
 
 from __future__ import annotations
 
-WINDOW = 50
+from weightlifting_wod_etl_spark.queries_registry import DRIVER_WINDOW_SIZE as WINDOW
 
 
 def test_window_slots_all_oracle_bearing():
@@ -33,7 +33,9 @@ def test_rows_only_queries_registered_last():
     names = list(QUERIES)
     for t in _WINDOW_TAIL:
         assert t in names and t not in ORACLES
-    assert names[-len(_WINDOW_TAIL):] == [t for t in _WINDOW_TAIL if t in names]
+    # guard the empty tail: names[-0:] is the WHOLE list, not []
+    if _WINDOW_TAIL:
+        assert names[-len(_WINDOW_TAIL):] == list(_WINDOW_TAIL)
 
 
 def test_registry_is_consistent():

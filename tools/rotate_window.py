@@ -25,10 +25,14 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--window", type=int, default=50)
-    args = ap.parse_args()
+    from weightlifting_wod_etl_spark.queries_registry import (
+        DRIVER_WINDOW_SIZE,
+        _WINDOW_TAIL,
+        QUERIES,
+    )
 
-    from weightlifting_wod_etl_spark.queries_registry import _WINDOW_TAIL, QUERIES
+    ap.add_argument("--window", type=int, default=DRIVER_WINDOW_SIZE)
+    args = ap.parse_args()
 
     # last round each query was verified green (rows+schema+hash all true)
     last_green: dict[str, int] = {}

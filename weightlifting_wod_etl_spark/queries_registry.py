@@ -95,6 +95,11 @@ from .queries import (  # noqa: E402,F401
 # oracle SQL + parity/plan-pin tests (test_cdc_interval_oracle.py) —
 # in r11, import the module here with @register wrappers, head them in
 # _WINDOW_PRIORITY, and add both to bench.py HEADLINE + COVERAGE.md.
+# the external driver verifies only the FIRST this-many registered
+# queries each round; the rotation tooling and the window-invariant
+# tests all share this single constant
+DRIVER_WINDOW_SIZE = 50
+
 _WINDOW_PRIORITY = [
     "q_bigram_lm_score",  # last green r06
     "q_cms_estimate",  # last green r06
