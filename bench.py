@@ -27,7 +27,7 @@ if REPO_DIR not in sys.path:
 # HEADLINE membership policy: a registered query is benched here iff its
 # plan is shuffle-bearing or otherwise scale-sensitive (joins, windows,
 # aggregations, dedup/similarity, storage lifecycle) — the plans whose
-# timing would change at 100 TB. The ~45 registrations left out are
+# timing would change at 100 TB. The registrations left out are
 # scan-local function-surface queries (q_string_fns, q_map_fns,
 # q_clean_normalize, ...) where a bench row times parquet scan + codegen
 # of stateless expressions and adds no scaling signal; their correctness
@@ -138,6 +138,16 @@ HEADLINE = [
     "q_skyline",
     "q_nullsafe_join",
     "q_collation_group",
+    # round-10 additions — shuffle-bearing plans that predated the
+    # membership policy and had silently never been benched
+    "q_cube",
+    "q_grouping_sets",
+    "q_rollup",
+    "q_full_outer",
+    "q_dedup_antijoin",
+    "q_ntile_bucket",
+    "q_bigram_topk",
+    "q_corr_stats",
     "q_weighted_median",
     "q_gini",
     # round-9 additions — the 8 remaining real-plan queries that had no
@@ -232,6 +242,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
+            # loud skip: a typo here would silently void the
+            # benched-from-birth guarantee for the intended query
+            print(
+                f"WARNING: HEADLINE entry {name!r} is not a registered "
+                "query — skipping (check for a typo)",
+                file=sys.stderr,
+            )
             continue
         # One broken query must not kill the whole artifact: capture the
         # error, keep benchmarking the rest, and always emit the JSON line.

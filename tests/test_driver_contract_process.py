@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 from weightlifting_wod_etl_spark.queries_registry import (
     DRIVER_WINDOW_SIZE as DRIVER_WINDOW,
@@ -84,7 +85,12 @@ def test_driver_staleness_is_bounded():
     last_green: dict[str, int] = {}
     rounds: list[int] = []
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        # regex-guarded like bench.py / tools/rotate_window.py: a stray
+        # CORRECTNESS_r10_bak.json must be skipped, not crash int()
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         rounds.append(rnd)
         with open(path) as f:
             for name, res in json.load(f).items():

@@ -17,6 +17,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -36,9 +37,15 @@ def main() -> None:
 
     # last round each query was verified green (rows+schema+hash all true)
     last_green: dict[str, int] = {}
-    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    for path in rounds:
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+    seen_rounds: list[int] = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        # regex-guarded like bench.py's artifact parser: a stray
+        # CORRECTNESS_r10_bak.json must be skipped, not crash int()
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        seen_rounds.append(rnd)
         with open(path) as f:
             for name, res in json.load(f).items():
                 if isinstance(res, dict) and res.get("hash_match"):
@@ -54,7 +61,7 @@ def main() -> None:
     )
     never = [q for q in ranked if q not in last_green]
     print(f"# window={args.window}  total={len(QUERIES)}  "
-          f"never-green={len(never)}  rounds-seen={len(rounds)}  "
+          f"never-green={len(never)}  rounds-seen={len(seen_rounds)}  "
           f"tail(excluded)={list(_WINDOW_TAIL)}")
     if never:
         print("# never verified green:", ", ".join(never))
@@ -68,8 +75,7 @@ def main() -> None:
           dict(sorted(hist.items())))
     overdue = sum(
         n for rnd, n in hist.items()
-        if rounds and rnd <= max(int(p.rsplit("_r", 1)[1].split(".")[0])
-                                 for p in rounds) - 2
+        if seen_rounds and rnd <= max(seen_rounds) - 2
     )
     if overdue > args.window:
         print(f"# WARNING: {overdue} overdue queries exceed the "

@@ -40,6 +40,11 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        # a silent overwrite would drop the earlier query from driver and
+        # bench coverage — and could pair a stale oracle with a new
+        # callable if the re-registration passes oracle=None
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
