@@ -62,7 +62,9 @@ _DIRTY_ROWS = {
                 (9000010, 'héllo wörld ünïcode multibyte — tokens',
                  'fr', 'src2', 38),
                 (9000011, 'regex .* meta [chars] (parens) | pipes $5 ^caret',
-                 'en', 'src3', 48)
+                 'en', 'src3', 48),
+                (9000012, 'laïque de elías y el mar la fête und der tag',
+                 'fr', 'src4', 44)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """

@@ -28,7 +28,18 @@ Deadlift 3x3</p>
 
 POST_2_HTML = """<p>Wednesday (Session One)
 A.
-Snatch 7x2</p>"""
+Snatch 7x2</p>
+<p>Thursday (Session Two)
+B.
+Clean 5x3</p>"""
+
+# a single day marker: the reference's pairwise grouping yields ZERO
+# groups (group_source_by appends the tail range only when at least one
+# marker PAIR exists — verified by executing transforms.py), so this post
+# must produce no records at all
+POST_3_HTML = """<p>Friday (Session One)
+A.
+Jerk 5x1</p>"""
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +54,8 @@ def records(spark):
              "December 21-27, 2020 &#8211; 5 Day Weightlifting Program"),
             # no date in slug/title → post_date fallback (a Wednesday)
             (2, POST_2_HTML, "2021-01-06T08:00:00", "misc-post", "Misc Post"),
+            # single day marker → zero records (reference pairwise rule)
+            (3, POST_3_HTML, "2021-01-06T08:00:00", "misc-post-2", "Misc 2"),
         ],
         ["post_id", "html", "post_date", "slug", "title"],
     )
@@ -52,7 +65,13 @@ def records(spark):
 
 def test_day_count(records):
     assert len([k for k in records if k[0] == 1]) == 3
-    assert len([k for k in records if k[0] == 2]) == 1
+    assert len([k for k in records if k[0] == 2]) == 2
+
+
+def test_single_day_post_yields_no_records(records):
+    # POST_3 has one day marker: pairwise([i]) is empty in the reference,
+    # so the post contributes nothing (not even a rest-day record)
+    assert not [k for k in records if k[0] == 3]
 
 
 def test_week_spine_from_slug(records):
@@ -150,3 +169,61 @@ def test_load_table_restores_nanos_conf(spark):
     assert dict(df.dtypes)["ts"] == "timestamp"  # normalization intact
     assert df.count() > 0
     assert spark.conf.get(key, None) == prior  # no session-wide leak
+
+
+def test_extract_date_range_reference_flow(spark):
+    """Pin the reference's slug/title selection semantics (verified by
+    executing /root/reference/transforms.py): one text is chosen up
+    front (slug if truthy, else dash-normalized title), patterns try in
+    order on that text, first MATCH wins even when its dates are
+    invalid, and the (start, end) pair is atomic."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.dates import extract_date_range
+
+    cases = [
+        # (slug, title, expected_start, expected_end)
+        ("april-1-7-2024", "ignored", "2024-04-01", "2024-04-07"),
+        # present-but-dateless slug: title is NEVER consulted behind it
+        ("misc-post", "April 1-7, 2024", None, None),
+        (None, "April 1-7, 2024", "2024-04-01", "2024-04-07"),
+        # empty slug is falsy; title allows \s+ runs and comma-no-space
+        ("", "April  1-7,2024", "2024-04-01", "2024-04-07"),
+        # en-dash entity in the range position normalizes to '-'
+        (None, "April 1&#8211;7, 2024", "2024-04-01", "2024-04-07"),
+        # slug pattern MATCHES but Feb 30 is invalid -> atomic (None, None),
+        # no fall-through to the valid title date
+        ("february-1-30-2024", "April 1-7, 2024", None, None),
+        (None, "NotAMonth 1-7, 2024", None, None),
+        (None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(s, t) for s, t, _, _ in cases], "slug string, title string"
+    )
+    s, e = extract_date_range(F.col("slug"), F.col("title"))
+    got = {
+        (r.slug, r.title): (str(r.s) if r.s else None, str(r.e) if r.e else None)
+        for r in df.select("slug", "title", s.alias("s"), e.alias("e")).collect()
+    }
+    for slug, title, want_s, want_e in cases:
+        assert got[(slug, title)] == (want_s, want_e), (slug, title)
+
+
+def test_clean_records_non_iso_dates(spark):
+    """The reference's clean step parses dates with dateutil — common
+    non-ISO shapes must canonicalize, not silently blank out."""
+    from weightlifting_wod_etl_spark.operators.clean import clean_records
+
+    df = spark.createDataFrame(
+        [
+            (1, "2020-12-21", "x"),
+            (2, "12/21/2020", "x"),
+            (3, "December 21, 2020", "x"),
+            (4, "2020-12-21T08:00:00", "x"),
+            (5, "not a date", "x"),
+        ],
+        ["id", "date", "session"],
+    )
+    got = {r.id: r.date for r in clean_records(df).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == "2020-12-21"
+    assert got[5] == ""  # documented degradation: unparseable -> ''

@@ -42,7 +42,25 @@ def clean_records(
     # drop AFTER rename — only raw single-letter keys are dropped (§2.3-5)
     out = out.drop(*[c for c in drop_cols if c in out.columns])
     if date_col in out.columns:
-        out = out.withColumn(date_col, F.date_format(F.to_date(date_col), "yyyy-MM-dd"))
+        # the reference parses with dateutil (transforms.py:323) — accept
+        # the common non-ISO shapes it handles, not just ISO. try_to_*
+        # never throws (ANSI-safe); a shape outside the list degrades to
+        # NULL -> '' (the reference would instead raise per-record, which
+        # a distributed job can't do row-by-row)
+        c = F.col(date_col).cast("string")
+        parsed = F.coalesce(
+            *[
+                F.try_to_timestamp(c, F.lit(fmt))
+                for fmt in (
+                    "yyyy-MM-dd",
+                    "yyyy-MM-dd'T'HH:mm:ss",
+                    "M/d/yyyy",
+                    "MMMM d, yyyy",
+                    "MMM d, yyyy",
+                )
+            ]
+        ).cast("date")
+        out = out.withColumn(date_col, F.date_format(parsed, "yyyy-MM-dd"))
     if session_col in out.columns:
         out = out.withColumn(session_col, F.coalesce(F.col(session_col), F.lit(REST_DAY)))
     for field in expected_fields:

@@ -62,19 +62,32 @@ def date_spine(start: Column, num_days: Column | int) -> Column:
     ).otherwise(F.array().cast("array<date>"))
 
 
-# slug form: 'april-1-7-2024' (month-d1-d2-year); title form 'April 1-7, 2024'
+# slug form: 'april-1-7-2024' (month-d1-d2-year); title form
+# 'April 1-7, 2024' — \s+ runs and [,\s]+ before the year exactly as the
+# reference's title/variation patterns allow (transforms.py:70-87; the
+# comma-less "variation" pattern is subsumed by [,\s]+)
 _SLUG_PAT = r"([a-zA-Z]+)-(\d{1,2})-(\d{1,2})-(\d{4})"
-_TITLE_PAT = r"([a-zA-Z]+) (\d{1,2})-(\d{1,2}),? (\d{4})"
+_TITLE_PAT = r"([a-zA-Z]+)\s+(\d{1,2})-(\d{1,2})[,\s]+(\d{4})"
 
 
 def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Column, Column]:
-    """OP12 — parse a (start, end) date pair out of slug, falling back to
-    title (slug-over-title priority, ``tests/test_transforms.py:75-83``).
+    """OP12 — parse a (start, end) date pair, reference flow preserved
+    (``transforms.py:42-112``, verified against the executed reference):
 
-    Returns two DateType columns; unparseable / invalid dates are NULL.
+      - ONE text is chosen up front — the slug when truthy, else the
+        dash-normalized title. A present-but-dateless slug therefore
+        yields (NULL, NULL); title dates are NEVER consulted behind it.
+      - patterns are tried in order against that one text; the first
+        MATCH wins even if its dates are invalid (no fall-through from a
+        matched-but-invalid slug form to a title form).
+      - the pair is ATOMIC: if either constructed date is invalid
+        (``make_date`` NULL ≙ the reference's ValueError), BOTH are NULL
+        — never a partial or cross-pattern pair.
+
+    Returns two DateType columns.
     """
 
-    def parse(src: Column, pat: str) -> tuple[Column, Column]:
+    def parse(src: Column, pat: str) -> Column:
         # regexp_extract yields '' on no-match; nullif first so the cast is
         # NULL under any ANSI setting (reference returns None, §2.3).
         # The four captures are let-bound as one struct: without it,
@@ -100,10 +113,29 @@ def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Colum
                 ),
             ),
         )
-        return pair.getField("s"), pair.getField("e")
+        # atomicity: both-or-neither (reference's single try/except)
+        return _let(
+            pair,
+            lambda p: F.when(
+                p.getField("s").isNotNull() & p.getField("e").isNotNull(), p
+            ),
+        )
 
-    s_start, s_end = parse(slug, _SLUG_PAT)
     if title is None:
-        return s_start, s_end
-    t_start, t_end = parse(title, _TITLE_PAT)
-    return F.coalesce(s_start, t_start), F.coalesce(s_end, t_end)
+        text = slug
+    else:
+        # the reference normalizes en-dash entities to '-' in the title
+        # branch; decode_entities upstream may already have produced the
+        # literal en-dash, so normalize that too
+        cleaned = title
+        for dash in ("&#8211;", "&ndash;", "–"):
+            cleaned = F.replace(cleaned, F.lit(dash), F.lit("-"))
+        text = F.when(slug.isNotNull() & (slug != ""), slug).otherwise(cleaned)
+
+    result = _let(
+        text,
+        lambda t: F.when(t.rlike(_SLUG_PAT), parse(t, _SLUG_PAT)).when(
+            t.rlike(_TITLE_PAT), parse(t, _TITLE_PAT)
+        ),
+    )
+    return result.getField("s"), result.getField("e")

@@ -23,7 +23,12 @@ Correctness traps preserved (SURVEY.md §2.3):
     the marker row itself);
   - content before the first marker is DROPPED (group_id = 0 filtered out);
   - the final group extends to end-of-input (no explicit close needed —
-    running sum naturally covers the tail).
+    running sum naturally covers the tail);
+  - a partition with EXACTLY ONE marker yields NO groups: the reference
+    builds groups from pairwise(marker_indexes) and only appends the
+    tail range when at least one pair exists (transforms.py:119-127), so
+    a single marker produces an empty index list — verified by executing
+    the reference. Every row of such a partition keeps group id 0.
 """
 
 from __future__ import annotations
@@ -76,13 +81,22 @@ def mark_boundaries(
 
     ``drop_preamble=True`` reproduces the reference semantics where content
     before the first marker is never emitted.
+
+    Both windows share one partitioning, so the whole-partition marker
+    count adds no exchange — just a second frame over the same sort.
     """
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn(group_col, F.sum(marker.cast("int")).over(w))
+    w_all = Window.partitionBy(*partition_cols)
+    running = F.sum(marker.cast("int")).over(w)
+    n_markers = F.sum(marker.cast("int")).over(w_all)
+    # reference pairwise rule: < 2 markers -> no groups (all rows id 0)
+    out = df.withColumn(
+        group_col, F.when(n_markers >= 2, running).otherwise(F.lit(0).cast("bigint"))
+    )
     if drop_preamble:
         out = out.filter(F.col(group_col) > 0)
     return out

@@ -45,31 +45,21 @@ def make_digest_fns(k: int = DEFAULT_K):
         # weight c belongs to chunk floor(c/cap). Since every input
         # starts strictly below total, chunk indices stay in [0, k-1] —
         # a hard <=k guarantee (a greedy close-on-overflow pack can emit
-        # k+1 chunks on unit weights).
+        # k+1 chunks on unit weights). Fully vectorized: build_digest
+        # runs per Arrow batch in the executor hot path, where a
+        # per-element Python loop would dominate digest build time.
+        weights = np.asarray(weights, dtype=np.float64)
+        means = np.asarray(means, dtype=np.float64)
         total = float(weights.sum())
         if total == 0.0:
             return np.empty(0), np.empty(0)
         cap = total / k
-        out_m, out_w = [], []
-        acc_w = 0.0
-        acc_mw = 0.0
-        cum = 0.0
-        cur = 0
-        for m, w in zip(means, weights):
-            idx = min(int(cum / cap), k - 1)
-            if idx > cur and acc_w > 0.0:
-                out_m.append(acc_mw / acc_w)
-                out_w.append(acc_w)
-                acc_w = 0.0
-                acc_mw = 0.0
-                cur = idx
-            acc_w += float(w)
-            acc_mw += float(m) * float(w)
-            cum += float(w)
-        if acc_w > 0.0:
-            out_m.append(acc_mw / acc_w)
-            out_w.append(acc_w)
-        return np.asarray(out_m), np.asarray(out_w)
+        cum_before = np.cumsum(weights) - weights
+        idx = np.minimum((cum_before / cap).astype(np.int64), k - 1)
+        starts = np.flatnonzero(np.diff(idx, prepend=idx[0] - 1))
+        out_w = np.add.reduceat(weights, starts)
+        out_m = np.add.reduceat(means * weights, starts) / out_w
+        return out_m, out_w
 
     def build_digest(values):
         """Digest a raw value array: sort, compress unit-weight points."""
@@ -89,7 +79,10 @@ def make_digest_fns(k: int = DEFAULT_K):
     def digest_quantile(means, weights, q):
         """Estimate the q-quantile: centroid i anchors at the midpoint of
         its cumulative-weight span; linear interpolation between anchors."""
-        if means.size == 0:
+        if means.size == 0 or np.isnan(q):
+            # NaN q fails both band guards below and searchsorted returns
+            # len(anchors) — an IndexError in an executor task; answer
+            # NaN like the empty-digest path instead
             return float("nan")
         if means.size == 1:
             return float(means[0])

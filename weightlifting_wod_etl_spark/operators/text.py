@@ -61,7 +61,14 @@ def punct_ratio(text: Column) -> Column:
 
 
 def stopword_count(text: Column, lang: str = "en") -> Column:
-    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    # explicit ASCII boundaries, NOT \b: Java's \b is Unicode-aware (ï is
+    # a word char) while the DuckDB/RE2 oracles' \b is ASCII-only, so a
+    # stopword abutting an accented letter ('laïque', 'elías y el mar')
+    # would count differently per engine — exactly on the fr/es/de corpora
+    # the lists target. The lookarounds reproduce RE2's [0-9A-Za-z_] word
+    # class in Java.
+    words = "|".join(STOPWORDS[lang])
+    pat = r"(?<![a-zA-Z0-9_])(" + words + r")(?![a-zA-Z0-9_])"
     return F.when(
         text.isNotNull(),
         F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint"),

@@ -35,9 +35,15 @@ _GROUPED_CTE = f"""
         FROM exploded
     ),
     grouped AS (
+        -- reference pairwise rule (transforms.py:119-127): a document
+        -- with fewer than two markers yields NO groups — every row keeps
+        -- group_id 0 and the downstream group_id > 0 filter drops it
         SELECT doc_id, word_idx, word,
-               sum(is_marker) OVER (PARTITION BY doc_id ORDER BY word_idx
-                                    ROWS UNBOUNDED PRECEDING) AS group_id
+               CASE WHEN sum(is_marker) OVER (PARTITION BY doc_id) >= 2
+                    THEN sum(is_marker) OVER (PARTITION BY doc_id
+                                              ORDER BY word_idx
+                                              ROWS UNBOUNDED PRECEDING)
+                    ELSE 0 END AS group_id
         FROM marked
     )
 """
