@@ -136,3 +136,69 @@ def test_sum_fixed_scaling_contract(spark):
     assert row.s2 == pytest.approx(3.55, abs=1e-9)
     assert row.s4 == pytest.approx(3.55, abs=1e-9)
     assert row.a == pytest.approx(1.775, abs=1e-9)
+
+
+def test_to_fixed_nonfinite_is_null(spark):
+    """Review r10: ANSI-off cast turned NaN into 0 and ±Inf into
+    ±Long.MAX — garbage finite numbers that silently wrapped sums."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import sum_fixed, to_fixed
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, None), (6, 2.25)],
+        "id long, v double",
+    )
+    vals = {r.id: r.f for r in df.select("id", to_fixed("v").alias("f")).collect()}
+    assert vals[1] == 150 and vals[6] == 225
+    assert vals[2] is None and vals[3] is None and vals[4] is None and vals[5] is None
+    total = df.agg(sum_fixed("v").alias("s")).collect()[0].s
+    assert total == 3.75  # finite rows only, no Long.MAX wrap
+
+
+def test_ordered_concat_null_order_last_and_ties_deterministic(spark):
+    """Review r10: struct array_sort put NULL order keys FIRST (SQL
+    string_agg ORDER BY defaults NULLS LAST) and broke ties by shuffle
+    order; both are pinned now."""
+    from weightlifting_wod_etl_spark.operators.pivot import ordered_group_concat
+
+    df = spark.createDataFrame(
+        [(1, 2, "c"), (1, None, "z"), (1, 1, "a"), (1, 2, "b")],
+        "g long, o long, v string",
+    )
+    row = ordered_group_concat(df, ["g"], "o", "v").collect()[0]
+    # order 1, then the o=2 tie value-ordered (b, c), then the NULL key last
+    assert row.joined == "a b c z"
+
+
+def test_exact_percentiles_rejects_out_of_range_cuts(spark):
+    import pytest as _pytest
+
+    from weightlifting_wod_etl_spark.operators.percentile import exact_percentiles
+
+    df = spark.createDataFrame([(1, 10)], "g long, v long")
+    with _pytest.raises(ValueError, match="outside"):
+        exact_percentiles(df, ["g"], "v", [1.25])
+
+
+def test_write_jsonl_keeps_null_fields(spark, tmp):
+    """Review r10: the JSON writer's default drops null-valued fields,
+    breaking json.dumps-style '"key": null' parity."""
+    import glob
+    import json
+    import os
+
+    from weightlifting_wod_etl_spark.io import write_jsonl
+
+    df = spark.createDataFrame([(1, None)], "id long, seg string")
+    out = os.path.join(tmp, "jsonl")
+    write_jsonl(df, out)
+    [line] = [
+        ln
+        for f in glob.glob(os.path.join(out, "part-*"))
+        for ln in open(f).read().splitlines()
+        if ln
+    ]
+    assert json.loads(line) == {"id": 1, "seg": None}
+    assert '"seg"' in line  # explicit null, not a missing key

@@ -232,3 +232,29 @@ def test_read_pruned_on_hive_partitioned_table(spark, tmp_path):
     got2 = read_pruned(spark, path, "bucket", 1, 2)
     assert got2.count() == 50
     assert {r.bucket for r in got2.select("bucket").distinct().collect()} == {1, 2}
+
+
+def test_read_pruned_rebuilds_on_incomplete_index(spark, tmp_path):
+    """Review r10: a NON-empty persisted index next to a data file it
+    doesn't cover (appended outside the commit protocol) silently
+    dropped that file's rows from the pruned read; the completeness
+    check now forces a footer rebuild."""
+    import shutil
+
+    from weightlifting_wod_etl_spark.io import read_pruned
+    from weightlifting_wod_etl_spark.operators.skipping import (
+        list_data_files,
+        save_stats_index,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id AS a").coalesce(1).write.parquet(path)
+    save_stats_index(path, ["a"])
+    # sideload a second file the index knows nothing about
+    [f1] = list_data_files(path)
+    shutil.copy(f1, f1.replace("part-", "part-sideload-"))
+    got = read_pruned(spark, path, "a", 0, 1000).count()
+    full = spark.read.parquet(path).filter(
+        (F.col("a") >= 0) & (F.col("a") <= 1000)
+    ).count()
+    assert got == full == 200  # both copies visible — nothing dropped

@@ -16,9 +16,20 @@ from pyspark.sql import functions as F
 
 
 def to_fixed(col: Column | str, scale: int = 2) -> Column:
-    """Row-level: double measure → integer units of 10^-scale."""
+    """Row-level: double measure → integer units of 10^-scale.
+
+    Non-finite inputs map to NULL (aggregates skip them): the ANSI-off
+    cast would otherwise turn NaN into 0 and ±Inf into ±Long.MAX —
+    garbage FINITE numbers that silently wrap a sum, where a plain
+    double sum would at least surface NaN. The DuckDB oracle mirrors
+    (`round(x * 100)::BIGINT`) raise outright on non-finite input, so
+    oracled queries assume finite measures either way.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(10**scale)).cast("long")
+    return (
+        F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), F.round(c * F.lit(10**scale)))
+        .cast("long")
+    )
 
 
 def sum_fixed(col: Column | str, scale: int = 2) -> Column:

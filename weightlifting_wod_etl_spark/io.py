@@ -122,6 +122,7 @@ def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
 
     from .operators.skipping import (
         file_stats_index,
+        list_data_files,
         load_stats_index,
         prune_files,
     )
@@ -129,11 +130,17 @@ def read_pruned(spark: SparkSession, path: str, col: str, lo, hi) -> DataFrame:
 
     data_dir = resolve(path)
     index = load_stats_index(data_dir)
-    # absent, EMPTY, or built for other columns → live footer scan. The
-    # empty check matters: all() over [] is vacuously true, and a zero-entry
-    # index next to real data files (e.g. data appended outside the commit
-    # protocol) would otherwise prune to zero files and silently drop rows.
-    if not index or not all(f"{col}_min" in e for e in index):
+    # absent, EMPTY, INCOMPLETE, or built for other columns → live footer
+    # scan. Empty matters (all() over [] is vacuously true: a zero-entry
+    # index would prune to zero files); incomplete matters the same way —
+    # a data file appended outside the commit protocol has no index entry,
+    # so it is neither pruned nor kept and its rows would silently vanish
+    # from a read that promises results identical to a full scan.
+    if (
+        not index
+        or not all(f"{col}_min" in e for e in index)
+        or {e["file"] for e in index} != set(list_data_files(data_dir))
+    ):
         index = file_stats_index(data_dir, [col])
     files = prune_files(index, col, lo, hi)
     if not files:  # nothing can match; keep the schema, scan nothing
@@ -189,9 +196,12 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
     Spark's JSON writer is JSONL-native: one object per line, one file per
     partition — reference behavior at ``handler.py:193-242`` (single object)
-    generalized to a distributed sink.
+    generalized to a distributed sink. ``ignoreNullFields=false`` keeps
+    explicit ``"key": null`` entries the way ``json.dumps`` does — the
+    writer's default silently DROPS null-valued fields, changing the
+    object shape per row for any schemaless consumer.
     """
-    df.write.mode(mode).json(path)
+    df.write.mode(mode).option("ignoreNullFields", "false").json(path)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

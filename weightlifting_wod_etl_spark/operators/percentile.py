@@ -47,6 +47,12 @@ def exact_percentiles(
     """
     if len(set(cuts)) != len(cuts):
         raise ValueError(f"duplicate cuts: {cuts}")
+    bad = [p for p in cuts if not 0.0 <= p <= 1.0]
+    if bad:
+        # out-of-range cuts would silently yield all-NULL columns (no
+        # cumulation row ever exceeds the index) where SQL quantile_cont
+        # raises — fail as loudly as the engines do
+        raise ValueError(f"cuts outside [0, 1]: {bad}")
     df = df.filter(F.col(value_col).isNotNull())
     counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
     wcum = (

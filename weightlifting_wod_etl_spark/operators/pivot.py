@@ -18,8 +18,21 @@ from pyspark.sql import functions as F
 
 
 def ordered_concat_expr(order_col: str, value_col: str, sep: str = " ") -> Column:
-    """Aggregate expression: values joined by ``sep`` in ``order_col`` order."""
-    pairs = F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))
+    """Aggregate expression: values joined by ``sep`` in ``order_col`` order.
+
+    The sort key is ``struct(order IS NULL, order, value)``: the leading
+    null flag pins NULL order keys LAST (struct array_sort alone treats a
+    null field as SMALLEST, while SQL ``string_agg(... ORDER BY o)``
+    defaults to NULLS LAST — the engine's recurring asc-null divergence
+    class), and the trailing value makes ties on the order key
+    deterministic rather than shuffle-order-dependent."""
+    pairs = F.collect_list(
+        F.struct(
+            F.col(order_col).isNull().alias("z"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).alias("v"),
+        )
+    )
     return F.array_join(F.transform(F.array_sort(pairs), lambda s: s.getField("v")), sep)
 
 
