@@ -100,16 +100,21 @@ _DIRTY_ROWS = {
                 l_returnflag, l_linestatus, l_shipdate)
     """,
     "customer": """
-                (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE, NULL)
+                (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE, NULL),
+                (9000002, 'name#with (meta) [chars] $x', 3, -12.34,
+                 'BUILDING')
             ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     """,
     "supplier": """
-                (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE)
+                (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE),
+                (9000002, 'negative balance supp', 3, -999.99)
             ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
     """,
     "part": """
                 (9000001::BIGINT, NULL, NULL, NULL, NULL::INT,
-                 NULL::DOUBLE)
+                 NULL::DOUBLE),
+                (9000002, 'meta.part (x) | $end', 'Brand#55', 'TYPE x',
+                 -3, 0.0)
             ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
     """,
     "nation": """
