@@ -39,7 +39,11 @@ _DIRTY_ROWS = {
                  44, 'tiny_evt', 2.50, NULL),
                 (9000005, TIMESTAMP '2024-03-03 09:30:00',
                  45, 'tiny_evt', 7.75, NULL),
-                (9000006, NULL, 46, 'tiny_evt', 3.00, NULL),
+                -- user 3 exists at EVERY sf: the NULL ts must land inside
+                -- a real event sequence or the NULLS FIRST/LAST window
+                -- seam is invisible at the default test scale (the r10
+                -- scd2/transitions/ewma/pagerank class)
+                (9000006, NULL, 3, 'tiny_evt', 3.00, NULL),
                 (9000007, TIMESTAMP '2024-03-04 09:30:00',
                  NULL, NULL, NULL, NULL),
                 (9000008, TIMESTAMP '2024-03-05 09:30:00',

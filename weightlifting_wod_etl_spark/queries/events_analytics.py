@@ -175,7 +175,7 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id,
                epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                   PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) AS gap_us
         FROM events
     )
     SELECT user_id,
@@ -195,7 +195,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs; the average's two divisions are performed in the same order as
     the oracle so the double is bit-identical."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     us = F.unix_micros("ts")
     gaps = e.select(
         "user_id", (us - F.lag(us).over(w)).alias("gap_us")
@@ -215,7 +215,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_type
+                                     ORDER BY ts NULLS LAST, event_id) AS prev_type
         FROM events
     ), changes AS (
         SELECT user_id, event_type, ts, event_id
@@ -225,7 +225,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS state,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
            strftime(lead(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id),
+                                   ORDER BY ts NULLS LAST, event_id),
                     '%Y-%m-%d %H:%M:%S') AS valid_to
     FROM changes
     """,
@@ -242,7 +242,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sort for the whole query. Interval bounds render as formatted
     strings so parquet timestamp precision can't flip the hash."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     changes = (
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev_type", F.lag("event_type").over(w))
@@ -317,7 +317,7 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_type
+                                     ORDER BY ts NULLS LAST, event_id) AS prev_type
         FROM events
     )
     SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n,
@@ -338,7 +338,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-row AGGREGATE, not the fact table. p_next's division is one IEEE
     op on exact BIGINTs, ordered identically in the oracle."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -359,13 +359,18 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cumulative_distinct",
     oracle="""
-    WITH days AS (
-        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    WITH e AS (
+        -- a NULL timestamp has no activity day: the NULL-day spine row
+        -- would ride the global running-sum window, whose NULL placement
+        -- differs per engine (and is unstable inside DuckDB's window)
+        SELECT * FROM events WHERE ts IS NOT NULL
+    ), days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM e
     ), u AS (
-        SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+        SELECT user_id, min(date_trunc('day', ts)) AS day FROM e GROUP BY 1
     ), p AS (
         SELECT user_id, event_type, min(date_trunc('day', ts)) AS day
-        FROM events GROUP BY 1, 2
+        FROM e GROUP BY 1, 2
     ), nu AS (
         SELECT day, count(*)::BIGINT AS new_users FROM u GROUP BY 1
     ), np AS (
@@ -395,8 +400,10 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousand rows at any corpus size), so the single-partition global
     window is a deliberate non-cost, not a skew hazard. Every fact-sized
     shuffle keys on the entity id (uniform); ints throughout."""
-    e = load_table(spark, sf_dir, "events").select(
-        F.date_trunc("day", "ts").alias("day"), "user_id", "event_type"
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id", "event_type")
     )
     days = e.select("day").distinct()
     nu = (
@@ -512,7 +519,7 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT event_type AS next,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev
+                                     ORDER BY ts NULLS LAST, event_id) AS prev
         FROM events
     ), edges AS (
         SELECT prev AS src, next AS dst, count(*)::DOUBLE AS w
@@ -573,7 +580,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     edges = (
         e.select(
             F.col("event_type").alias("dst_t"),
@@ -756,7 +763,7 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT src, dst FROM (
             SELECT event_type AS src,
                    lead(event_type) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS dst
+                                          ORDER BY ts NULLS LAST, event_id) AS dst
             FROM events
         ) WHERE dst IS NOT NULL AND src <> dst
     ),
@@ -785,7 +792,7 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs — min(hops) afterwards recovers BFS depth from the walk
     expansion."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     edges = (
         e.select(
             F.col("event_type").alias("src"),

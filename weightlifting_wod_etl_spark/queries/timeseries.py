@@ -27,8 +27,10 @@ def _daily_revenue(e: DataFrame) -> DataFrame:
     """Shared (event_type, day_x, rev) daily series for the trend queries
     (q_linreg_trend, q_autocorr). ``rev`` is the order-free fixed-point
     sum — a plain round(sum(double)) is knife-edge across partial-agg
-    orders the moment values carry more than 2 decimals."""
-    return e.groupBy(
+    orders the moment values carry more than 2 decimals. NULL timestamps
+    have no day: the NULL-day row would ride q_autocorr's lag chain at an
+    engine-dependent (and DuckDB-unstable) position."""
+    return e.filter(F.col("ts").isNotNull()).groupBy(
         "event_type",
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("long")
@@ -164,10 +166,10 @@ def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                             > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     ), sess AS (
         SELECT user_id,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id,
                ts
         FROM marked
@@ -199,7 +201,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     each session's [first, last] hour; the final agg keys on the hour
     bucket — time-uniform by construction."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = e.select("user_id", "ts", "event_id").withColumn(
         "is_new",
@@ -260,7 +262,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN lag(cents, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END)
              * 100.0) AS ewma
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +282,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", to_fixed("value").alias("cents")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     num = F.col("cents") * F.lit(1.0)
     den = F.lit(1.0)
     for d in range(1, 8):
@@ -302,7 +304,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                (CAST(ts AS DATE) - DATE '1970-01-01') AS day_x,
                round(sum(round(value * 100)::BIGINT) / 100.0, 4) AS rev
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type,
            round(regr_slope(rev, day_x), 6) AS slope,
@@ -338,7 +340,7 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                (CAST(ts AS DATE) - DATE '1970-01-01') AS day_x,
                round(sum(round(value * 100)::BIGINT) / 100.0, 4) AS rev
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     lagged AS (
         SELECT event_type, rev,
