@@ -66,4 +66,11 @@ def test_bitmap_join_is_broadcast_in_plan(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan  # the bitmap side never shuffles fact
+    # Pin the WORD-INDEX join specifically: a bare "BroadcastHashJoin in
+    # plan" check also matches the tiny verify semi join, so dropping
+    # F.broadcast(bitmap) (fact shuffling on __bf_word) would slip by.
+    import re
+
+    assert re.search(r"BroadcastHashJoin \[__bf_word", plan), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # word-index + verify semi

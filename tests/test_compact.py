@@ -3,6 +3,8 @@ values preserved; already-compact tables are left untouched."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import os
 
 from pyspark.sql import functions as F
@@ -20,7 +22,7 @@ def _fingerprint(df):
 
 
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
-    src = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    src = load_table(spark, SF_SMOKE, "lineitem")
     path = str(tmp_path / "t")
     src.repartition(64).write.parquet(path)  # pathological small files
     n0, total = dir_stats(path)
@@ -44,7 +46,7 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
 
 
 def test_compaction_noop_when_already_compact(spark, tmp_path):
-    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    src = load_table(spark, SF_SMOKE, "region")
     path = str(tmp_path / "small")
     src.coalesce(1).write.parquet(path)
     files_before = sorted(
@@ -63,7 +65,7 @@ def test_compaction_noop_when_already_compact(spark, tmp_path):
 
 
 def test_compaction_with_sort_clusters_output(spark, tmp_path):
-    src = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    src = load_table(spark, SF_SMOKE, "lineitem")
     path = str(tmp_path / "sorted")
     src.repartition(32).write.parquet(path)
     _, total = dir_stats(path)

@@ -57,6 +57,11 @@ def test_never_driver_checked_queries_lead_the_window():
 
     seen: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        # regex-guarded like the staleness test below: a stray
+        # CORRECTNESS_r10_bak.json or partial-round artifact must not
+        # inject names into `seen` and mask a stranded new query
+        if not re.search(r"CORRECTNESS_r(\d+)\.json$", path):
+            continue
         with open(path) as f:
             seen |= set(json.load(f))
     never = [q for q in QUERIES if q not in seen and q not in _WINDOW_TAIL]

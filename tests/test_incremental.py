@@ -4,6 +4,8 @@ arbitrary 3-way chained merge."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 from pyspark.sql import functions as F
 
 from weightlifting_wod_etl_spark.functions.money import to_fixed
@@ -25,7 +27,7 @@ MEASURES = [
 
 
 def _src(spark):
-    return load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+    return load_table(spark, SF_SMOKE, "lineitem").withColumn(
         "qty_fp", to_fixed("l_quantity")
     )
 

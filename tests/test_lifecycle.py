@@ -5,7 +5,8 @@ deletion — every layer composing on the same path."""
 
 from __future__ import annotations
 
-import datetime
+from tests.conftest import SF_SMOKE
+
 
 from pyspark.sql import functions as F
 
@@ -24,7 +25,7 @@ from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
 def _daily(spark, lo, hi, version):
     from weightlifting_wod_etl_spark.io import load_table
 
-    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    e = load_table(spark, SF_SMOKE, "events")
     return (
         e.select(F.to_date("ts").alias("day"), "user_id", "value")
         .groupBy("day", "user_id")
@@ -97,14 +98,13 @@ def test_full_table_lifecycle(spark, tmp_path):
     assert load_stats_index(resolve(path)) is not None
 
     # 5) pruned range read over the clustered layout == filtered full read
-    lo = datetime.datetime.combine(d0, datetime.time())
-    hi = datetime.datetime.combine(d1, datetime.time())
     pruned = read_pruned(spark, path, "day", d0, d1)
     want = read_table(spark, path).filter(
         (F.col("day") >= F.lit(d0)) & (F.col("day") <= F.lit(d1))
     )
-    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, want.collect()))
-    assert lo <= hi  # bounds sane
+    got_rows = sorted(map(tuple, pruned.collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    assert got_rows, "pruned range read returned nothing — vacuous compare"
 
     # 6) right-to-be-forgotten: drop every d0 row, everything else intact
     before_others = (

@@ -3,6 +3,8 @@ job as the action — no extra scan appears in the plan."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 from pyspark.sql import functions as F
 
 from weightlifting_wod_etl_spark.io import load_table
@@ -10,7 +12,7 @@ from weightlifting_wod_etl_spark.operators.metrics import observe_quality
 
 
 def test_observed_counters_match_explicit_aggregates(spark, tmp_path):
-    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = load_table(spark, SF_SMOKE, "events")
     observed, obs = observe_quality(
         src, required=["user_id", "event_type"], measure="value"
     )
@@ -34,7 +36,7 @@ def test_observed_counters_match_explicit_aggregates(spark, tmp_path):
 
 
 def test_observation_adds_no_extra_scan(spark):
-    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = load_table(spark, SF_SMOKE, "events")
     observed, _obs = observe_quality(src, required=["user_id"])
     plan = observed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1

@@ -3,6 +3,8 @@ in .explain output, not just in docstrings."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -591,8 +593,13 @@ def test_bloom_semi_join_broadcasts_bitmap_no_nested_loop(spark, sf_dir):
     nested loop / cartesian."""
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
 
+    import re
+
     plan = _plan(QUERIES["q_bloom_semi_join"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    # pin the word-index join itself — a bare "BroadcastHashJoin in plan"
+    # also matches the verify semi join and misses a fact-side shuffle
+    assert re.search(r"BroadcastHashJoin \[__bf_word", plan), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # the exact verify join survives as a semi
@@ -690,7 +697,7 @@ def test_partitioned_layout_prunes_partitions_at_plan_time(spark, tmp_path):
 
     from weightlifting_wod_etl_spark.io import load_table, write_parquet
 
-    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
         "event_date", F.to_date("ts")
     )
     path = str(tmp_path / "events_by_date")

@@ -9,6 +9,8 @@ tiny domains force duplicate keys, equal timestamps, and boundary hits.
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import numpy as np
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -219,7 +221,7 @@ def test_new_queries_deterministic_across_runs(spark):
 
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     for name in (
         "q_pii_redact", "q_decontaminate", "q_domain_cap",
         "q_stratified_sample", "q_token_topk", "q_sequence_pack",
@@ -314,58 +316,54 @@ def test_pagerank_mass_conservation_and_bruteforce(spark, edges):
         assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
 
 
+_CMS_WORDS = [
+    "join", "hash", "customer", "window", "spark",  # q_cms_estimate's probes
+    "scan", "filter", "agg", "sort", "merge", "broadcast", "shuffle",
+]
+
+
 @given(
-    toks=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=60),
+    docs=st.lists(
+        st.lists(st.sampled_from(_CMS_WORDS), min_size=0, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
 )
 @settings(**_SETTINGS)
-def test_count_min_never_undercounts(spark, toks):
-    """CMS guarantee: for EVERY key, est = min over hash rows of its cell
-    >= the true count (cells only ever add counts of colliding keys)."""
+def test_count_min_never_undercounts(spark, docs):
+    """CMS guarantee through the PRODUCTION query: run q_cms_estimate
+    over a generated documents table and check, per probe token, that
+    est = min over hash rows >= the true count, with exact_n/overcount
+    derived correctly. (An earlier version rebuilt the sketch inline —
+    a tautology that passed with the production code deleted.)"""
+    import tempfile
+
     import pandas as pd
 
-    from pyspark.sql import functions as F
+    from weightlifting_wod_etl_spark.queries.sketches import q_cms_estimate
 
-    tdf = spark.createDataFrame(pd.DataFrame({"tok": toks}))
-    vocab = tdf.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    with tempfile.TemporaryDirectory() as sf_dir:
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(docs))),
+                "text": [" ".join(d) for d in docs],
+            }
+        ).to_parquet(f"{sf_dir}/documents.parquet")
+        got = {r.tok: r for r in q_cms_estimate(spark, sf_dir).collect()}
 
-    def bucket(k, tok):
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{k}:"), tok)), 1, 8), 16, 10)
-            .cast("long") % 8  # tiny width forces collisions
-        )
-
-    cells = (
-        vocab.select(
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(k).alias("k"), bucket(k, F.col("tok")).alias("b"))
-                    for k in range(4)
-                ])
-            ).alias("c"),
-            "n",
-        )
-        .groupBy("c.k", "c.b")
-        .agg(F.sum("n").alias("cnt"))
-    )
-    probe = vocab.select(
-        "tok", "n",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(k).alias("k"), bucket(k, F.col("tok")).alias("b"))
-                for k in range(4)
-            ])
-        ).alias("c"),
-    ).select("tok", "n", "c.k", "c.b")
-    est = (
-        probe.join(cells, ["k", "b"])
-        .groupBy("tok", "n")
-        .agg(F.min("cnt").alias("est"))
-        .collect()
-    )
-    exact = {t: toks.count(t) for t in set(toks)}
-    assert len(est) == len(exact)
-    for r in est:
-        assert r.est >= r.n == exact[r.tok], (r.tok, r.est, r.n)
+    toks = [t for d in docs for t in d]
+    probes = ["join", "hash", "customer", "window", "spark"]
+    for tok in probes:
+        true_n = toks.count(tok)
+        if tok not in got:
+            # inner probe join: a probe only vanishes when all 4 of its
+            # cells are empty — impossible if the token itself occurs
+            assert true_n == 0, (tok, true_n)
+            continue
+        r = got[tok]
+        assert r.exact_n == true_n, (tok, r.exact_n, true_n)
+        assert r.cms_est >= true_n, (tok, r.cms_est, true_n)
+        assert r.overcount == r.cms_est - true_n
 
 
 def test_mad_fence_robust_to_planted_outlier(spark):

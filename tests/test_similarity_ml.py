@@ -13,6 +13,8 @@ composition + determinism, not on which quantizer wins."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 from pyspark.sql import functions as F
 
 from weightlifting_wod_etl_spark.io import load_table
@@ -35,7 +37,7 @@ def test_kmeans_centroids_feed_ivf_and_beat_seed_baseline(spark):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
         "vec_id", "embedding"
     )
     probe = emb.orderBy("vec_id").limit(1).select("embedding")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import os
 import shutil
 import tempfile
@@ -82,7 +84,7 @@ def test_weekly_rollup_path(spark, tmp):
 def test_csv_round_trip_explicit_schema(spark, tmp):
     from weightlifting_wod_etl_spark.io import load_table, read_csv, write_csv
 
-    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    orders = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     path = f"{tmp}/orders_csv"
@@ -99,7 +101,7 @@ def test_orc_round_trip(spark, tmp):
     predicate-pushdown path (native Spark, no extra packages)."""
     from weightlifting_wod_etl_spark.io import load_table
 
-    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    orders = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     path = f"{tmp}/orders_orc"
@@ -213,7 +215,7 @@ def test_xml_round_trip_explicit_schema(spark, tmp):
     WXR exports in the reference's WordPress world), explicit schema."""
     from weightlifting_wod_etl_spark.io import load_table, read_xml, write_xml
 
-    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    orders = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     path = f"{tmp}/orders_xml"

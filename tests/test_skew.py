@@ -15,9 +15,12 @@ def test_salted_groupby_equals_direct(spark, sf_dir):
     from weightlifting_wod_etl_spark.operators.skew import salted_groupby
 
     ev = _events(spark, sf_dir)
+    # reference must mirror the operator's NULL-SKIPPING count(col)
+    # semantics — count(*) only agrees because sf events.value happens to
+    # contain no NULLs, which would mask a count(*) regression in skew.py
     direct = (
         ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
         .orderBy("user_id")
         .collect()
     )

@@ -4,6 +4,8 @@ table prunes on both dimensions, a linear sort only on its sort key."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 from pyspark.sql import functions as F
 
 from weightlifting_wod_etl_spark.io import load_table
@@ -16,7 +18,7 @@ from weightlifting_wod_etl_spark.operators.zorder import zorder_write
 
 
 def _layouts(spark, tmp_path):
-    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+    src = load_table(spark, SF_SMOKE, "lineitem").select(
         (F.col("l_orderkey") % 256).cast("long").alias("a"),
         F.floor((F.col("l_partkey") % 200) * 256 / 200).cast("long").alias("b"),
         "l_quantity",
@@ -77,7 +79,7 @@ def test_orphaned_staging_dir_is_never_indexed(spark, tmp_path):
     ever sees (ADVICE r7: the recursive glob descended into it)."""
     from weightlifting_wod_etl_spark.io import read_pruned
 
-    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    src = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     path = str(tmp_path / "tbl")
@@ -106,7 +108,7 @@ def test_read_pruned_scans_fewer_files_with_identical_results(spark, tmp_path):
     while returning exactly the full-scan-plus-filter result."""
     from weightlifting_wod_etl_spark.io import read_pruned
 
-    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    src = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     path = str(tmp_path / "orders_clustered")
@@ -141,7 +143,7 @@ def test_read_pruned_scans_fewer_files_with_identical_results(spark, tmp_path):
 def test_read_pruned_empty_range_keeps_schema(spark, tmp_path):
     from weightlifting_wod_etl_spark.io import read_pruned
 
-    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    src = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_orderdate"
     )
     path = str(tmp_path / "orders_empty")
@@ -169,7 +171,7 @@ def test_persisted_index_is_committed_with_version_and_consumed(
     from weightlifting_wod_etl_spark.operators.skipping import load_stats_index
     from weightlifting_wod_etl_spark.operators.versioned import resolve
 
-    src = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+    src = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     path = str(tmp_path / "orders_vt")

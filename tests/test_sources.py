@@ -242,7 +242,9 @@ class TestStreamingPosts:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finished = q.awaitTermination(120)
+        assert finished, "wod_posts stream still running after 120s"
+        assert q.exception() is None, q.exception()
         return spark.read.parquet(out)
 
     def test_offset_resume_and_contiguous_cursor(self, posts_reader, tmp_path):

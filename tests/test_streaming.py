@@ -3,6 +3,8 @@ cross-checked against the batch plan on the same data."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import os
 import shutil
 import tempfile
@@ -19,7 +21,7 @@ def stream_dirs(spark):
 
     # load_table normalizes whatever physical ts encoding the testdata
     # generation shipped (ns-as-bigint, NTZ micros, tz-aware micros).
-    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = load_table(spark, SF_SMOKE, "events")
     tmp = tempfile.mkdtemp(prefix="wod_stream_")
     in_dir = os.path.join(tmp, "in")
     ckpt = os.path.join(tmp, "ckpt")
@@ -41,7 +43,12 @@ def _run_stream(spark, df, ckpt, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    # A still-running query here means a partially-written sink: the
+    # tolerance-based assertions below could pass on partial data, so a
+    # hang must fail loudly instead of shipping as a flaky mismatch.
+    assert finished, f"stream {name} still running after 300s"
+    assert q.exception() is None, q.exception()
     return spark.table(name)
 
 
@@ -100,6 +107,13 @@ def test_stateful_sessionizer_stream(spark, stream_dirs):
         key = (r.user_id, r.session_start)
         if key in batch:
             assert batch[key][0] == r.n_events
+            # both sides round to 2dp; allow one ulp of the last digit
+            # for accumulation-order drift at a rounding knife-edge
+            assert abs(batch[key][1] - float(r.sum_value)) < 0.015, (
+                key,
+                batch[key],
+                r.sum_value,
+            )
             matched += 1
     assert matched >= len(got) * 0.9
 
@@ -205,7 +219,7 @@ def test_stateless_curation_ops_run_in_streaming_mode(spark):
 
     from weightlifting_wod_etl_spark.io import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_SMOKE, "documents")
     tmp = tempfile.mkdtemp(prefix="wod_curation_stream_")
     in_dir = os.path.join(tmp, "in")
     docs.coalesce(2).write.parquet(in_dir)
@@ -346,6 +360,13 @@ def test_transform_with_state_sessionizer_stream(spark, stream_dirs):
         key = (r.user_id, r.session_start)
         if key in batch:
             assert batch[key][0] == r.n_events
+            # both sides round to 2dp; allow one ulp of the last digit
+            # for accumulation-order drift at a rounding knife-edge
+            assert abs(batch[key][1] - float(r.sum_value)) < 0.015, (
+                key,
+                batch[key],
+                r.sum_value,
+            )
             matched += 1
     assert matched >= len(got) * 0.9
 

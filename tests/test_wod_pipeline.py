@@ -10,6 +10,8 @@ Expected values are derived from the reference semantics
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import pytest
 
 POST_1_HTML = """<p>Intro preamble that is dropped</p>
@@ -165,7 +167,7 @@ def test_load_table_restores_nanos_conf(spark):
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prior = spark.conf.get(key, None)
-    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = load_table(spark, SF_SMOKE, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"  # normalization intact
     assert df.count() > 0
     assert spark.conf.get(key, None) == prior  # no session-wide leak

@@ -4,6 +4,8 @@ tight in EVERY clustered dimension, not just the first sort column."""
 
 from __future__ import annotations
 
+from tests.conftest import SF_SMOKE
+
 import glob
 import os
 
@@ -56,7 +58,7 @@ def test_zorder_write_tightens_every_dimension(spark, tmp_path):
     # (the operator docstring's normalization requirement — this test
     # originally tripped exactly that with a 10-bit vs ~8-bit pair)
     src = (
-        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        load_table(spark, SF_SMOKE, "lineitem")
         .select(
             (F.col("l_orderkey") % 256).cast("long").alias("a"),
             F.floor((F.col("l_partkey") % 200) * 256 / 200).cast("long").alias("b"),
@@ -93,7 +95,7 @@ def test_zorder_layout_is_deterministic(spark, tmp_path):
     """Two writes of the same frame — with unrelated jobs run in between,
     the exact condition that drifted repartitionByRange's sampled bounds —
     must produce bit-identical per-file (min, max) spans."""
-    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+    src = load_table(spark, SF_SMOKE, "lineitem").select(
         (F.col("l_orderkey") % 256).cast("long").alias("a"),
         F.floor((F.col("l_partkey") % 200) * 256 / 200).cast("long").alias("b"),
     )
@@ -126,7 +128,7 @@ def test_zorder_recluster_crash_leaves_old_or_new(spark, tmp_path, monkeypatch):
     from weightlifting_wod_etl_spark.io import read_pruned
 
     path = str(tmp_path / "live")
-    src = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+    src = load_table(spark, SF_SMOKE, "lineitem").select(
         (F.col("l_orderkey") % 256).cast("long").alias("a"),
         (F.col("l_partkey") % 256).cast("long").alias("b"),
     )
