@@ -163,6 +163,23 @@ HEADLINE = [
     "q_corpus_mixture",
     "q_tumbling_window",
     "q_sliding_window",
+    # round-10 policy audit — twelve registered queries whose own
+    # docstrings name a shuffle (set ops, bounded-key token/bin
+    # aggregates, per-user Exchange, rank sort, fingerprint window,
+    # global HLL agg, anti-join) were still unbenched, violating the
+    # membership rule above. Benched from here on.
+    "q_set_ops",
+    "q_set_ops_all",
+    "q_token_topk",
+    "q_event_gap_stats",
+    "q_rank_fns",
+    "q_argmax_events",
+    "q_decimal_agg",
+    "q_histogram",
+    "q_text_stats",
+    "q_approx_distinct",
+    "q_anti_scalar_sub",
+    "q_canonical_rep",
 ]
 
 
@@ -218,6 +235,13 @@ def _best_prior_timings(sf_val: float | str) -> dict[str, float]:
         except (OSError, json.JSONDecodeError):
             continue
     for path in sorted(glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))):
+        # same guards as the detail loop: non-canonical names (e.g. a
+        # stray *_bak copy) and same-round artifacts must not fold in —
+        # a fast contended sample saved earlier in THIS round would
+        # otherwise suppress the round-closing REGRESSION warning.
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) >= current:
+            continue
         try:
             with open(path) as f:
                 fold(json.load(f).get("parsed") or {})
@@ -281,10 +305,13 @@ def main() -> None:
     # Regression diff vs the best prior round AT THIS sf: ratio per query,
     # loud (but non-fatal — stderr) on >2x so a perf cliff can't ship unnoticed.
     prior = _best_prior_timings(sf_val)
+    # sec/prior can round to 0.0 for sub-millisecond timings; a zero
+    # ratio would blow up the geomean's log below and kill main() after
+    # the detail write but before the summary line the driver parses.
     vs_prev = {
         name: round(sec / prior[name], 3)
         for name, sec in timings.items()
-        if name in prior
+        if name in prior and prior[name] > 0 and round(sec / prior[name], 3) > 0
     }
     for name, ratio in sorted(vs_prev.items(), key=lambda kv: -kv[1]):
         if ratio > 2.0:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -97,7 +98,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_SMOKE.json"))
-    ap.add_argument("--scaled-dir", default="/tmp/wod_scale")
+    ap.add_argument(
+        "--scaled-dir",
+        default=None,
+        help="directory for the scaled dataset (default: "
+        "/tmp/wod_scale_<factor>x); used exactly as given",
+    )
+    ap.add_argument(
+        "--keep-scaled",
+        action="store_true",
+        help="keep the scaled dataset after the run (default: delete it "
+        "— it is multiple GB per factor)",
+    )
     args = ap.parse_args()
 
     from weightlifting_wod_etl_spark.queries_registry import QUERIES as REG
@@ -107,7 +119,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    scaled_dir = f"{args.scaled_dir}{args.factor}"
+    # a user-supplied dir is used verbatim (the old f"{dir}{factor}"
+    # concatenation silently wrote /data/myscale10 for --scaled-dir
+    # /data/myscale); only the default embeds the factor
+    scaled_dir = args.scaled_dir or f"/tmp/wod_scale_{args.factor}x"
     t0 = time.perf_counter()
     build_scaled(spark, args.factor, scaled_dir)
     build_s = round(time.perf_counter() - t0, 1)
@@ -137,6 +152,8 @@ def main() -> None:
     ]
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
+    if not args.keep_scaled:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
     print(json.dumps(report))
 
 
