@@ -180,6 +180,10 @@ HEADLINE = [
     "q_approx_distinct",
     "q_anti_scalar_sub",
     "q_canonical_rep",
+    # r11: streaming-contract queries, benched from birth (both
+    # shuffle-bearing: CDC merge pipeline / interval equi-join + band)
+    "q_cdc_apply",
+    "q_interval_join",
 ]
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table, read_table
+from ..queries_registry import register
 
 ORACLE_CDC_APPLY = """
 WITH base AS (
@@ -67,6 +68,7 @@ SELECT k, status, val FROM latest WHERE op <> 'D'
 """
 
 
+@register("q_cdc_apply", ORACLE_CDC_APPLY)
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a CDC change batch into a table via the production
     foreachBatch path (streaming/cdc_apply.py) and return the table.
@@ -148,6 +150,7 @@ GROUP BY user_id
 """
 
 
+@register("q_interval_join", ORACLE_INTERVAL_JOIN)
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases within 30 minutes of a click by the same user, through
     ``streaming.joins.interval_join`` on batch frames, aggregated per
