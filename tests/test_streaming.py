@@ -744,6 +744,87 @@ def test_tws_processor_late_event_never_regresses_open_session():
     assert handle.timers[-1] >= t_open
 
 
+def test_tws_processor_merges_consecutive_late_events():
+    """ADVICE r10: two very-late events in the same batch within gap_us of
+    each other used to emit one singleton EACH, diverging from batch
+    gap_sessionize which merges them into one session. The sweep now
+    gap-merges (state ∪ batch), so a late chain becomes one session, and
+    a chain reaching the open session's horizon merges into it."""
+    import pandas as pd
+
+    from weightlifting_wod_etl_spark.streaming.sessions import (
+        make_gap_session_processor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ts_ms):
+            self.timers.append(ts_ms)
+
+    proc = make_gap_session_processor(gap_seconds=1800)
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def hours(h):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)
+
+    # batch 1: open session at h=10
+    b1 = pd.DataFrame({"ts": [hours(10)], "value": [1.0]})
+    assert not list(proc.handleInputRows((7,), iter([b1]), None))
+
+    # batch 2: three very-late events — h=8 and h=8.4 are within the
+    # 30-min gap of each other (ONE merged session, not two singletons);
+    # h=5 stands alone (its own singleton)
+    b2 = pd.DataFrame(
+        {"ts": [hours(8.4), hours(5), hours(8)], "value": [2.0, 8.0, 4.0]}
+    )
+    out = pd.concat(list(proc.handleInputRows((7,), iter([b2]), None)))
+    out = out.sort_values("session_start").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.iloc[0].session_start == out.iloc[0].session_end == hours(5)
+    assert out.iloc[0].n_events == 1 and out.iloc[0].sum_value == 8.0
+    assert out.iloc[1].session_start == hours(8)
+    assert out.iloc[1].session_end == hours(8.4)
+    assert out.iloc[1].n_events == 2 and out.iloc[1].sum_value == 6.0
+    # open session untouched
+    start_us, last_us, n, total = handle.state.get()
+    assert start_us // 1_000_000 == int(hours(10).timestamp())
+    assert n == 1 and total == 1.0
+
+    # batch 3: a late CHAIN h=9.0 → h=9.4 → h=9.8 that connects through
+    # to the open session at h=10 — everything merges, nothing emits
+    b3 = pd.DataFrame(
+        {"ts": [hours(9.0), hours(9.8), hours(9.4)], "value": [1.0, 1.0, 1.0]}
+    )
+    assert not list(proc.handleInputRows((7,), iter([b3]), None))
+    start_us, last_us, n, total = handle.state.get()
+    assert start_us // 1_000_000 == int(hours(9.0).timestamp())
+    assert last_us // 1_000_000 == int(hours(10).timestamp())
+    assert n == 4 and total == 4.0
+
+
 def test_stateful_sessionize_out_of_order_microbatch_no_inverted_sessions(
     spark, tmp_path
 ):

@@ -568,6 +568,42 @@ def test_abort_commit_after_flip_is_noop(spark, tmp_path):
     assert read_table(spark, path).count() == 7
 
 
+def test_abort_commit_after_flip_releases_own_stranded_lock(spark, tmp_path):
+    """ADVICE r10 (low): a failure landing BETWEEN finish_commit's
+    os.replace and its lock unlink left abort_commit's early return
+    stranding this process's own .lock_v{version} forever (never
+    consulted again — future versions use new lock names — but litter
+    that defeats 'no _lock files at rest' invariant checks). abort must
+    still release its OWN lock on the early-return path, while a
+    foreign lock is left untouched."""
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        _lock_path,
+        abort_commit,
+    )
+
+    path = str(tmp_path / "strandedlock")
+    spark.range(3).write.parquet(path)
+    staging, v = begin_commit(path)
+    spark.range(7).write.parquet(staging)
+    finish_commit(path, v)
+
+    # recreate the crash window: pointer already flipped, own lock present
+    lock = _lock_path(path, v)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    abort_commit(path, v)
+    assert not os.path.exists(lock)  # own stranded lock released
+    assert current_version(path) == v
+    assert read_table(spark, path).count() == 7  # live data untouched
+
+    # a FOREIGN lock in the same window is never clobbered
+    with open(lock, "w") as f:
+        f.write(str(os.getpid() + 1))
+    abort_commit(path, v)
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _RACER = r"""

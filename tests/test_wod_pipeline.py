@@ -198,6 +198,15 @@ def test_extract_date_range_reference_flow(spark):
         ("february-1-30-2024", "April 1-7, 2024", None, None),
         (None, "NotAMonth 1-7, 2024", None, None),
         (None, None, None, None),
+        # ADVICE r10: month capture is (\w+) verbatim — a digit- or
+        # underscore-prefixed token MATCHES the slug pattern, fails the
+        # month lookup, and yields (None, None); the title behind it is
+        # never consulted (all three executed against the reference)
+        ("2024april-1-7-2024", "April 1-7, 2024", None, None),
+        ("x_april-1-7-2024", "April 1-7, 2024", None, None),
+        # days are (\d+) verbatim: a 3-digit day MATCHES the slug pattern
+        # and dies in date construction — atomic, no title fall-through
+        ("april-123-7-2024", "May 1-7, 2024", None, None),
     ]
     df = spark.createDataFrame(
         [(s, t) for s, t, _, _ in cases], "slug string, title string"

@@ -65,9 +65,18 @@ def date_spine(start: Column, num_days: Column | int) -> Column:
 # slug form: 'april-1-7-2024' (month-d1-d2-year); title form
 # 'April 1-7, 2024' — \s+ runs and [,\s]+ before the year exactly as the
 # reference's title/variation patterns allow (transforms.py:70-87; the
-# comma-less "variation" pattern is subsumed by [,\s]+)
-_SLUG_PAT = r"([a-zA-Z]+)-(\d{1,2})-(\d{1,2})-(\d{4})"
-_TITLE_PAT = r"([a-zA-Z]+)\s+(\d{1,2})-(\d{1,2})[,\s]+(\d{4})"
+# comma-less "variation" pattern is subsumed by [,\s]+).
+# Captures mirror the reference VERBATIM (transforms.py:68,76): month is
+# (\w+) — so a digit-prefixed token like '2024april-1-7-2024' MATCHES,
+# fails the month lookup, and yields (NULL, NULL) with no fall-through to
+# the title pattern — and days are (\d+), so 'april-123-7-2024' matches
+# and dies in make_date (the reference's ValueError), again without
+# falling through to a title that might otherwise parse. (Java \w/\d are
+# ASCII where Python's are unicode-aware; for month tokens the unicode
+# difference is unobservable — any non-ASCII month fails the English
+# month lookup either way.)
+_SLUG_PAT = r"(\w+)-(\d+)-(\d+)-(\d{4})"
+_TITLE_PAT = r"(\w+)\s+(\d+)-(\d+)[,\s]+(\d{4})"
 
 
 def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Column, Column]:

@@ -313,11 +313,22 @@ def abort_commit(path: str, version: int, *, keep_staging: bool = False) -> None
     orphaned staging — so this is a no-op: rmtree'ing it would leave the
     pointer dangling at a deleted directory. Callers wrap
     ``finish_commit`` in the same try/except, and a ``KeyboardInterrupt``
-    or GC-loop ``OSError`` can land after the ``os.replace``."""
+    or GC-loop ``OSError`` can land after the ``os.replace``. Even then
+    this process's own lock is still released (the failure can land
+    between ``finish_commit``'s ``os.replace`` and its lock unlink, and
+    no later writer ever consults ``.lock_v{version}`` again — left
+    behind it would violate the 'no _lock files at rest' invariant)."""
     if current_version(path) >= version:
+        _release_own_lock(path, version)
         return
     if not keep_staging:
         shutil.rmtree(os.path.join(path, f"_v{version:06d}"), ignore_errors=True)
+    _release_own_lock(path, version)
+
+
+def _release_own_lock(path: str, version: int) -> None:
+    """Unlink ``version``'s lock iff it is owned by THIS process — a
+    racer's fresh lock is never clobbered. Idempotent."""
     lock = _lock_path(path, version)
     try:
         with open(lock) as f:

@@ -82,35 +82,36 @@ def stateful_gap_sessionize(
         for pdf in pdf_iter:
             ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
             val_list.extend(float(v) for v in pdf["value"])
-        order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+        # One unit interval per event plus the open-session interval from
+        # state, then a single gap-merge sweep over start-sorted intervals
+        # — which IS batch gap-sessionize semantics over (state ∪ batch).
+        # Consecutive very-late events within gap_us of each other merge
+        # into ONE late session (ADVICE r10) instead of one singleton
+        # each; a late chain that reaches the open session's gap horizon
+        # merges into it. Only sessions emitted in PRIOR batches can
+        # never retro-merge (single-session state — the documented
+        # streaming/batch divergence). Bounds never regress: the open
+        # session only ever absorbs intervals, so its end is monotone.
+        intervals = [(t, t, 1, v) for t, v in zip(ts_list, val_list)]
         if state.exists:
-            start_us, last_us, n, total = state.get
-        else:
-            start_us = last_us = None
-            n, total = 0, 0.0
-        out = []
-        for i in order:
-            t, v = ts_list[i], val_list[i]
-            if last_us is None:
-                start_us, last_us, n, total = t, t, 1, v
-            elif t > last_us + gap_us:
-                out.append((user_id, start_us, last_us, n, total))
-                start_us, last_us, n, total = t, t, 1, v
-            elif t < start_us - gap_us:
-                # very-late event (inside the watermark, before the open
-                # session's reach): its own session is already gone, and
-                # single-session state cannot retro-merge — emit it as a
-                # singleton session rather than silently regressing the
-                # open session's bounds (which produced end < start rows)
-                out.append((user_id, t, t, 1, v))
+            s0, l0, n0, tot0 = state.get
+            if l0 is not None:
+                intervals.append((s0, l0, n0, tot0))
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list] = []
+        for s, e, cnt, tot in intervals:
+            if merged and s <= merged[-1][1] + gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], e)
+                m[2] += cnt
+                m[3] += tot
             else:
-                # in or adjacent to the open session, possibly out of
-                # order within the watermark: extend bounds, NEVER regress
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-                total += v
-        state.update((start_us, last_us, n, total))
+                merged.append([s, e, cnt, tot])
+        out = [(user_id, s, e, cnt, tot) for s, e, cnt, tot in merged[:-1]]
+        if merged:
+            state.update(tuple(merged[-1]))
+        else:
+            state.update((None, None, 0, 0.0))
         if out:
             df = pd.DataFrame(
                 out, columns=["user_id", "s", "e", "n_events", "sum_value"]
@@ -180,34 +181,32 @@ def make_gap_session_processor(gap_seconds: int = 1800):
             for pdf in rows:
                 ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
                 vals.extend(float(v) for v in pdf["value"])
-            order = sorted(range(len(ts)), key=lambda i: ts[i])
+            # Same interval gap-merge sweep as stateful_gap_sessionize:
+            # batch gap-sessionize semantics over (state ∪ batch), so
+            # consecutive very-late events merge with each other and with
+            # the open session when chains connect (ADVICE r10); bounds
+            # never regress (the open session only absorbs intervals), so
+            # the re-armed close timer is never earlier than the horizon
+            # already promised.
+            intervals = [(t, t, 1, v) for t, v in zip(ts, vals)]
             cur = self._state.get() if self._state.exists() else None
-            if cur is not None:
-                start_us, last_us, n, total = cur
-            else:
-                start_us = last_us = None
-                n, total = 0, 0.0
-            for i in order:
-                t, v = ts[i], vals[i]
-                if last_us is None:
-                    start_us, last_us, n, total = t, t, 1, v
-                elif t > last_us + gap_us:
-                    yield self._emit(user_id, (start_us, last_us, n, total))
-                    start_us, last_us, n, total = t, t, 1, v
-                elif t < start_us - gap_us:
-                    # very-late event before the open session's reach:
-                    # emit as a singleton (same rationale as the
-                    # applyInPandasWithState variant above)
-                    yield self._emit(user_id, (t, t, 1, v))
+            if cur is not None and cur[1] is not None:
+                intervals.append(tuple(cur))
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+            merged = []
+            for s, e, cnt, tot in intervals:
+                if merged and s <= merged[-1][1] + gap_us:
+                    m = merged[-1]
+                    m[1] = max(m[1], e)
+                    m[2] += cnt
+                    m[3] += tot
                 else:
-                    # out-of-order within the watermark: extend, never
-                    # regress — a regressed last_us would also re-arm the
-                    # close timer at an earlier horizon and flush the open
-                    # session prematurely
-                    start_us = min(start_us, t)
-                    last_us = max(last_us, t)
-                    n += 1
-                    total += v
+                    merged.append([s, e, cnt, tot])
+            for s, e, cnt, tot in merged[:-1]:
+                yield self._emit(user_id, (s, e, cnt, tot))
+            if not merged:
+                return
+            start_us, last_us, n, total = merged[-1]
             self._state.update((start_us, last_us, n, total))
             # (re-)arm the close timer: fires once the watermark passes the
             # open session's gap horizon
