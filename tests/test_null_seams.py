@@ -49,7 +49,22 @@ _DIRTY_ROWS = {
                 (9000008, TIMESTAMP '2024-03-05 09:30:00',
                  47, 'big_evt', 12345678.99, NULL),
                 (9000009, TIMESTAMP '2024-03-05 10:30:00',
-                 48, 'big_evt', -42.37, NULL)
+                 48, 'big_evt', -42.37, NULL),
+                -- r11 interval-join seams: a purchase EXACTLY at the
+                -- 30-minute band edge (inclusivity knife-edge), a
+                -- zero-delay purchase at the click instant, a click with
+                -- a NULL bound (NULL ts must pair with nothing), and a
+                -- purchase with no user (equi-join key NULL)
+                (9000010, TIMESTAMP '2024-03-06 12:00:00',
+                 49, 'click', 1.00, NULL),
+                (9000011, TIMESTAMP '2024-03-06 12:30:00',
+                 49, 'purchase', 2.00, NULL),
+                (9000012, TIMESTAMP '2024-03-06 12:00:00',
+                 49, 'purchase', 3.00, NULL),
+                (9000013, NULL, 49, 'click', 4.00, NULL),
+                (9000014, TIMESTAMP '2024-03-06 12:15:00',
+                 NULL, 'purchase', 5.00, NULL),
+                (9000015, NULL, 49, 'purchase', 6.00, NULL)
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """
@@ -80,12 +95,17 @@ _DIRTY_ROWS = {
                                          i -> ((i % 7) - 3)::FLOAT / 8), NULL)
             ) t(vec_id, embedding, label)
     """,
-    # orphan order (custkey NULL), all-NULL-attrs order, and an order in
-    # a month no clean row occupies
+    # orphan order (custkey NULL), all-NULL-attrs order, an order in
+    # a month no clean row occupies, and (r11) a NULL primary key — a
+    # NULL o_orderkey must drop consistently through every modulo
+    # filter, join, and NOT IN / anti-join on the key (the CDC base and
+    # change-batch derivations both filter on o_orderkey % n)
     "orders": """
                 (9000001::BIGINT, NULL::BIGINT, 'O', 123.45::DOUBLE,
                  TIMESTAMP '2031-07-15 00:00:00', '1-URGENT'),
-                (9000002, 1, NULL, NULL, NULL, NULL)
+                (9000002, 1, NULL, NULL, NULL, NULL),
+                (NULL, 2, 'F', 77.77, TIMESTAMP '2031-09-01 00:00:00',
+                 '3-MEDIUM')
             ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority)
     """,

@@ -678,6 +678,39 @@ def test_cdc_null_op_row_is_an_upsert_not_silently_dropped(spark, tmp_path):
     assert got == {1: "new", 2: "ins"}
 
 
+def test_cdc_null_sequence_loses_to_numbered_change(spark, tmp_path):
+    """r11 dirty-parity class: out-of-order duplicates with NULL sequence
+    numbers. seq.desc() is NULLS LAST in Spark, so a NULL-seq change must
+    lose the in-batch collapse to ANY numbered change for the same key;
+    two NULL-seq changes for one key pick a stable winner via the
+    full-column tie-break (replay-idempotent); a key whose only change
+    has NULL seq still applies."""
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    target = str(tmp_path / "nullseq")
+    spark.createDataFrame(
+        [(1, "base1"), (2, "base2")], "k long, payload string"
+    ).write.parquet(target)
+    batch = spark.createDataFrame(
+        [
+            (1, "U", None, "null_seq_loser"),
+            (1, "U", 1, "numbered_winner"),
+            (2, "U", None, "aaa"),  # two NULL-seq changes: tiebreak
+            (2, "U", None, "zzz"),  # picks the column-order max
+            (3, "U", None, "only_change"),
+        ],
+        "k long, op string, seq long, payload string",
+    ).repartition(4)
+    apply = make_cdc_apply(target, on=["k"], seq_col="seq")
+    apply(batch, 0)
+    got = {r.k: r.payload for r in read_table(spark, target).collect()}
+    assert got == {1: "numbered_winner", 2: "zzz", 3: "only_change"}
+    apply(batch, 1)  # at-least-once replay converges
+    again = {r.k: r.payload for r in read_table(spark, target).collect()}
+    assert again == got
+
+
 def test_tws_processor_late_event_never_regresses_open_session():
     """Review r10: a late-but-in-watermark event used to set last_us
     backwards unconditionally — emitting inverted sessions (end < start)

@@ -128,6 +128,11 @@ def main() -> None:
     warm = "/tmp/wod_merge_scale_warmup"
     build_clustered(spark, 10_000, 4, warm)
     one_merge(spark, warm, keys_lo=9_000, n_keys=2_000)
+    # VERDICT r10 #6: also warm cdc_apply's own plan shapes (stack
+    # expansion, window collapse, delete+upsert double merge) — without
+    # this, cdc batch 0 paid ~3.8 s vs a 2.5-2.8 s steady state and
+    # inflated cdc_mean_seconds with session warmup, not merge cost.
+    cdc_run(spark, warm, n_batches=1, batch_rows=1_000)
     shutil.rmtree(warm, ignore_errors=True)
 
     report: dict = {

@@ -55,6 +55,14 @@ QUERIES = [
     "q_skew_agg",       # salted aggregation (hot key grows Kx)
     "q_minhash_lsh",    # LSH banding (duplicate docs Kx -> bucket growth)
     "q_streaks",        # gaps-and-islands
+    # r11 (VERDICT r10 #4): the three most expensive non-TPC-H benched
+    # plans — docstrings claim shuffle-free / bounded-key behavior at
+    # scale; measure it instead of asserting it
+    "q_trigram_entropy",   # zero-shuffle per-row run-length fold
+    "q_bigram_lm_score",   # bounded vocab bigram LM
+    "q_embed_neardup",     # bucketed embedding near-dup
+    # r11 streaming-contract registrations, scale-checked from birth
+    "q_interval_join",     # user_id equi-join + 30-min band filter
 ]
 
 

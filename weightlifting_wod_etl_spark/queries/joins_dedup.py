@@ -154,8 +154,14 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_id, c.user_id,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-           p.event_id AS purchase_id,
-           round(p.value, 2) AS purchase_value
+           -- NULL click ts matches NOTHING (c.ts >= p.ts is NULL-false —
+           -- the engine's semantics); DuckDB's native ASOF instead sorts
+           -- a NULL probe ts past every right ts and hands it the user's
+           -- LATEST purchase, so pin the SQL comparison semantics here
+           CASE WHEN c.ts IS NULL THEN NULL
+                ELSE p.event_id END AS purchase_id,
+           CASE WHEN c.ts IS NULL THEN NULL
+                ELSE round(p.value, 2) END AS purchase_value
     FROM clicks c ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
