@@ -109,7 +109,9 @@ def neardup_pairs(
     products run once per distinct-vector pair (plus one self-sim per
     group), and the m²-sized pair list is re-expanded from the id lists
     with zero arithmetic. Same output, compute linear in distinct
-    vectors: the smoke ratio fell 57.7× → ~4× at 30× replication.
+    vectors: the committed SCALE_SMOKE_30.json ratio fell 57.7× → ~1×
+    (measured 0.67× — 30× replicas collapse to the SAME distinct set, so
+    the work is genuinely flat and the sub-1.0 residue is run noise).
 
     At 100 TB the bucket is the shuffle key: no broadcast, no driver state,
     skew bounded by 2^n_bits balanced sign buckets (random projections give
@@ -163,24 +165,38 @@ def neardup_pairs(
     )
     # within-group pairs: identical vectors — one self-sim per group
     # (NULL for zero-norm, same guard as any pair), combinations from the
-    # id list with no join and no dot products
+    # id list with no join and no dot products. Expansion is CHUNKED:
+    # posexplode each id first, then slice its strictly-later partners —
+    # per-row memory O(m), never the single C(m,2)-element array a
+    # flatten-of-combinations would build (at m ≈ 66k that array passes
+    # 2^31 elements and the task dies; far below that it OOMs the
+    # executor — the exact mass-duplicate regime this collapse targets).
     self_sim = _sim_from_parts(
         F.col(vec_col), F.col(vec_col), F.col("__norm"), F.col("__norm")
     )
-    pair_combos = F.expr(
-        "flatten(transform(sequence(1, size(__ids) - 1), i -> "
-        "transform(slice(__ids, i + 1, size(__ids) - i), x -> "
-        "struct(least(element_at(__ids, i), x) AS id_a, "
-        "greatest(element_at(__ids, i), x) AS id_b))))"
-    )
     within = (
         g.filter(F.size("__ids") >= 2)
-        .select(pair_combos.alias("__pairs"), self_sim.alias("cos_sim"))
+        .select("__ids", self_sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cosine)
-        .select(F.explode("__pairs").alias("__p"), "cos_sim")
         .select(
-            F.col("__p.id_a").alias("id_a"),
-            F.col("__p.id_b").alias("id_b"),
+            "__ids", "cos_sim", F.posexplode("__ids").alias("__i", "__ia")
+        )
+        .select(
+            "__ia",
+            # 1-based slice starting just past position __i (0-based):
+            # each unordered id pair appears exactly once
+            F.explode(
+                F.slice(
+                    F.col("__ids"),
+                    F.col("__i") + F.lit(2),
+                    F.size("__ids") - F.col("__i") - F.lit(1),
+                )
+            ).alias("__ib"),
+            "cos_sim",
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
             "cos_sim",
         )
     )

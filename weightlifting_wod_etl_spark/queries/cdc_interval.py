@@ -87,9 +87,16 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.round("o_totalprice", 2).alias("val"),
     )
+    # pid suffix: the path is per-process, so a bench run overlapping a
+    # test run (or parallel pytest workers) at the same sf can never race
+    # one process's overwrite against another's mid-commit merge; within
+    # one process reruns still share the dir and stay deterministic
+    # (rebuilt from scratch each call)
     scratch = os.path.join(
         tempfile.gettempdir(),
-        "wod_etl_cdc_apply_" + _re.sub(r"\W+", "_", sf_dir).strip("_"),
+        "wod_etl_cdc_apply_"
+        + _re.sub(r"\W+", "_", sf_dir).strip("_")
+        + f"_{os.getpid()}",
     )
     base.write.mode("overwrite").parquet(scratch)  # fresh base every run
 
