@@ -483,3 +483,114 @@ def test_stream_restart_after_retention_deletion_not_wedged(tmp_path):
     assert r2.latestOffset() == {"next_page": 7}  # not wedged at 1
     parts = r2.partitions({"next_page": 6}, {"next_page": 7})
     assert [p.page for p in parts] == [6]
+
+
+def test_pages_dir_default_does_not_truncate_large_pages(spark, tmp_path):
+    """Review r11: the default per_page (10, the ENDPOINT server page
+    size) silently sliced local page files — a fixture page with 12 posts
+    lost rows 11-12 with no error. Local files are the page; only an
+    EXPLICIT per_page option caps them."""
+    import json
+    import os
+
+    d = str(tmp_path / "bigpages")
+    os.makedirs(d)
+    posts = [
+        {"id": i, "date": "2024-01-01", "slug": f"s{i}", "title": "t",
+         "content": "c", "link": "l", "categories": [i]}
+        for i in range(1, 13)
+    ]
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump(posts, f)
+
+    df = spark.read.format("wod_posts").option("pages_dir", d).load()
+    assert df.count() == 12  # default: whole file
+    capped = (
+        spark.read.format("wod_posts")
+        .option("pages_dir", d)
+        .option("per_page", 5)
+        .load()
+    )
+    assert capped.count() == 5  # explicit option still a user cap
+
+
+def test_read_tolerates_malformed_post_shapes(spark, tmp_path):
+    """Review r11: a non-numeric id ('abc'), scalar/string categories, or
+    a list-typed title killed the whole page's task (ValueError/TypeError
+    /Arrow mismatch) despite the poison-tolerance comment. Malformed
+    fields normalize to NULL/empty/0 instead."""
+    import json
+    import os
+
+    d = str(tmp_path / "poison")
+    os.makedirs(d)
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump(
+            [
+                {"id": "abc", "date": "2024-01-01", "slug": "badid",
+                 "title": "t", "content": "c", "link": "l",
+                 "categories": [1]},
+                {"id": 2, "date": "2024-01-02", "slug": "badcats",
+                 "title": "t", "content": "c", "link": "l",
+                 "categories": 7},
+                {"id": "3", "date": 20240103, "slug": "listtitle",
+                 "title": ["x"], "content": {"rendered": ["y"]},
+                 "link": "l", "categories": ["4", "x", 5]},
+            ],
+            f,
+        )
+    rows = spark.read.format("wod_posts").option("pages_dir", d).load().collect()
+    by_slug = {r.slug: r for r in rows}
+    assert len(rows) == 3  # nothing killed the task
+    assert by_slug["badid"].post_id == 0  # unparseable id -> 0 (null id rule)
+    assert by_slug["badcats"].categories == []  # scalar -> empty
+    r3 = by_slug["listtitle"]
+    assert r3.post_id == 3  # numeric string still parses
+    assert r3.title is None and r3.content is None and r3.date is None
+    assert r3.categories == [4, 5]  # int-able elements kept
+
+
+def test_stream_cursor_dir_option_survives_readonly_pages_dir(tmp_path, capsys):
+    """Review r11: with a read-only pages_dir the cursor hint write was
+    silently swallowed, reintroducing the restart-after-retention wedge
+    the hint exists to prevent. 'cursor_dir' points the hint at a
+    writable location; a failed hint write warns loudly once."""
+    import json
+    import os
+
+    from weightlifting_wod_etl_spark.sources.rest_posts import (
+        _PostsStreamReader,
+    )
+
+    d = str(tmp_path / "ro_pages")
+    cur = str(tmp_path / "cursor")
+    os.makedirs(d)
+    os.makedirs(cur)
+    for p in range(1, 4):
+        with open(os.path.join(d, f"page-{p}.json"), "w") as f:
+            json.dump([{"id": p}], f)
+
+    r1 = _PostsStreamReader({"pages_dir": d, "cursor_dir": cur})
+    end = r1.latestOffset()
+    assert end == {"next_page": 4}
+    r1.commit(end)  # hint lands in cursor_dir, not in pages_dir
+    assert os.path.exists(os.path.join(cur, ".cursor"))
+    assert not os.path.exists(os.path.join(d, ".cursor"))
+
+    # restart after retention deletes the consumed pages: the cursor_dir
+    # hint seeds the walk past the hole
+    for p in range(1, 4):
+        os.remove(os.path.join(d, f"page-{p}.json"))
+    r2 = _PostsStreamReader({"pages_dir": d, "cursor_dir": cur})
+    assert r2.latestOffset() == {"next_page": 4}  # not wedged at 1
+
+    # unwritable cursor location (the read-only-dir case; the test runs
+    # as root, so use a nonexistent dir): loud ONE-TIME warning, no crash
+    r3 = _PostsStreamReader(
+        {"pages_dir": d, "cursor_dir": str(tmp_path / "missing" / "deep")}
+    )
+    capsys.readouterr()
+    r3.commit({"next_page": 4})
+    r3.commit({"next_page": 4})
+    err = capsys.readouterr().err
+    assert err.count("cursor hint write failed") == 1

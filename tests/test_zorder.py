@@ -9,6 +9,7 @@ from tests.conftest import SF_SMOKE
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from weightlifting_wod_etl_spark.io import load_table, read_table
@@ -168,3 +169,56 @@ def test_zorder_recluster_crash_leaves_old_or_new(spark, tmp_path, monkeypatch):
 
     idx = load_stats_index(resolve(path))
     assert idx is not None and {e["file"] for e in idx} == set(files)
+
+
+def test_zorder_recluster_detects_concurrent_commit(spark, tmp_path):
+    """Review r11: zorder_write was the only versioned committer without
+    the resolve->begin_commit staleness guard — re-clustering a live
+    table could silently discard another writer's committed version.
+    With data_dir passed (the documented live-recluster pattern), a
+    commit landing between the read and the re-cluster must raise
+    ConcurrentCommitError, and the interloper's data must survive."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        ConcurrentCommitError,
+        resolve,
+    )
+    from weightlifting_wod_etl_spark.operators.zorder import zorder_write
+
+    path = str(tmp_path / "race")
+    src = spark.range(64).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") % 8).alias("b"),
+        F.col("id").alias("k"),
+    )
+    zorder_write(src, path, ["a", "b"], bits=4, num_files=2)
+
+    # T1 reads the live table and remembers its base version dir
+    base_dir = resolve(path)
+    relayout = read_table(spark, path)
+
+    # T2 commits an update in the resolve->begin window
+    upd = spark.createDataFrame([(0, 0, 999)], "a long, b long, k long")
+    merge_into(spark, path, upd, ["a", "b"])
+
+    with pytest.raises(ConcurrentCommitError):
+        zorder_write(relayout, path, ["a", "b"], bits=4, num_files=2,
+                     data_dir=base_dir)
+    # interloper's change survives; lock released for a clean retry
+    assert read_table(spark, path).filter("k = 999").count() == 1
+    fresh_dir = resolve(path)
+    zorder_write(read_table(spark, path), path, ["a", "b"], bits=4,
+                 num_files=2, data_dir=fresh_dir)
+    assert read_table(spark, path).filter("k = 999").count() == 1
+
+
+def test_zorder_write_rejects_reserved_zkey_column(spark, tmp_path):
+    """Review r11: a user column named __zkey was silently overwritten by
+    the routing key and then dropped from the committed table."""
+    from weightlifting_wod_etl_spark.operators.zorder import zorder_write
+
+    df = spark.range(4).selectExpr("id AS a", "id AS __zkey")
+    with pytest.raises(ValueError, match="__zkey"):
+        zorder_write(df, str(tmp_path / "zk"), ["a"], bits=4, num_files=2)

@@ -11,8 +11,12 @@ pruning on the hot keys.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
+
+# serializes the nanosAsLong set→infer→unset window in load_table
+_NANOS_CONF_LOCK = threading.Lock()
 
 TABLES = (
     "region",
@@ -53,16 +57,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # return raw epoch-nanos bigints for TIMESTAMP(NANOS) columns. Safe to
     # restore immediately — spark.read.parquet infers the schema eagerly,
     # and later actions execute against the analyzed plan (verified).
+    # The set→infer→unset window is serialized under a module lock:
+    # concurrent driver threads otherwise race one thread's unset into
+    # another's inference (crash on TIMESTAMP(NANOS)) or leak the conf
+    # into an unrelated concurrent read (silent epoch-ns bigints).
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prior = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
-    try:
-        df = spark.read.parquet(table_path(sf_dir, name))
-    finally:
-        if prior is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prior)
+    with _NANOS_CONF_LOCK:
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -99,6 +99,7 @@ def zorder_write(
     bits: int = 16,
     num_files: int = 8,
     save_index: bool = True,
+    data_dir: str | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered by the Morton key of ``cols``
     (columns must already be non-negative ints < 2^bits — normalize with
@@ -120,9 +121,28 @@ def zorder_write(
     dir and published by one atomic pointer flip, so re-clustering a LIVE
     table crash-safely leaves exactly the old or exactly the new layout —
     never a partial mix. Read results back with ``io.read_table`` /
-    ``versioned.resolve``, not a raw ``spark.read.parquet(path)``."""
-    from .versioned import abort_commit, begin_commit, finish_commit
+    ``versioned.resolve``, not a raw ``spark.read.parquet(path)``.
 
+    ``data_dir``: when re-clustering a LIVE table (``df`` built from
+    ``read_table(path)``), pass the resolved version dir those read plans
+    were built against (``versioned.resolve(path)``) — the same
+    resolve→begin_commit staleness guard compact_parquet/merge_into
+    carry. Without it a writer that committed between the read and this
+    call is silently discarded (lost update)."""
+    from .versioned import (
+        abort_commit,
+        begin_commit,
+        finish_commit,
+        verify_read_base,
+    )
+
+    if "__zkey" in df.columns:
+        # withColumn would silently REPLACE the user's column and the
+        # final drop would delete it from the committed table
+        raise ValueError(
+            "zorder_write uses '__zkey' as its internal routing column; "
+            "rename the input column before clustering"
+        )
     domain = 1 << (len(cols) * bits)
     width = -(-domain // num_files)  # ceil — last bucket may be partial
     markers = _partition_markers(df.sparkSession, num_files)
@@ -140,6 +160,8 @@ def zorder_write(
     )
     staging, version = begin_commit(path)
     try:
+        if data_dir is not None:
+            verify_read_base(path, data_dir)
         out.write.mode("overwrite").parquet(staging)
         if save_index:
             from .skipping import save_stats_index

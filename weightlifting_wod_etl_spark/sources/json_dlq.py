@@ -24,7 +24,10 @@ CORRUPT_COL = "_corrupt_record"
 
 
 def read_jsonl_with_dlq(
-    spark: SparkSession, path: str, schema: StructType
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    storage_level=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read JSONL with an explicit schema; return ``(good, quarantine)``.
 
@@ -32,7 +35,20 @@ def read_jsonl_with_dlq(
     column holding the raw malformed line (the DLQ payload — replayable).
     The explicit schema is mandatory: inference would scan the data twice
     and silently widen types under corruption.
+
+    ``storage_level`` controls the split's shared cache (default
+    ``DISK_ONLY`` — the 100 TB-safe level the module docstring calls for;
+    pass ``StorageLevel.MEMORY_AND_DISK`` for small hot inputs). The
+    cached copy lives until the caller unpersists — call
+    ``good.sparkSession.catalog.clearCache()`` or keep a handle via
+    ``good.storageLevel`` scoping, or prefer
+    :func:`read_jsonl_with_bad_records_path` when the quarantine doesn't
+    need to be a DataFrame: it caches nothing at all.
     """
+    from pyspark import StorageLevel
+
+    if storage_level is None:
+        storage_level = StorageLevel.DISK_ONLY
     full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     df = (
         spark.read.schema(full)
@@ -41,8 +57,8 @@ def read_jsonl_with_dlq(
         .json(path)
     )
     # Required by Spark's PERMISSIVE contract: referencing only the corrupt
-    # column on the lazy plan raises; cache once, split twice.
-    df = df.cache()
+    # column on the lazy plan raises; persist once, split twice.
+    df = df.persist(storage_level)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     quarantine = (
         df.filter(F.col(CORRUPT_COL).isNotNull())

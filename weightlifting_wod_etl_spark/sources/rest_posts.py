@@ -80,6 +80,10 @@ class _PostsReader(DataSourceReader):
         if not self.pages_dir and not self.endpoint:
             raise ValueError("wod_posts source requires 'pages_dir' or 'endpoint'")
         self.per_page = int(options.get("per_page", 10))
+        # pages_dir honors per_page only when the USER set it: the default
+        # is the endpoint transport's server page size, and applying it to
+        # local page files silently dropped rows from pages larger than 10
+        self._per_page_explicit = "per_page" in options
         self.start_page = int(options.get("start_page", 1))
         self.max_pages = int(options.get("max_pages", 0))  # 0 = discover
         # OP24: option > secrets_file > env > anonymous (fail-open)
@@ -173,19 +177,35 @@ class _PostsReader(DataSourceReader):
                 return []
             with open(path, encoding="utf-8") as f:
                 posts = json.load(f)
-        else:
-            # Reference URL shape, services/invictus_api_service.py:54
-            import urllib.request
+            # a local page file IS the page — the DEFAULT per_page is the
+            # endpoint transport's server page size, and slicing by it
+            # here silently dropped rows from pages larger than 10; an
+            # EXPLICIT per_page option remains a user-requested cap
+            return posts[: self.per_page] if self._per_page_explicit else posts
+        # Reference URL shape, services/invictus_api_service.py:54
+        import urllib.request
 
-            from .credentials import basic_auth_header
+        from .credentials import basic_auth_header
 
-            url = f"{self.endpoint}&per_page={self.per_page}&page={page}"
-            req = urllib.request.Request(  # noqa: S310
-                url, headers=basic_auth_header(*self.credentials, url=url)
-            )
-            with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
-                posts = json.load(resp)
+        url = f"{self.endpoint}&per_page={self.per_page}&page={page}"
+        req = urllib.request.Request(  # noqa: S310
+            url, headers=basic_auth_header(*self.credentials, url=url)
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            posts = json.load(resp)
         return posts[: self.per_page]
+
+    @staticmethod
+    def _as_str(v):
+        """Malformed scalar → NULL, never a task-killing Arrow mismatch."""
+        return v if isinstance(v, str) else None
+
+    @staticmethod
+    def _as_int(v, default=None):
+        try:
+            return int(v)
+        except (TypeError, ValueError):
+            return default
 
     def read(self, partition: _PagePartition):
         for post in self._fetch_page(partition.page):
@@ -195,19 +215,28 @@ class _PostsReader(DataSourceReader):
             content = post.get("content")
             if isinstance(content, dict):
                 content = content.get("rendered")
-            # explicit JSON nulls: .get(k, default) returns None when the
-            # key is PRESENT with null — int(None)/iterating None would
-            # kill the whole page's task for one malformed post
+            # poison-record tolerance (one malformed post must not kill
+            # the page's task, 4 retries, then the whole scan): explicit
+            # JSON nulls, non-numeric ids ('abc'), scalar/string-typed
+            # categories, and list-typed title/content all normalize to
+            # NULL/empty instead of raising in int()/iteration/Arrow
             pid = post.get("id")
-            cats = post.get("categories") or []
+            cats = post.get("categories")
+            if not isinstance(cats, (list, tuple)):
+                cats = []
+            cat_ids = [
+                c_int
+                for c in cats
+                if (c_int := self._as_int(c)) is not None
+            ]
             yield (
-                int(pid) if pid is not None else 0,
-                post.get("date"),
-                post.get("slug"),
-                title,
-                content,
-                post.get("link"),
-                [int(c) for c in cats if c is not None],
+                self._as_int(pid, default=0),
+                self._as_str(post.get("date")),
+                self._as_str(post.get("slug")),
+                self._as_str(title),
+                self._as_str(content),
+                self._as_str(post.get("link")),
+                cat_ids,
                 partition.page,
             )
 
@@ -237,17 +266,24 @@ class _PostsStreamReader(DataSourceStreamReader):
         # trigger, not O(table age). Sound because pages are immutable and
         # the cursor only ever advances over pages that exist. Across
         # RESTARTS the walk resumes from the committed-cursor hint (written
-        # best-effort at commit): without it, a restart after retention
-        # deleted consumed page files would walk from start_page, hit the
-        # hole, and return an offset below the committed one — wedging the
-        # stream forever. The hint only ever holds COMMITTED offsets, so
-        # resuming there can never skip an unprocessed page; a fresh query
-        # over the same dir still reads everything (Spark plans partitions
-        # from ITS initialOffset, the hint only seeds the end-offset walk).
+        # at commit): without it, a restart after retention deleted
+        # consumed page files would walk from start_page, hit the hole,
+        # and return an offset below the committed one — wedging the
+        # stream. The hint only ever holds COMMITTED offsets, so resuming
+        # there can never skip an unprocessed page; a fresh query over the
+        # same dir still reads everything (Spark plans partitions from ITS
+        # initialOffset, the hint only seeds the end-offset walk).
+        # READ-ONLY pages_dir: set 'cursor_dir' to a writable location
+        # (e.g. beside the checkpoint) — restart-after-retention safety
+        # REQUIRES a writable hint; with neither, commit() warns loudly
+        # once, and restarts are only safe while no consumed page has
+        # been retention-deleted.
+        self._cursor_dir = options.get("cursor_dir") or self._inner.pages_dir
+        self._warned_hint = False
         self._cursor = max(self._inner.start_page, self._read_hint())
 
     def _hint_path(self) -> str:
-        return os.path.join(self._inner.pages_dir, self._CURSOR_HINT)
+        return os.path.join(self._cursor_dir, self._CURSOR_HINT)
 
     def _read_hint(self) -> int:
         try:
@@ -279,16 +315,29 @@ class _PostsStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # pages are immutable files — nothing to acknowledge upstream; the
-        # committed cursor is persisted as a best-effort restart hint (a
-        # read-only pages_dir just falls back to the start_page walk)
+        # committed cursor is persisted as the restart hint. A failed
+        # write is NOT silently ignored: without a hint, a restart after
+        # retention deletes consumed pages walks from start_page into the
+        # hole and the stream wedges — warn once so the operator can point
+        # 'cursor_dir' at a writable location before that restart happens.
         try:
             hint = max(self._read_hint(), end["next_page"])
             tmp = self._hint_path() + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write(str(hint))
             os.replace(tmp, self._hint_path())
-        except OSError:
-            pass
+        except OSError as exc:
+            if not self._warned_hint:
+                self._warned_hint = True
+                import sys
+
+                print(
+                    f"wod_posts stream: cursor hint write failed ({exc}); "
+                    "restarts are only safe while no consumed page has "
+                    "been deleted — set option 'cursor_dir' to a writable "
+                    "directory",
+                    file=sys.stderr,
+                )
 
 
 class PaginatedPostsDataSource(DataSource):
