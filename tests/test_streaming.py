@@ -922,3 +922,146 @@ def test_interval_join_outer_keeps_right_side_key(spark):
     ).collect()
     keys = sorted(r.user_id for r in out)
     assert keys == [1, 2]  # user 2's unmatched purchase keeps its key
+
+
+def test_stateful_sessionize_null_ts_and_null_value_guarded(spark, tmp_path):
+    """Review r11: a NULL event time converted through NaT.value
+    (INT64_MIN) opened a phantom epoch-us interval that overflowed on
+    emit (OutOfBoundsDatetime kills the query); a NULL value poisoned the
+    whole session's sum to NaN. NULL ts rows drop (session_window's rule);
+    NULL values contribute 0 while still counting."""
+    import datetime as dt
+
+    from weightlifting_wod_etl_spark.streaming.sessions import (
+        stateful_gap_sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (7, base, 1.0),
+        (7, base + dt.timedelta(minutes=5), None),  # NULL value, in session
+        (7, None, 99.0),  # NULL ts: dropped
+        (7, base + dt.timedelta(hours=3), 2.0),  # closes the first session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    df.coalesce(1).write.parquet(str(tmp_path / "in" / "b1"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = _run_stream(
+        spark,
+        stateful_gap_sessionize(stream, gap_seconds=1800, watermark="9 hours"),
+        str(tmp_path / "ckpt"),
+        "nullguard_out",
+    ).collect()
+    assert len(out) == 1  # first session emitted; the h+3 one stays open
+    (s,) = out
+    assert s.n_events == 2  # NULL-value event counted
+    assert s.sum_value == 1.0  # NaN did not poison; NULL contributed 0
+    assert s.session_start == base
+    assert s.session_end == base + dt.timedelta(minutes=5)
+
+
+def test_dedup_stream_batch_fallback_is_deterministic(spark):
+    """Review r11: the batch fallback used dropDuplicates (partition-
+    order-dependent survivor). Earliest ts must win, with a full-column
+    tiebreak, regardless of partition layout."""
+    import datetime as dt
+
+    from weightlifting_wod_etl_spark.streaming.dedup import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=9), "late_replay"),
+        (1, t0, "first_writer"),
+        (1, t0, "first_writer_tie_zzz"),
+    ]
+    for n_parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, payload string"
+        ).repartition(n_parts)
+        got = dedup_stream(df, keys=["event_id"]).collect()
+        assert len(got) == 1
+        assert got[0].payload == "first_writer"  # earliest ts, tie -> asc min
+
+
+def test_interval_join_semi_and_anti_do_not_reference_right_columns(spark):
+    """Review r11: semi/anti output carries left columns only; the
+    unconditional right-key coalesce raised UNRESOLVED_COLUMN."""
+    import datetime as dt
+
+    from weightlifting_wod_etl_spark.streaming.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0), (2, t0)], "user_id long, click_ts timestamp"
+    )
+    buys = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10))],
+        "user_id long, buy_ts timestamp",
+    )
+    semi = interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        max_delay="30 minutes", how="left_semi",
+    ).collect()
+    assert [r.user_id for r in semi] == [1]
+    anti = interval_join(
+        clicks, buys, "user_id", "click_ts", "buy_ts",
+        max_delay="30 minutes", how="left_anti",
+    ).collect()
+    assert [r.user_id for r in anti] == [2]
+
+
+def test_cdc_apply_tolerates_map_payload_column(spark, tmp_path):
+    """Review r11: the full-column tiebreak ordered by a MapType column,
+    which Spark rejects as unorderable — the factory crashed on the first
+    micro-batch for a Debezium-style before/after-image schema."""
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    target = str(tmp_path / "mapcdc")
+    spark.createDataFrame(
+        [(1, "old", {"v": "0"})],
+        "k long, payload string, image map<string,string>",
+    ).write.parquet(target)
+    batch = spark.createDataFrame(
+        [
+            (1, "U", 1, "mid", {"v": "1"}),
+            (1, "U", 2, "fin", {"v": "2"}),
+            (2, "U", 1, "ins", {"v": "9"}),
+        ],
+        "k long, op string, seq long, payload string, image map<string,string>",
+    ).repartition(3)
+    make_cdc_apply(target, on=["k"], seq_col="seq")(batch, 0)
+    got = {r.k: (r.payload, dict(r.image)) for r in read_table(spark, target).collect()}
+    assert got == {1: ("fin", {"v": "2"}), 2: ("ins", {"v": "9"})}
+
+
+def test_twin_sink_jsonl_keeps_explicit_nulls(spark, tmp_path):
+    """Review r11: the JSONL twin used the writer default
+    ignoreNullFields=true, silently dropping null-valued keys per row —
+    the shape drift io.write_jsonl exists to prevent."""
+    import glob
+    import json as _json
+    import os
+
+    from weightlifting_wod_etl_spark.streaming.twin_sink import make_twin_sink
+
+    out = str(tmp_path / "twin")
+    sink = make_twin_sink(
+        os.path.join(out, "pq"), os.path.join(out, "jsonl"),
+        os.path.join(out, "ledger"),
+    )
+    batch = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "k long, value double"
+    )
+    sink(batch, 0)
+    files = glob.glob(os.path.join(out, "jsonl", "batch_id=0", "part-*"))
+    lines = []
+    for fp in files:
+        with open(fp) as f:
+            lines += [_json.loads(ln) for ln in f if ln.strip()]
+    by_k = {d["k"]: d for d in lines}
+    assert "value" in by_k[1] and by_k[1]["value"] is None  # null kept

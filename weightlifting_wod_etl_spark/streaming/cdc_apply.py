@@ -51,9 +51,28 @@ def make_cdc_apply(
         # two changes at the same sequence value — the first application
         # and an at-least-once replay could then disagree, breaking the
         # replay-idempotence contract above.
+        def orderable(dt) -> bool:
+            # MapType (and anything containing one) is not orderable in
+            # Spark — a Debezium-style map payload column in the ORDER BY
+            # would reject the whole plan on the first micro-batch
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return orderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(orderable(f.dataType) for f in dt.fields)
+            return True
+
         tiebreak = [
-            F.col(c).desc()
-            for c in batch_df.columns
+            # unorderable columns still participate via their JSON text so
+            # the order stays TOTAL (to_json is deterministic for the same
+            # physical map data; a same-seq producer emitting logically
+            # equal maps with different key order remains the caller's
+            # cross-batch-contract problem, same as any same-seq tie)
+            (F.col(c) if orderable(f.dataType) else F.to_json(F.col(c))).desc()
+            for c, f in zip(batch_df.columns, batch_df.schema.fields)
             if c not in set(on) | {seq_col}
         ]
         latest = exact_dedup(

@@ -31,9 +31,25 @@ def dedup_stream(
 ) -> DataFrame:
     """First-writer-wins by ``keys`` within the watermark horizon.
 
-    Works on batch frames too (plain dropDuplicates) so the same pipeline
-    definition backfills and streams.
-    """
+    Works on batch frames too so the same pipeline definition backfills
+    and streams. The batch fallback is DETERMINISTIC: earliest ``ts_col``
+    wins, remaining columns break exact ties (a plain ``dropDuplicates``
+    keeps a partition-order-dependent survivor — the nondeterminism
+    operators/dedup.py exists to prevent — so two identical backfills
+    could disagree on payload for replayed keys)."""
     if not events.isStreaming:
-        return events.dropDuplicates(list(keys))
+        from pyspark.sql import functions as F
+
+        from ..operators.dedup import exact_dedup
+
+        tiebreak = [
+            F.col(c).asc_nulls_last()
+            for c in events.columns
+            if c not in set(keys) | {ts_col}
+        ]
+        return exact_dedup(
+            events,
+            key_cols=list(keys),
+            order_cols=[F.col(ts_col).asc_nulls_last(), *tiebreak],
+        )
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -52,6 +52,10 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     out = l_.join(r_, cond, how)
+    if how.replace("_", "").lower() in ("leftsemi", "semi", "leftanti", "anti"):
+        # semi/anti output carries LEFT columns only — the rkey coalesce
+        # below would raise UNRESOLVED_COLUMN
+        return out
     # under right/full outer an unmatched right row has key = NULL (left's
     # column) and rkey holding the only copy of its key — keep it
     out = out.withColumn(key, F.coalesce(F.col(key), F.col(rkey)))

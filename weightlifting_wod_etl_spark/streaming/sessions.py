@@ -36,12 +36,17 @@ def session_window_agg(
     Works identically on a batch or streaming DataFrame — the streaming
     flavor just needs the watermark to bound state.
     """
+    from ..functions.money import sum_fixed
+
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # order-free fixed-point sum: a raw double F.sum accumulates
+            # in partial-merge order, flipping the 2nd decimal run to run
+            # near half-cent boundaries (same fix as plans/flagship.py)
+            F.round(sum_fixed("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -80,8 +85,16 @@ def stateful_gap_sessionize(
         ts_list = []
         val_list = []
         for pdf in pdf_iter:
-            ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
-            val_list.extend(float(v) for v in pdf["value"])
+            for t, v in zip(pd.to_datetime(pdf["ts"]), pdf["value"]):
+                # NULL event time: NaT.value is INT64_MIN — it would open
+                # a phantom epoch-µs interval that OVERFLOWS on emit.
+                # session_window drops NULL-ts rows; mirror that.
+                if pd.isna(t):
+                    continue
+                ts_list.append(int(t.value) // 1000)
+                # NULL value: NaN poisons the session's float sum; batch
+                # F.sum skips NULLs — contribute 0 (count still ticks)
+                val_list.append(0.0 if pd.isna(v) else float(v))
         # One unit interval per event plus the open-session interval from
         # state, then a single gap-merge sweep over start-sorted intervals
         # — which IS batch gap-sessionize semantics over (state ∪ batch).
@@ -179,8 +192,13 @@ def make_gap_session_processor(gap_seconds: int = 1800):
             (user_id,) = key
             ts, vals = [], []
             for pdf in rows:
-                ts.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf["ts"]))
-                vals.extend(float(v) for v in pdf["value"])
+                for t, v in zip(pd.to_datetime(pdf["ts"]), pdf["value"]):
+                    # same NULL guards as stateful_gap_sessionize above:
+                    # NaT would overflow on emit, NaN poisons the sum
+                    if pd.isna(t):
+                        continue
+                    ts.append(int(t.value) // 1000)
+                    vals.append(0.0 if pd.isna(v) else float(v))
             # Same interval gap-merge sweep as stateful_gap_sessionize:
             # batch gap-sessionize semantics over (state ∪ batch), so
             # consecutive very-late events merge with each other and with
