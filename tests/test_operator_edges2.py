@@ -157,6 +157,24 @@ def test_to_fixed_nonfinite_is_null(spark):
     assert total == 3.75  # finite rows only, no Long.MAX wrap
 
 
+def test_to_fixed_huge_finite_is_null_and_avg_divisor_matches(spark):
+    """Review r11: (a) a huge FINITE double (1e17 at scale 2 → 1e19 >
+    Long.MAX) silently clamped to Long.MAX under the ANSI-off cast —
+    the same garbage-wrap the r10 non-finite guard fixed; (b) avg_fixed
+    divided by count(col), counting the NaN/overflow rows the numerator
+    nulls out ([1.0, NaN] averaged to 0.5)."""
+    from weightlifting_wod_etl_spark.functions.money import avg_fixed, to_fixed
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 1e17)], "id long, v double"
+    )
+    vals = {r.id: r.f for r in df.select("id", to_fixed("v").alias("f")).collect()}
+    assert vals[1] == 100
+    assert vals[2] is None and vals[3] is None  # NaN AND overflow → NULL
+    avg = df.agg(avg_fixed("v").alias("a")).collect()[0].a
+    assert avg == 1.0  # divisor counts only rows the numerator kept
+
+
 def test_ordered_concat_null_order_last_and_ties_deterministic(spark):
     """Review r10: struct array_sort put NULL order keys FIRST (SQL
     string_agg ORDER BY defaults NULLS LAST) and broke ties by shuffle

@@ -77,44 +77,6 @@ _BLOCK_BREAK_TAGS = frozenset(
 _SKIP_CONTENT_TAGS = frozenset(("script", "style"))
 
 
-def _strip_one_stdlib(html_text: str) -> str:
-    """Visible text via the stdlib HTMLParser state machine — full entity
-    decode (convert_charrefs), comment/CDATA handling, script/style bodies
-    skipped, block-level tags rendered as newlines."""
-    import re
-    from html.parser import HTMLParser
-
-    class _Text(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.parts: list[str] = []
-            self._skip = 0
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _SKIP_CONTENT_TAGS:
-                self._skip += 1
-            elif tag in _BLOCK_BREAK_TAGS:
-                self.parts.append("\n")
-
-        def handle_endtag(self, tag):
-            if tag in _SKIP_CONTENT_TAGS:
-                self._skip = max(0, self._skip - 1)
-            elif tag in _BLOCK_BREAK_TAGS:
-                self.parts.append("\n")
-
-        def handle_data(self, data):
-            if not self._skip:
-                self.parts.append(data)
-
-    p = _Text()
-    p.feed(html_text)
-    p.close()
-    text = "".join(p.parts)
-    text = re.sub(r"[ \t]*\n[ \t]*", "\n", text)
-    text = re.sub(r"\n{2,}", "\n", text)
-    return text.strip()
-
-
 def strip_html_fidelity(html: Column) -> Column:
     """Real-parser visible-text projection (reference ``handler.py:166-190``
     semantics), pinned to the stdlib ``html.parser`` backend so output is
@@ -122,16 +84,60 @@ def strip_html_fidelity(html: Column) -> Column:
     Arrow-batched pandas_udf: the slow path by design (~10-50x the regex
     projection) — reserve it for corpora where markup is adversarial or
     unvetted.
+
+    The UDF closure is SELF-CONTAINED (review r11): Python workers cannot
+    import this package (the driver adds it to sys.path dynamically), so
+    a module-level helper would be cloudpickled by reference and raise
+    ModuleNotFoundError on the first real-executor run — the parser
+    class, tag sets, and cleanup regexes are all built inside the closure
+    (once per Arrow batch, not per row).
     """
     # pandas imported here, not at module top, so the pure-expression
     # strip_html path keeps zero Python-side dependencies
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # bound as closure cells: pickled by VALUE into the worker payload
+    skip_tags = frozenset(_SKIP_CONTENT_TAGS)
+    block_tags = frozenset(_BLOCK_BREAK_TAGS)
+
     def _strip(batch):
-        return batch.map(
-            lambda v: _strip_one_stdlib(v) if v is not None else None
-        )
+        import re
+        from html.parser import HTMLParser
+
+        class _Text(HTMLParser):
+            def __init__(self) -> None:
+                super().__init__(convert_charrefs=True)
+                self.parts: list[str] = []
+                self._skip = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in skip_tags:
+                    self._skip += 1
+                elif tag in block_tags:
+                    self.parts.append("\n")
+
+            def handle_endtag(self, tag):
+                if tag in skip_tags:
+                    self._skip = max(0, self._skip - 1)
+                elif tag in block_tags:
+                    self.parts.append("\n")
+
+            def handle_data(self, data):
+                if not self._skip:
+                    self.parts.append(data)
+
+        ws_around_nl = re.compile(r"[ \t]*\n[ \t]*")
+        nl_runs = re.compile(r"\n{2,}")
+
+        def one(html_text: str) -> str:
+            p = _Text()
+            p.feed(html_text)
+            p.close()
+            text = "".join(p.parts)
+            return nl_runs.sub("\n", ws_around_nl.sub("\n", text)).strip()
+
+        return batch.map(lambda v: one(v) if v is not None else None)
 
     # real class objects (not string annotations): pandas_udf's eval-type
     # inference resolves hints against module globals, where pd is absent

@@ -26,10 +26,13 @@ def to_fixed(col: Column | str, scale: int = 2) -> Column:
     oracled queries assume finite measures either way.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), F.round(c * F.lit(10**scale)))
-        .cast("long")
-    )
+    # one range predicate covers all three hazards: NaN compares false,
+    # ±Inf fails the bound, and a huge FINITE double whose scaled value
+    # exceeds Long.MAX would otherwise clamp to 9223372036854775807 under
+    # the ANSI-off cast — a garbage finite number that wraps the sum just
+    # like Inf did before the r10 guard (review r11)
+    limit = F.lit((2**63 - 1) / float(10**scale))
+    return F.when(F.abs(c) < limit, F.round(c * F.lit(10**scale))).cast("long")
 
 
 def sum_fixed(col: Column | str, scale: int = 2) -> Column:
@@ -45,10 +48,12 @@ def sum_fixed(col: Column | str, scale: int = 2) -> Column:
 def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
     """Order-free average: exact integer sum / count, then one rounding.
 
-    The denominator is the NON-NULL count of the measure (``F.count(col)``)
-    — ``count(*)`` would disagree with ``F.avg`` on any nullable column
-    (sum skips nulls, so the divisor must too)."""
+    The denominator counts the rows ``to_fixed`` actually kept — dividing
+    by ``F.count(col)`` counted NaN/Inf/overflow rows that the numerator
+    nulls out (review r11: [1.0, NaN] averaged to 0.5), and ``count(*)``
+    would additionally disagree on plain NULLs."""
     c = F.col(col) if isinstance(col, str) else col
+    fixed = to_fixed(c, scale)
     return F.round(
-        F.sum(to_fixed(c, scale)) / F.count(c) / F.lit(float(10**scale)), round_to
+        F.sum(fixed) / F.count(fixed) / F.lit(float(10**scale)), round_to
     )

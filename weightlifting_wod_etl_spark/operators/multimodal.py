@@ -151,14 +151,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-RESIZED_SCHEMA = StructType(
-    [
-        StructField("media_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("payload", BinaryType()),
-        StructField("meta", MapType(StringType(), StringType())),
-    ]
-)
+# resize is 1:1 over canonical records — reuse MEDIA_SCHEMA rather than a
+# field-for-field duplicate that could drift (review r11)
+RESIZED_SCHEMA = MEDIA_SCHEMA
 
 
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -222,12 +217,30 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     executor without a shuffle or driver round-trip.
     """
     step = max(1, int(every_n))
+    # flush threshold: output memory stays O(chunk), never O(fan-out) — a
+    # long video row otherwise accumulated its ENTIRE frame expansion in
+    # Python lists before the single yield (review r11: the '10-hour
+    # video' case the docstring advertises OOM'd the worker)
+    chunk_rows = 10_000
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
+        ids, idxs, payloads, sizes = [], [], [], []
+
+        def flush() -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_payload": list(payloads),
+                    "n_src_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+            ids.clear(), idxs.clear(), payloads.clear(), sizes.clear()
+            return out
+
         for pdf in it:
-            ids, idxs, payloads, sizes = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:  # no payload → no frames, not a crash
                     continue
@@ -245,13 +258,9 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                         _hashlib.sha256(raw + f":{i}".encode()).digest()
                     )
                     sizes.append(len(raw))
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.array(ids, dtype="Int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "frame_payload": payloads,
-                    "n_src_bytes": pd.Series(sizes, dtype="int64"),
-                }
-            )
+                    if len(ids) >= chunk_rows:
+                        yield flush()
+        if ids:
+            yield flush()
 
     return df.select("media_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
