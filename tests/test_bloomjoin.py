@@ -74,3 +74,24 @@ def test_bitmap_join_is_broadcast_in_plan(spark):
     assert re.search(r"BroadcastHashJoin \[__bf_word", plan), plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2  # word-index + verify semi
+
+
+def test_bloom_semi_join_coerces_mismatched_key_types(spark):
+    """Review r11: xxhash64 is TYPE-sensitive — an INT fact key probing a
+    BIGINT dim bitmap found every bit unset and the prune silently
+    dropped TRUE matches the exact semi join would have kept. Mismatched
+    numeric keys now hash through a common cast; non-numeric mismatches
+    are refused loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    fact = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    dim = spark.createDataFrame([(3,), (7,)], "k2 long")  # bigint keys
+    got = sorted(r.k for r in bloom_semi_join(fact, dim, "k", "k2").collect())
+    assert got == [3, 7]  # INT 3/7 match BIGINT 3/7 through the cast
+
+    sdim = spark.createDataFrame([("3",)], "k2 string")
+    with pytest.raises(ValueError, match="incompatible types"):
+        bloom_semi_join(fact, sdim, "k", "k2")

@@ -703,3 +703,89 @@ def test_bloom_semi_join_rejects_colliding_work_columns(spark):
     dim = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="collide"):
         bloom_semi_join(fact, dim, "k", "k")
+
+
+def test_range_join_reversed_interval_excluded_not_exploded(spark):
+    """Review r11: a corrupt interval with end BEFORE start has a hugely
+    NEGATIVE bin difference — it passed the `< max_bins` guard and
+    F.sequence(hi, lo) auto-stepped -1 into a multi-million-element
+    descending array (the exact OOM the guard exists to prevent). It is
+    now excluded outright (it matches no point under start <= p < end)."""
+    import datetime as dt
+    import signal
+
+    ts0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    points = spark.createDataFrame([(ts0,)], "pts timestamp")
+    intervals = spark.createDataFrame(
+        [
+            (ts0 - dt.timedelta(minutes=1), ts0 + dt.timedelta(minutes=1)),
+            # reversed by ~56 YEARS: a descending sequence over 60s bins
+            # would hold ~29M elements
+            (ts0, dt.datetime(1970, 1, 1)),
+        ],
+        "istart timestamp, iend timestamp",
+    )
+
+    def _boom(signum, frame):
+        raise AssertionError("range join materialized the reversed interval")
+
+    old = signal.signal(signal.SIGALRM, _boom)
+    signal.alarm(60)
+    try:
+        got = band_range_join(
+            points, intervals, "pts", "istart", "iend", bin_width_s=60
+        ).collect()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert len(got) == 1  # only the sane interval matched
+
+
+def test_range_join_rejects_reserved_bin_columns(spark):
+    """Review r11: a caller column named __bin was silently overwritten
+    and dropped from the output."""
+    import datetime as dt
+
+    import pytest
+
+    ts0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame([(ts0, 5)], "pts timestamp, __bin int")
+    intervals = spark.createDataFrame(
+        [(ts0, ts0 + dt.timedelta(minutes=1))], "istart timestamp, iend timestamp"
+    )
+    with pytest.raises(ValueError, match="__bin"):
+        band_range_join(points, intervals, "pts", "istart", "iend", 60)
+
+
+def test_asof_join_rejects_payload_name_collision(spark):
+    """Review r11: a left column equal to a prefixed payload name emitted
+    silent duplicate columns."""
+    import datetime as dt
+
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0, 9.9)], "k long, ts timestamp, asof_value double"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 1.0)], "k long, rts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="asof_value"):
+        asof_join(left, right, "k", "ts", "rts", right_payload=["value"])
+
+
+def test_incremental_measure_requires_source(spark):
+    """Review r11: Measure(kind='sum') with no source died with an opaque
+    pyspark TypeError instead of a named validation error."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.incremental import Measure
+
+    with pytest.raises(ValueError, match="requires a source"):
+        Measure(name="revenue", kind="sum").build_expr()
+    with pytest.raises(ValueError, match="requires a source"):
+        Measure(name="revenue", kind="sum", source="").build_expr()
+    Measure(name="n", kind="count").build_expr()  # count stays source-less

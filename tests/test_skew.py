@@ -163,3 +163,25 @@ def test_salted_groupby_phase1_exchange_carries_salt(spark, sf_dir):
     )
     first_exchange = plan.split("Exchange hashpartitioning(")[-1][:200]
     assert "__salt" in first_exchange
+
+
+def test_salted_ops_reject_salt_clash_and_unknown_fn(spark):
+    """Review r11: a caller column named __salt was silently overwritten
+    then dropped; an unsupported aggregate fn raised a bare KeyError."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.skew import (
+        replicated_salted_join,
+        salted_groupby,
+    )
+
+    df = spark.range(10).select("id", F.lit(1).alias("__salt"))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_groupby(df, ["id"], [("id", "sum", "s")], salt_on="id")
+    with pytest.raises(ValueError, match="__salt"):
+        replicated_salted_join(df, spark.range(2), "id", "id", salt_on="id")
+
+    clean = spark.range(10).selectExpr("id", "id AS v")
+    with pytest.raises(ValueError, match="avg"):
+        salted_groupby(clean, ["id"], [("v", "avg", "a")], salt_on="id")

@@ -61,6 +61,16 @@ def asof_join(
     window partition. Left rows with a NULL key simply never match
     (left-outer NULL payload), which the filtered union gives for free.
     """
+    out_names = {f"{prefix}{c}" for c in right_payload}
+    clash = [c for c in left.columns if c in out_names]
+    if clash:
+        # the final select would otherwise emit silent DUPLICATE column
+        # names — ambiguous downstream, or positionally wrong (review r11:
+        # a second asof pass over already-enriched rows hits this)
+        raise ValueError(
+            f"left columns {clash} collide with the prefixed payload "
+            "output — pass a different prefix or rename them"
+        )
     tie = F.col(tiebreak) if tiebreak is not None else F.lit(0)
     payload = F.struct(*[F.col(c) for c in right_payload])
     right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())

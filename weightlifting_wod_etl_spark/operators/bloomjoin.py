@@ -33,7 +33,44 @@ from pyspark.sql import functions as F
 _WORK_COLS = ("__bf_h", "__bf_word", "__bf_mask", "__bf_bits", "__bf_dim_key")
 
 
-def _with_slot(df: DataFrame, key: str, num_bits: int) -> DataFrame:
+def _hash_cast(fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str) -> str | None:
+    """Common type both keys must be cast to BEFORE hashing, or None when
+    they already agree. xxhash64 is TYPE-sensitive (review r11, verified:
+    xxhash64(1 AS INT) != xxhash64(1 AS BIGINT)), so an INT fact key
+    probing a BIGINT dim bitmap finds every bit unset and the prune
+    silently drops TRUE matches — the exact semi join downstream would
+    have coerced and matched them. Mirror the join's own coercion:
+    integral/integral → bigint, any numeric mix → double (the join
+    coerces to double there too); anything else mismatched is refused
+    loudly rather than silently wrong."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    numeric = integral + (FloatType, DoubleType)
+    dt_f = fact.schema[fact_key].dataType
+    dt_d = dim.schema[dim_key].dataType
+    if dt_f == dt_d:
+        return None
+    if isinstance(dt_f, integral) and isinstance(dt_d, integral):
+        return "bigint"
+    if isinstance(dt_f, numeric) and isinstance(dt_d, numeric):
+        return "double"
+    raise ValueError(
+        f"bloom_semi_join keys have incompatible types ({dt_f.simpleString()}"
+        f" vs {dt_d.simpleString()}) — cast them to a common type first "
+        "(equal values would hash to different bloom slots and be "
+        "silently pruned)"
+    )
+
+
+def _with_slot(df: DataFrame, key: str, num_bits: int, cast_to: str | None = None) -> DataFrame:
     """Add (__bf_word, __bf_mask): bitmap word index and in-word bit mask
     of the key's hash slot. SQL ``shiftleft`` is used because the Python
     binding only accepts a literal shift amount. Working columns are
@@ -46,8 +83,9 @@ def _with_slot(df: DataFrame, key: str, num_bits: int) -> DataFrame:
             f"input columns {clash} collide with bloom_semi_join's working "
             "columns — rename them before calling"
         )
+    k = F.col(key).cast(cast_to) if cast_to else F.col(key)
     return df.withColumn(
-        "__bf_h", F.pmod(F.xxhash64(F.col(key)), F.lit(num_bits))
+        "__bf_h", F.pmod(F.xxhash64(k), F.lit(num_bits))
     ).selectExpr(
         "*",
         "__bf_h DIV 64 AS __bf_word",
@@ -69,13 +107,14 @@ def bloom_semi_join(
     num_bits) against broadcast size (num_bits / 8 bytes packed); the
     default 4 Mbit costs 512 KB. Results never depend on the rate — the
     exact semi join removes every false positive."""
+    cast_to = _hash_cast(fact, dim, fact_key, dim_key)
     bitmap = (
-        _with_slot(dim.select(dim_key), dim_key, num_bits)
+        _with_slot(dim.select(dim_key), dim_key, num_bits, cast_to)
         .groupBy("__bf_word")
         .agg(F.bit_or("__bf_mask").alias("__bf_bits"))
     )
     pruned = (
-        _with_slot(fact, fact_key, num_bits)
+        _with_slot(fact, fact_key, num_bits, cast_to)
         .join(F.broadcast(bitmap), "__bf_word")  # inner: unset word = no partner
         .filter(F.col("__bf_bits").bitwiseAND(F.col("__bf_mask")) != 0)
         .drop("__bf_word", "__bf_mask", "__bf_bits")

@@ -43,6 +43,14 @@ class Measure:
     source: str | None = None  # unused for count
 
     def build_expr(self) -> Column:
+        if self.kind != "count" and not self.source:
+            # F.sum(None) otherwise dies deep in pyspark column coercion
+            # with an opaque TypeError instead of naming the mistake
+            # (review r11; '' is rejected here too, not coerced to None)
+            raise ValueError(
+                f"{self.kind!r} measure {self.name!r} requires a source "
+                "column (only 'count' is source-less)"
+            )
         src = F.col(self.source) if self.source else None
         if self.kind == "count":
             return F.count(F.lit(1)).alias(self.name)

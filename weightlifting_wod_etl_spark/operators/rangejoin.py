@@ -63,9 +63,24 @@ def band_range_join(
     join — at the default (100k bins), that is an interval longer than
     100k × bin_width, data-error territory; size ``bin_width_s`` so real
     intervals span a handful of bins, or pass ``None`` to disable.
+    REVERSED intervals (``end_ts < start_ts``) are always excluded: their
+    bin difference is hugely NEGATIVE — it passed the ``< max_bins``
+    check, and ``F.sequence(hi, lo)`` auto-steps -1 and would materialize
+    the same multi-million-element array the guard exists to prevent
+    (review r11); a reversed interval also matches no point under the
+    exact ``start <= p < end`` filter, so dropping it is semantics-free.
     """
-    p = points.withColumn("__bin", _bin_of(F.col(point_ts), bin_width_s).cast("bigint"))
-    iv = intervals
+    reserved = {"__bin", "__bins"}
+    clash = [c for c in (*points.columns, *intervals.columns) if c in reserved]
+    if clash:
+        # withColumn would silently REPLACE a caller column of the same
+        # name and the final drop would delete it from the output
+        raise ValueError(
+            f"input columns {clash} collide with band_range_join's working "
+            "columns — rename them before calling"
+        )
+    p = points.withColumn("__bin", _bin_of(F.col(point_ts), bin_width_s))
+    iv = intervals.filter(F.col(end_ts) >= F.col(start_ts))
     if max_bins_per_interval is not None:
         iv = iv.filter(
             _bin_of(F.col(end_ts), bin_width_s)
@@ -75,11 +90,11 @@ def band_range_join(
     iv = iv.withColumn(
         "__bins",
         F.sequence(
-            _bin_of(F.col(start_ts), bin_width_s).cast("bigint"),
+            _bin_of(F.col(start_ts), bin_width_s),
             # end is exclusive: the last overlapped bin is bin(end - 1us),
             # but a cheap upper bound bin(end) only over-replicates by one
             # row per interval and the exact filter removes false hits.
-            _bin_of(F.col(end_ts), bin_width_s).cast("bigint"),
+            _bin_of(F.col(end_ts), bin_width_s),
         ),
     ).select("*", F.explode("__bins").alias("__bin")).drop("__bins")
 

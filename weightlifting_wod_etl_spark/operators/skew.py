@@ -44,6 +44,18 @@ _PARTIAL = {
 }
 
 
+def _check_salt_clash(*dfs: DataFrame) -> None:
+    """withColumn would silently REPLACE a caller column named __salt and
+    the final drop would delete it from the output (review r11 — the
+    same loud guard bloomjoin carries for its working columns)."""
+    for df in dfs:
+        if "__salt" in df.columns:
+            raise ValueError(
+                "input column '__salt' collides with the salting working "
+                "column — rename it before calling"
+            )
+
+
 def deterministic_salt(unique_col: str | Column, buckets: int) -> Column:
     """Salt in [0, buckets) stable across task retries (data-derived)."""
     return F.pmod(F.xxhash64(unique_col), F.lit(buckets)).cast("int")
@@ -62,6 +74,16 @@ def salted_groupby(
     reduces on (keys + salt) — map-side combine still applies — phase 2
     merges partials on the bare keys. Result equals the direct groupBy.
     """
+    _check_salt_clash(df)
+    bad = [fn for _, fn, _ in aggs if fn not in _PARTIAL]
+    if bad:
+        # a bare KeyError named neither the supported set nor the
+        # avg = (sum, count)/count decomposition the docstring advertises
+        raise ValueError(
+            f"unsupported salted aggregate fn(s) {bad}: supported are "
+            f"{sorted(_PARTIAL)} — express avg as separate sum and count "
+            "partials and divide after the merge"
+        )
     salted = df.withColumn("__salt", deterministic_salt(salt_on, buckets))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[_PARTIAL[fn](col).alias(alias) for col, fn, alias in aggs]
@@ -98,6 +120,7 @@ def replicated_salted_join(
             f"{buckets} copies of each unmatched small row under "
             "right/full outer — use the unsalted join (AQE skew split) there"
         )
+    _check_salt_clash(big, small)
     b = big.withColumn("__salt", deterministic_salt(salt_on, buckets))
     s = small.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(buckets)]))
