@@ -114,3 +114,33 @@ def test_default_compact_preserves_existing_stats_index(spark, tmp_path):
     assert idx is not None, "default compact dropped the stats index"
     assert index_cols(idx) == ["k"]
     assert {e["file"] for e in idx} == set(list_data_files(new_dir))
+
+
+def test_compact_preserves_hive_partition_layout(spark, tmp_path):
+    """Review r11: the compaction rewrite never re-applied partitionBy —
+    a date=*/ table came back FLAT, killing partition pruning and
+    demoting the next partitioned upsert to a full-table migration."""
+    import glob
+    import os
+
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    path = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(60)], "x long, date string"
+    )
+    # many small files per partition
+    df.repartition(10).write.partitionBy("date").parquet(path)
+    before = sorted(map(tuple, read_table(spark, path).collect()))
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    live = resolve(path)
+    pdirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(live, "date=*"))
+        if os.path.isdir(d)
+    )
+    assert pdirs == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
+    assert sorted(map(tuple, read_table(spark, path).collect())) == before

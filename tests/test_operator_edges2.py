@@ -220,3 +220,59 @@ def test_write_jsonl_keeps_null_fields(spark, tmp):
     ]
     assert json.loads(line) == {"id": 1, "seg": None}
     assert '"seg"' in line  # explicit null, not a missing key
+
+
+def test_exact_percentiles_keeps_all_null_group(spark):
+    """Review r11: a group whose values are ALL NULL vanished from the
+    output (the pre-groupBy filter erased its rows) where quantile_cont
+    keeps the group with NULL quantiles — downstream joins silently lost
+    the group. It now survives with NULL percentiles and n_items 0."""
+    from weightlifting_wod_etl_spark.operators.percentile import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("g1", 10.0), ("g1", 20.0), ("g1", None), ("g2", None), ("g2", None)],
+        "g string, v double",
+    )
+    out = {r.g: r for r in exact_percentiles(df, ["g"], "v", [0.5]).collect()}
+    assert set(out) == {"g1", "g2"}
+    assert out["g1"].p50 == 15.0 and out["g1"].n_items == 2  # NULL ignored
+    assert out["g2"].p50 is None and out["g2"].n_items == 0  # group kept
+
+
+def test_dataset_split_null_id_is_null_not_test(spark):
+    """Review r11: a NULL id fell through otherwise('test') — every
+    unidentifiable record pooled in the test split (contamination once
+    ids are fixed); NULL id now yields a NULL split."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    got = {r.doc_id: r.s for r in df.select(
+        "doc_id", dataset_split(F.col("doc_id")).alias("s")
+    ).collect()}
+    assert got[1] in ("train", "val", "test")
+    assert got[None] is None
+
+
+def test_token_chunks_rejects_nonpositive_chunk_size(spark):
+    """Review r11: chunk_size=0 divided by lit(0) -> NULL under ANSI-off,
+    silently chunking the whole corpus to zero rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.sampling import token_chunks
+
+    with pytest.raises(ValueError, match="chunk_size"):
+        token_chunks(F.col("text"), chunk_size=0)
+
+
+def test_observe_quality_default_names_do_not_collide(spark):
+    """Review r11: two default-named observations in one plan raised
+    AnalysisException at action time (Spark requires unique names)."""
+    from weightlifting_wod_etl_spark.operators.metrics import observe_quality
+
+    d1, o1 = observe_quality(spark.range(5), required=["id"])
+    d2, o2 = observe_quality(d1, required=["id"])
+    assert d2.count() == 5  # one action drives both observations
+    assert o1.get["n_rows"] == 5 and o2.get["n_rows"] == 5

@@ -225,3 +225,71 @@ def test_xml_round_trip_explicit_schema(spark, tmp):
     a = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in orders.collect()}
     b = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in back.collect()}
     assert a == b
+
+
+def test_jsonl_idempotent_in_batch_duplicates_and_null_keys(spark, tmp):
+    """Review r11: (a) the same key twice in ONE batch wrote twice (the
+    anti-join only suppressed prior runs); (b) a NULL key never matched
+    the equi anti-join, so every rerun re-appended the row to the output
+    AND the ledger forever. One write per key per batch; NULL keys behave
+    as one key (null-safe anti-join)."""
+    import os
+
+    from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
+
+    path = os.path.join(tmp, "nulldup_out")
+    ledger = os.path.join(tmp, "nulldup_ledger")
+    batch = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), (None, "n1")],
+        "idem_key string, payload string",
+    )
+    n1 = write_jsonl_idempotent(batch, path, ledger)
+    assert n1 == 2  # k1 collapsed to one deterministic winner, NULL written
+    rows = {r.payload for r in spark.read.json(path).collect()}
+    assert rows == {"a", "n1"}  # asc full-column order: min payload wins
+
+    # replay: zero fresh rows, including the NULL-key one
+    n2 = write_jsonl_idempotent(batch, path, ledger)
+    assert n2 == 0
+    assert spark.read.json(path).count() == 2
+    # ledger holds exactly two entries (k1 + the unified NULL key)
+    assert spark.read.parquet(ledger).count() == 2
+
+
+def test_kv_upsert_default_preserves_existing_stats_index(spark, tmp):
+    """Review r11: the full-rewrite branch silently DROPPED a persisted
+    skipping index when stats_cols was not re-passed — read_pruned then
+    degraded to live footer scans (compact.py already pinned this
+    invariant; the sink's branch missed it)."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.skipping import load_stats_index
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+    from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+    path = os.path.join(tmp, "kvidx")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")],
+        "k long, date string, v string",
+    )
+    kv_upsert_parquet(base, path, key_cols=["k"], order_cols=["date"],
+                      stats_cols=["k"])
+    assert load_stats_index(resolve(path))  # index present
+
+    upd = spark.createDataFrame([(1, "2024-01-03", "c")],
+                                "k long, date string, v string")
+    kv_upsert_parquet(upd, path, key_cols=["k"], order_cols=["date"])  # default
+    idx = load_stats_index(resolve(path))
+    assert idx, "default upsert dropped the persisted skipping index"
+
+
+def test_weekly_rollup_path_empty_batch_raises(spark, tmp):
+    """Review r11: an empty (or all-NULL-date) batch silently minted
+    'weekly/None__None--records.json'."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.sinks import weekly_rollup_path
+
+    empty = spark.createDataFrame([], "date string, x long")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        weekly_rollup_path(empty, tmp)

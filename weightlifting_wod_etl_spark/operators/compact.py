@@ -51,6 +51,28 @@ def dir_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
+def _partition_keys(data_dir: str) -> list[str]:
+    """Hive partition column names of ``data_dir`` (in directory order),
+    [] for a flat layout — read from the first data file's relative path
+    so a compaction can PRESERVE the layout instead of silently
+    flattening it (review r11: the rewrite dropped date=*/ dirs, killing
+    partition pruning and demoting the next partitioned upsert to a
+    full-table migration)."""
+    for root, dirs, files in os.walk(data_dir):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        for fn in sorted(files):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                rel = os.path.relpath(root, data_dir)
+                if rel == ".":
+                    return []
+                return [
+                    seg.split("=", 1)[0]
+                    for seg in rel.split(os.sep)
+                    if "=" in seg
+                ]
+    return []
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -83,7 +105,13 @@ def compact_parquet(
     staging, version = begin_commit(path)
     try:
         verify_read_base(path, data_dir)  # df reads data_dir (resolved above)
-        out.write.mode("overwrite").parquet(staging)
+        writer = out.write.mode("overwrite")
+        pkeys = _partition_keys(data_dir)
+        if pkeys:
+            # preserve the Hive layout: partition pruning must survive a
+            # maintenance compact (review r11)
+            writer = writer.partitionBy(*pkeys)
+        writer.parquet(staging)
         index_cols = stats_cols if stats_cols is not None else (sort_by or [])
         if index_cols:
             from .skipping import save_stats_index

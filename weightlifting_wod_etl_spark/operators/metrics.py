@@ -18,21 +18,31 @@ sketch family for those).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
+
+# Spark requires observation names UNIQUE per query: two default-named
+# observe_quality calls composed into one plan died with AnalysisException
+# at action time (review r11) — the default is now serial-numbered
+_obs_seq = itertools.count(1)
 
 
 def observe_quality(
     df: DataFrame,
     required: list[str],
     measure: str | None = None,
-    name: str = "quality",
+    name: str | None = None,
 ) -> tuple[DataFrame, Observation]:
     """Attach standard audit counters to ``df``: total rows, per-column
     null counts for ``required``, and (optionally) sum/min/max of a
     numeric ``measure`` in integer fixed-point. Returns the observed
     frame (use it in place of ``df``) and the Observation handle —
-    read ``obs.get`` AFTER the first action on the returned frame."""
+    read ``obs.get`` AFTER the first action on the returned frame.
+    ``name`` defaults to a per-process-unique 'quality_N'."""
+    if name is None:
+        name = f"quality_{next(_obs_seq)}"
     exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in required:
         exprs.append(

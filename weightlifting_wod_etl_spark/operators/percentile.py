@@ -42,8 +42,12 @@ def exact_percentiles(
     silently share (or fight over) one column name.
 
     NULL values of ``value_col`` are ignored, matching Spark/DuckDB
-    ``percentile``/``quantile_cont``; counting them would both inflate
-    ``n_items`` and shift every percentile index (nulls sort first).
+    ``percentile``/``quantile_cont`` — and like them, a group whose
+    values are ALL NULL is KEPT (NULL percentiles, ``n_items`` 0), not
+    silently dropped from the output (review r11: the old pre-groupBy
+    filter erased such groups, so a downstream join lost them). The NULL
+    rows ride along as zero-weight count rows — no second scan or
+    group-recovery join is paid for the fix.
     """
     if len(set(cuts)) != len(cuts):
         raise ValueError(f"duplicate cuts: {cuts}")
@@ -53,11 +57,15 @@ def exact_percentiles(
         # cumulation row ever exceeds the index) where SQL quantile_cont
         # raises — fail as loudly as the engines do
         raise ValueError(f"cuts outside [0, 1]: {bad}")
-    df = df.filter(F.col(value_col).isNotNull())
-    counts = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    counts = df.groupBy(*group_cols, value_col).agg(
+        # NULL-value rows keep their group alive but carry zero weight:
+        # they never enter __cum/__n, so every index and count below is
+        # computed over non-NULL values exactly as before
+        F.sum(F.when(F.col(value_col).isNotNull(), 1).otherwise(0)).alias("__c")
+    )
     wcum = (
         Window.partitionBy(*group_cols)
-        .orderBy(value_col)
+        .orderBy(F.col(value_col).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy(*group_cols)

@@ -47,12 +47,19 @@ def hash_sample(id_col: Column, hex_cutoff: str) -> Column:
 def dataset_split(id_col: Column, train_cutoff: str = "cd", val_cutoff: str = "e6") -> Column:
     """'train' / 'val' / 'test' by hash bucket range — ≈80.1 / 9.8 / 10.2%
     with the defaults. Deterministic per id: a record never migrates between
-    splits when the corpus grows (no leakage across reruns)."""
+    splits when the corpus grows (no leakage across reruns).
+
+    A NULL id gets a NULL split, not 'test' (review r11): the bare
+    otherwise() silently funneled every unidentifiable record into the
+    test split — train/test contamination waiting for the ids to be fixed
+    — while hash_sample's keep-predicate DROPS the same record; NULL is
+    the honest answer for both to key on."""
     b = hash_bucket(id_col)
-    return (
+    return F.when(
+        b.isNotNull(),
         F.when(b < F.lit(_hex_cutoff(train_cutoff)), F.lit("train"))
         .when(b < F.lit(_hex_cutoff(val_cutoff)), F.lit("val"))
-        .otherwise(F.lit("test"))
+        .otherwise(F.lit("test")),
     )
 
 
@@ -72,6 +79,12 @@ def token_chunks(text: Column, chunk_size: int = 512) -> Column:
     phantom chunks (chunk_id 0 and -1) no oracle ever emits.
     """
     from ..functions.expr import let
+
+    if chunk_size < 1:
+        # ANSI-off division by lit(0) is NULL: every document would
+        # silently chunk to NULL (zero rows), indistinguishable from
+        # all-NULL input (review r11)
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
 
     return let(
         F.size(F.split(text, " ")).cast("bigint"),

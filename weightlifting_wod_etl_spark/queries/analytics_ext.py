@@ -87,15 +87,15 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile",
     oracle="""
     WITH c AS (SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents
-               FROM lineitem
-               -- exact_percentiles ignores NULL values (documented there);
-               -- count(*) must count the same rows it ranks
-               WHERE l_extendedprice IS NOT NULL)
+               FROM lineitem)
     SELECT l_returnflag,
            quantile_cont(cents, [0.25, 0.5, 0.75])[1]::DOUBLE / 100.0 AS p25,
            quantile_cont(cents, [0.25, 0.5, 0.75])[2]::DOUBLE / 100.0 AS p50,
            quantile_cont(cents, [0.25, 0.5, 0.75])[3]::DOUBLE / 100.0 AS p75,
-           count(*)::BIGINT AS n_items
+           -- count(cents), not count(*): NULL values are ignored by the
+           -- quantiles and by exact_percentiles' n_items; an all-NULL
+           -- group stays PRESENT on both sides (NULL quantiles, 0 items)
+           count(cents)::BIGINT AS n_items
     FROM c
     GROUP BY l_returnflag
     """,

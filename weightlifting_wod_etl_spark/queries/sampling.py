@@ -33,7 +33,10 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dataset_split",
     oracle="""
-    SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+    -- NULL doc_id -> NULL split (unidentifiable records must not pool in
+    -- 'test' — engine pin, operators/sampling.py::dataset_split)
+    SELECT CASE WHEN doc_id IS NULL THEN NULL
+                WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
                 WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
                 ELSE 'test' END AS split,
            lang,

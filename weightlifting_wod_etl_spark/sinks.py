@@ -49,11 +49,28 @@ def write_jsonl_idempotent(
     Returns the number of rows written. Exactly-once-ish across reruns:
     replays anti-join to zero rows, mirroring the reference's sha256 ledger
     check (services/idempotency_service.py:42-73).
+
+    Review r11 hardening: (a) duplicate keys WITHIN one batch collapse to
+    one deterministic winner before the ledger check — the reference's
+    per-record check-then-write admits a key once per RUN, not once per
+    occurrence; (b) the ledger anti-join is NULL-SAFE, so a NULL key
+    (unidentifiable content) behaves as ONE key — first write wins,
+    replays suppress — instead of re-appending to the output AND the
+    ledger on every rerun forever; (c) no forced broadcast hint: the
+    keys-only ledger grows without bound across runs, and AQE must stay
+    free to pick a shuffled join once it outgrows the driver
+    (operators/dedup.anti_join_ledger's documented rationale).
     """
+    from .operators.dedup import exact_dedup
+
     spark = df.sparkSession
+    others = [F.col(c).asc_nulls_last() for c in df.columns if c != key_col]
+    df = exact_dedup(df, key_cols=[key_col], order_cols=others or [F.lit(1)])
     ledger = _ledger_keys(spark, ledger_path, fail_open)
     fresh = df if ledger is None else df.join(
-        F.broadcast(ledger.withColumnRenamed("idem_key", key_col)), key_col, "left_anti"
+        ledger.withColumnRenamed("idem_key", "__ledger_key"),
+        F.col(key_col).eqNullSafe(F.col("__ledger_key")),
+        "left_anti",
     )
     # localCheckpoint, not cache(): three actions (count, JSON write,
     # ledger write) must see ONE snapshot. A cache() partition evicted
@@ -175,7 +192,8 @@ def kv_upsert_parquet(
     # derives emptiness for free from its collected partition list instead.
     if df.isEmpty():
         return
-    if table_exists(path):
+    existed = table_exists(path)
+    if existed:
         existing = spark.read.parquet(data_dir)
         merged = existing.unionByName(df, allowMissingColumns=True)
     else:
@@ -200,6 +218,14 @@ def kv_upsert_parquet(
             from .operators.skipping import save_stats_index
 
             save_stats_index(staging, stats_cols)
+        elif existed:
+            # a default upsert over an indexed table must not DROP the
+            # persisted index (read_pruned would silently degrade to live
+            # footer scans) — same invariant compact.py enforces; no-op
+            # when the table never had one (review r11)
+            from .operators.skipping import refresh_stats_index
+
+            refresh_stats_index(data_dir, staging)
         finish_commit(path, version)
     except BaseException:
         # a failed staging write must release the commit lock, or every
@@ -210,8 +236,17 @@ def kv_upsert_parquet(
 
 def weekly_rollup_path(df: DataFrame, base: str, date_col: str = "date") -> str:
     """Reference weekly path template 'weekly/{start}__{end}--…' built from
-    the batch's min/max dates (handler.py:215-229)."""
+    the batch's min/max dates (handler.py:215-229).
+
+    Raises on a batch with no dates (empty, or all-NULL ``date_col``) —
+    the template would otherwise silently mint
+    'weekly/None__None--records.json' (review r11)."""
     row = df.agg(
         F.min(date_col).alias("lo"), F.max(date_col).alias("hi")
     ).collect()[0]
+    if row.lo is None or row.hi is None:
+        raise ValueError(
+            f"weekly_rollup_path: batch has no non-NULL {date_col!r} values "
+            "— skip the write instead of minting a 'None__None' path"
+        )
     return os.path.join(base, f"weekly/{row.lo}__{row.hi}--records.json")
