@@ -99,3 +99,21 @@ def test_merge_digests_empty_list_returns_empty_digest(spark):
     means, weights = merge_digests([])
     assert len(means) == 0 and len(weights) == 0
     assert math.isnan(digest_quantile(means, weights, 0.5))
+
+
+def test_build_digest_drops_nan_mass():
+    """Review r11: NaN values were digested as real mass — NaN-mean tail
+    centroids, inflated weight, NaN upper quantiles. build_digest drops
+    them itself now, not by caller convention."""
+    import math
+
+    import numpy as np
+
+    from weightlifting_wod_etl_spark.operators.tdigest import make_digest_fns
+
+    build_digest, merge_digests, digest_quantile = make_digest_fns(32)
+    m, w = build_digest(np.array([1.0, 2.0, float("nan"), 3.0]))
+    assert float(w.sum()) == 3.0  # NaN carried no mass
+    assert not any(math.isnan(x) for x in m)
+    assert digest_quantile(m, w, 0.5) == 2.0  # true median of valid values
+    assert not math.isnan(digest_quantile(m, w, 1.0))

@@ -120,17 +120,27 @@ def band_keys_from_shingles(
     path when oracle portability isn't needed.
     """
     _check_family(hash_family)
+
+    def bands_of(sigs: list[Column]) -> Column:
+        # ONE shared band-chunking fold for both hash families (the same
+        # rule simhash_fingerprint states for its fold): a change to the
+        # separator, band count, or remainder handling lands in both
+        # families at once — edited in one place, the md5 and xxhash64
+        # band keys can never silently drift apart (review r11)
+        return F.array(
+            *[
+                F.concat_ws("|", *sigs[i : i + rows_per_band])
+                for i in range(0, num_hashes, rows_per_band)
+            ]
+        )
+
     if hash_family == "xxhash64":
 
         def inner_xx(sh: Column) -> Column:
-            sigs = [
-                F.array_min(F.transform(sh, _xx_seeded(seed)))
-                for seed in range(num_hashes)
-            ]
-            return F.array(
-                *[
-                    F.concat_ws("|", *sigs[i : i + rows_per_band])
-                    for i in range(0, num_hashes, rows_per_band)
+            return bands_of(
+                [
+                    F.array_min(F.transform(sh, _xx_seeded(seed)))
+                    for seed in range(num_hashes)
                 ]
             )
 
@@ -140,13 +150,10 @@ def band_keys_from_shingles(
 
     def inner(sh: Column) -> Column:
         def from_hashes(hh: Column) -> Column:
-            sigs = [
-                F.array_min(F.transform(hh, _hash_slice(seed))) for seed in range(num_hashes)
-            ]
-            return F.array(
-                *[
-                    F.concat_ws("|", *sigs[i : i + rows_per_band])
-                    for i in range(0, num_hashes, rows_per_band)
+            return bands_of(
+                [
+                    F.array_min(F.transform(hh, _hash_slice(seed)))
+                    for seed in range(num_hashes)
                 ]
             )
 

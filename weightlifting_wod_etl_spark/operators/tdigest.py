@@ -62,8 +62,13 @@ def make_digest_fns(k: int = DEFAULT_K):
         return out_m, out_w
 
     def build_digest(values):
-        """Digest a raw value array: sort, compress unit-weight points."""
-        v = np.sort(np.asarray(values, dtype=np.float64))
+        """Digest a raw value array: sort, compress unit-weight points.
+
+        NaN is dropped HERE, not by caller convention (review r11): kept,
+        it sorts last, counts as real mass, and smears NaN through every
+        merged tail-centroid mean — silent garbage quantiles."""
+        v = np.asarray(values, dtype=np.float64)
+        v = np.sort(v[~np.isnan(v)])
         return _compress(v, np.ones_like(v))
 
     def merge_digests(parts):

@@ -18,10 +18,14 @@ the built-in) the exact dyadic percentiles themselves. A sketch
 regression (lost mass, broken merge, rank drift) flips a boolean or a
 count and the driver's value-hash catches it.
 
-All three group-keyed queries restrict to non-NULL (event_type, value)
-in BOTH engines: sketches and exact twins drop NULL measures by
-definition, and a NULL group key would silently vanish from the pandas
-stages while the oracle's GROUP BY emits it.
+q_tdigest_quantile and q_quantile_bound restrict to non-NULL
+(event_type, value) in BOTH engines: sketches and exact twins drop NULL
+measures by definition, and a NULL group key would silently vanish from
+q_tdigest_quantile's pandas stages while the oracle's GROUP BY emits it.
+q_hll_bound deliberately restricts NEITHER — it has no pandas stage, its
+Spark groupBy keeps NULL keys exactly like the oracle's GROUP BY, and
+adding a filter on one side only would hash-mismatch (review r11: the
+old docstring claimed 'all three' and invited exactly that edit).
 """
 
 from __future__ import annotations
@@ -149,7 +153,10 @@ _EST_SCHEMA = StructType(
            TRUE AS q50_in_band,
            TRUE AS q90_in_band
     FROM events
-    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    -- NOT isnan too: NaN passes IS NOT NULL in BOTH engines but the
+    -- digest (np-side) drops it — counting it in n_items/__n while the
+    -- digest loses its mass would silently hash-mismatch (review r11)
+    WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
     GROUP BY event_type
     """,
 )
@@ -178,13 +185,18 @@ def q_tdigest_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_digest, merge_digests, digest_quantile = make_digest_fns(DEFAULT_K)
     e = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        # ~isnan mirrors the oracle: NaN is not a number for quantiles —
+        # it must vanish from n_items, the digest, AND the straddle sums
+        # together, in both engines (review r11)
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("event_type").isNotNull()
+        )
         .select("event_type", "value")
     )
 
     def part_digests(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         acc: dict[str, tuple] = {}
         for pdf in batches:
             for etype, grp in pdf.groupby("event_type"):
