@@ -94,8 +94,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_retention_cohort",
     oracle="""
     WITH weeks AS (
+        -- an undated event is not activity: a NULL ts would mint a
+        -- (cohort, NULL offset) bucket, and a NULL-ts-only user a
+        -- (NULL, NULL) cohort of size 1 (review r11)
         SELECT user_id, date_trunc('week', ts) AS wk
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), w2 AS (
         SELECT user_id, wk,
                min(wk) OVER (PARTITION BY user_id) AS cohort_wk
@@ -119,7 +122,9 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     after date_trunc), so no float rounding can split a cohort."""
     e = load_table(spark, sf_dir, "events")
     weeks = (
-        e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+        e.filter(F.col("ts").isNotNull())  # undated events are not activity
+        .select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
     )
     w = Window.partitionBy("user_id")
     w2 = weeks.withColumn("cohort_wk", F.min("wk").over(w))
@@ -136,14 +141,24 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_argmax_events",
     oracle="""
+    -- cents guard mirrors functions/money.to_fixed: NaN/Inf/overflow ->
+    -- NULL (a raw round()::BIGINT would RAISE here while Spark's ANSI-off
+    -- cast silently crowned a garbage winner — review r11)
+    WITH c AS (
+        SELECT event_type, event_id,
+               CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                         AND abs(value) < 92233720368547758.0
+                    THEN round(value * 100)::BIGINT END AS cents
+        FROM events
+    )
     SELECT event_type,
-           arg_max(event_id, round(value * 100)::BIGINT * 100000000 + event_id)
-               ::BIGINT AS top_event_id,
-           arg_min(event_id, round(value * 100)::BIGINT * 100000000 + event_id)
-               ::BIGINT AS bottom_event_id,
-           round(max(round(value * 100)::BIGINT) / 100.0, 2) AS max_value,
+           arg_max(event_id, cents * 100000000 + event_id)::BIGINT
+               AS top_event_id,
+           arg_min(event_id, cents * 100000000 + event_id)::BIGINT
+               AS bottom_event_id,
+           round(max(cents) / 100.0, 2) AS max_value,
            count(*)::BIGINT AS n
-    FROM events
+    FROM c
     GROUP BY event_type
     """,
 )
@@ -158,8 +173,14 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose ties would be resolved by arrival order. Packing bound: |id| <
     1e8 and |value| < 9e8, asserted nowhere because the synthetic domain
     is ~1e6/1e3; a production deployment would widen to a struct key."""
+    from ..functions.money import to_fixed
+
     e = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("long")
+    # to_fixed, not a raw round().cast: NaN became cents 0 (competing as
+    # 0.00 in min_by), and +/-Inf or a huge finite value clamped to
+    # Long.MAX whose *1e8 packing wraps NEGATIVE — silently crowning the
+    # wrong winner where the oracle raises (review r11)
+    cents = to_fixed("value")
     key = cents * F.lit(100000000) + F.col("event_id")
     return e.groupBy("event_type").agg(
         F.max_by("event_id", key).cast("bigint").alias("top_event_id"),
@@ -213,10 +234,14 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_snapshot",
     oracle="""
     WITH ordered AS (
+        -- typed events only: a NULL event_type is not a state, and
+        -- leaving it in conflated 'first row' with 'previous type was
+        -- NULL' — the row AFTER a NULL-type event always re-emitted its
+        -- unchanged state as a phantom A->A interval (review r11)
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts NULLS LAST, event_id) AS prev_type
-        FROM events
+        FROM events WHERE event_type IS NOT NULL
     ), changes AS (
         SELECT user_id, event_type, ts, event_id
         FROM ordered
@@ -241,7 +266,9 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id with the same total order, so Catalyst plans ONE Exchange and
     one sort for the whole query. Interval bounds render as formatted
     strings so parquet timestamp precision can't flip the hash."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()  # a NULL type is not a state
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     changes = (
         e.select("user_id", "event_type", "ts", "event_id")
@@ -266,7 +293,10 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
         SELECT event_type,
-               sum(round(value * 100)::BIGINT) / count(*) / 100.0 AS mean_v,
+               -- count(value), not count(*): the numerator skips NULL
+               -- cents, so a NULL-bearing group's mean was biased low in
+               -- BOTH engines while stddev used only non-NULLs (r11)
+               sum(round(value * 100)::BIGINT) / count(value) / 100.0 AS mean_v,
                stddev_samp(value) AS sd_v
         FROM events GROUP BY 1
     )
@@ -291,8 +321,12 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's Divide returns NULL but DuckDB (IEEE float division) returns
     ±Inf, and the hashes would diverge on a constant-valued group."""
     e = load_table(spark, sf_dir, "events")
+    cents = to_fixed("value")
     stats = e.groupBy("event_type").agg(
-        (F.sum(to_fixed("value")) / F.count(F.lit(1)) / F.lit(100.0)).alias(
+        # divide by the rows the numerator kept (avg_fixed's r11 rule) —
+        # count(*) biased every NULL-bearing group's mean low while
+        # stddev_samp used only the non-NULL population
+        (F.sum(cents) / F.count(cents) / F.lit(100.0)).alias(
             "mean_v"
         ),
         F.stddev_samp("value").alias("sd_v"),
@@ -406,14 +440,22 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_trunc("day", "ts").alias("day"), "user_id", "event_type")
     )
     days = e.select("day").distinct()
+    # ONE fact pass feeds both entity families: per-(user, type) first-seen
+    # days are the finer aggregate, and a user's first-seen day is the MIN
+    # over their pairs' first-seen days — so nu derives from the tiny
+    # `pairs` frame instead of re-scanning the fact (review r11: 3
+    # FileScans -> 2; the checkpoint stops the two consumers re-running
+    # the shared groupBy lineage, the q15/q17 pattern)
+    pairs = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("day").alias("day"))
+        .localCheckpoint(eager=False)
+    )
     nu = (
-        e.groupBy("user_id").agg(F.min("day").alias("day"))
+        pairs.groupBy("user_id").agg(F.min("day").alias("day"))
         .groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
     )
-    np_ = (
-        e.groupBy("user_id", "event_type").agg(F.min("day").alias("day"))
-        .groupBy("day").agg(F.count(F.lit(1)).alias("new_pairs"))
-    )
+    np_ = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("new_pairs"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         days.join(nu, "day", "left")
@@ -612,7 +654,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(ob.o, 0) AS o
         FROM rows_ rw CROSS JOIN cols_ cl CROSS JOIN tot t
         LEFT JOIN obs ob
-          ON ob.event_type = rw.event_type AND ob.segment = cl.segment
+          -- null-safe: a NULL event_type or NULL segment is a real
+          -- marginal category (rows_/cols_ group it), and the plain
+          -- equality could never re-match its observed cells — their
+          -- mass counted in r, c, n but o fell to 0, inflating chi2 by
+          -- the full expected mass of every NULL-keyed cell (review r11)
+          ON ob.event_type IS NOT DISTINCT FROM rw.event_type
+         AND ob.segment IS NOT DISTINCT FROM cl.segment
     )
     SELECT round(sum(pow(o - r * c / CAST(n AS DOUBLE), 2)
                      / (r * c / CAST(n AS DOUBLE))), 4) AS chi2,
@@ -646,11 +694,25 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("segment").agg(F.sum("o").alias("c"))
     tot = obs.agg(F.sum("o").alias("n"))
+    # null-safe re-match (mirrors the oracle's IS NOT DISTINCT FROM):
+    # NULL-keyed cells' mass is in the marginals, so the grid must find
+    # their observed counts too
+    ob2 = obs.select(
+        F.col("event_type").alias("__ot"),
+        F.col("segment").alias("__os"),
+        "o",
+    )
     grid = (
         rows_.crossJoin(F.broadcast(cols_))
         .crossJoin(F.broadcast(tot))
-        .join(obs, ["event_type", "segment"], "left")
+        .join(
+            ob2,
+            F.col("event_type").eqNullSafe(F.col("__ot"))
+            & F.col("segment").eqNullSafe(F.col("__os")),
+            "left",
+        )
         .withColumn("o", F.coalesce("o", F.lit(0)))
+        .drop("__ot", "__os")
     )
     exp = F.col("r") * F.col("c") / F.col("n").cast("double")
     return grid.agg(
@@ -666,9 +728,12 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_streaks",
     oracle="""
     WITH days AS (
+        -- an undated event is not an active day: the NULL day_no row
+        -- formed a length-1 NULL island, inflating n_active_days (and a
+        -- NULL-ts-only user reported best_streak 1 from zero real days)
         SELECT DISTINCT user_id,
                (CAST(ts AS DATE) - DATE '1970-01-01') AS day_no
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     islands AS (
         SELECT user_id, day_no,
@@ -697,7 +762,9 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, so no global sort and no hot key (each user's partition is tiny).
     At 100 TB the only data-proportional step is the distinct; everything
     after operates on the bounded activity-calendar."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # undated events are not active days
+    )
     days = e.select(
         "user_id",
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))

@@ -310,7 +310,10 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_slope(rev, day_x), 6) AS slope,
            round(regr_intercept(rev, day_x), 4) AS intercept,
            round(regr_r2(rev, day_x), 6) AS r2,
-           count(*)::BIGINT AS n_days
+           -- count(rev), not count(*): an all-NULL-value day yields a
+           -- NULL rev row the regr_* aggregates skip — n_days must
+           -- describe the fit's actual sample size (review r11)
+           count(rev)::BIGINT AS n_days
     FROM daily GROUP BY event_type
     """,
 )
@@ -329,7 +332,8 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(rev, day_x)"), 6).alias("slope"),
         F.round(F.expr("regr_intercept(rev, day_x)"), 4).alias("intercept"),
         F.round(F.expr("regr_r2(rev, day_x)"), 6).alias("r2"),
-        F.count(F.lit(1)).alias("n_days"),
+        # the fit's true N: regr_* skip NULL-rev days (review r11)
+        F.count("rev").alias("n_days"),
     )
 
 
@@ -349,7 +353,10 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            round(corr(rev, prev), 6) AS autocorr_1,
-           count(prev)::BIGINT AS n_pairs
+           -- pairs corr actually used: count(prev) alone counted pairs
+           -- whose rev side is NULL, which corr skips (review r11)
+           count(CASE WHEN rev IS NOT NULL AND prev IS NOT NULL
+                      THEN 1 END)::BIGINT AS n_pairs
     FROM lagged GROUP BY event_type
     """,
 )
@@ -368,5 +375,8 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = daily.withColumn("prev", F.lag("rev").over(w))
     return lagged.groupBy("event_type").agg(
         F.round(F.corr("rev", "prev"), 6).alias("autocorr_1"),
-        F.count("prev").alias("n_pairs"),
+        # pairs corr actually used — both sides non-NULL (review r11)
+        F.count(F.when(F.col("rev").isNotNull() & F.col("prev").isNotNull(), 1)).alias(
+            "n_pairs"
+        ),
     )
