@@ -105,7 +105,13 @@ _DIRTY_ROWS = {
                  TIMESTAMP '2031-07-15 00:00:00', '1-URGENT'),
                 (9000002, 1, NULL, NULL, NULL, NULL),
                 (NULL, 2, 'F', 77.77, TIMESTAMP '2031-09-01 00:00:00',
-                 '3-MEDIUM')
+                 '3-MEDIUM'),
+                -- r11: NULL price inside a REAL priority partition (the
+                -- ntile NULLS-pin blind spot: the all-NULL order above
+                -- has NULL priority, a 1-row partition both engines
+                -- bucket identically)
+                (9000003, 2, 'O', NULL, TIMESTAMP '2031-09-02 00:00:00',
+                 '1-URGENT')
             ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority)
     """,
@@ -118,7 +124,14 @@ _DIRTY_ROWS = {
                 (9000001, NULL, NULL, 2, NULL, NULL, NULL, NULL,
                  NULL, NULL, NULL),
                 (9000009, 1, 1, 1, 3.0, 99.99, 0.0, 0.0,
-                 'A', 'F', TIMESTAMP '2031-08-01 00:00:00')
+                 'A', 'F', TIMESTAMP '2031-08-01 00:00:00'),
+                -- r11: NULL measure inside a REAL partition — the old
+                -- all-NULL row (above) sat in its own NULL-flag group,
+                -- so unpinned ASC windows over price/unit-cost never met
+                -- a NULL inside a populated partition (the
+                -- min_cost_supplier / weighted_median / ntile blind spot)
+                (9000010, 1, 1, 1, 5.0, NULL, 0.0, 0.0,
+                 'N', 'O', TIMESTAMP '2031-08-02 00:00:00')
             ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
                 l_quantity, l_extendedprice, l_discount, l_tax,
                 l_returnflag, l_linestatus, l_shipdate)

@@ -526,8 +526,12 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), best AS (
         SELECT l_partkey, l_suppkey, unit_fp
         FROM cost
+        -- NULLS LAST pinned on both sides: Spark defaults ASC NULLS
+        -- FIRST, so a NULL unit cost would steal rn=1 (review r11);
+        -- DuckDB's window NULL order is also empirically unstable
         QUALIFY row_number() OVER (PARTITION BY l_partkey
-                                   ORDER BY unit_fp, l_suppkey) = 1
+                                   ORDER BY unit_fp NULLS LAST,
+                                            l_suppkey NULLS LAST) = 1
     )
     SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
            b.unit_fp / 10000.0 AS unit_cost
@@ -553,7 +557,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(unit_fp).alias("unit_fp")
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_fp", "l_suppkey")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_fp").asc_nulls_last(), F.col("l_suppkey").asc_nulls_last()
+    )
     best = (
         cost.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -613,8 +619,12 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT o_orderpriority, o_totalprice,
+               -- NULLS LAST pinned both sides (Spark ASC defaults
+               -- NULLS FIRST: a NULL price would land in bucket 1 and
+               -- shift every quartile boundary — review r11)
                ntile(4) OVER (PARTITION BY o_orderpriority
-                              ORDER BY o_totalprice, o_orderkey) AS bucket
+                              ORDER BY o_totalprice NULLS LAST,
+                                       o_orderkey NULLS LAST) AS bucket
         FROM orders
     )
     SELECT o_orderpriority, bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
@@ -634,7 +644,10 @@ def q_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     join instead (see q_histogram). Total order inside each window via
     the orderkey tiebreak makes bucket assignment engine-exact."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     return (
         o.withColumn("bucket", F.ntile(4).over(w))
         .groupBy("o_orderpriority", F.col("bucket").cast("bigint").alias("bucket"))
@@ -827,17 +840,14 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles in partial-merge order, which can flip the 4th decimal at a
     # rounding boundary between runs/engines — the exact drift the
     # docstring promises away
+    # to_fixed(val, 4), not a hand-inlined round().cast: the helper
+    # carries the r11 non-finite/overflow guard (a huge finite measure
+    # would clamp to Long.MAX and wrap the sums where the oracle raises)
+    fixed = F.sum(to_fixed(F.col("val"), 4)) / F.lit(10000.0)
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.round(F.col("val") * 10000).cast("long"))
-            / F.lit(10000.0)
-            / F.count(F.lit(1)),
-            4,
-        ).alias("avg_val"),
-        F.round(
-            F.sum(F.round(F.col("val") * 10000).cast("long")) / F.lit(10000.0), 4
-        ).alias("sum_val"),
+        F.round(fixed / F.count(F.lit(1)), 4).alias("avg_val"),
+        F.round(fixed, 4).alias("sum_val"),
     )
 
 
@@ -851,8 +861,12 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1, 2
     ),
     cum AS (
+        -- cents NULLS LAST pinned both sides: a NULL-price group's
+        -- weight otherwise enters Spark's running sum FIRST and DuckDB's
+        -- LAST, firing the 2*cw >= tw cut one value early (review r11)
         SELECT l_returnflag, cents, w,
-               sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents NULLS LAST
                             ROWS UNBOUNDED PRECEDING) AS cw,
                sum(w) OVER (PARTITION BY l_returnflag) AS tw
         FROM vals
@@ -878,9 +892,16 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.groupBy(
         "l_returnflag", to_fixed("l_extendedprice").alias("cents")
-    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("w"))
+    ).agg(
+        # to_fixed(.., 0), not a raw round().cast: a non-finite or huge
+        # quantity would clamp to Long.MAX and silently dominate cw/tw
+        # where the oracle raises (review r11)
+        F.sum(to_fixed("l_quantity", 0)).alias("w")
+    )
     wflag = Window.partitionBy("l_returnflag")
-    wcum = wflag.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = wflag.orderBy(F.col("cents").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = vals.select(
         "l_returnflag",
         "cents",

@@ -200,8 +200,11 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6) AS cume,
            nth_value(o_orderkey, 10) OVER w::BIGINT AS tenth_key
     FROM orders
+    -- NULLS LAST pinned both sides: a NULL price inside a real
+    -- priority partition otherwise ranks FIRST in Spark and LAST in
+    -- DuckDB, shifting every rank (caught by the r11 dirty rows)
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST)
     """,
 )
 def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +219,10 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     return o.select(
         "o_orderkey",
         "o_orderpriority",

@@ -429,7 +429,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("o_orderkey").alias("k2"),
         F.col("o_orderstatus").alias("status2"),
-        F.floor(cents * F.lit(11) / F.lit(10)).cast("long").alias("cents2"),
+        cents.alias("__c"),
+    ).select(
+        "k2",
+        "status2",
+        # SQL `div` = exact long floor division: floor(x * 11 / 10) went
+        # through IEEE double division, which rounds once cents*11 passes
+        # 2^53 while the oracle's integer `// 10` stays exact (review r11)
+        F.expr("(__c * 11) div 10").alias("cents2"),
     )
     joined = v1.join(v2, v1.k1 == v2.k2, "full_outer")
     changed = joined.filter(
@@ -497,7 +504,7 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice, c.c_name
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey NULLS LAST
     LIMIT 100
     """,
 )
@@ -527,7 +534,11 @@ def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_totalprice", "c_name")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        # asc_nulls_last pins the tiebreak: the dirty schema injects a
+        # NULL o_orderkey, and at an exact price tie on the LIMIT cut
+        # Spark (NULLS FIRST) and DuckDB (NULLS LAST) would keep
+        # different rows (review r11)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc_nulls_last())
         .limit(100)
     )
 
