@@ -83,7 +83,13 @@ _DIRTY_ROWS = {
                 (9000011, 'regex .* meta [chars] (parens) | pipes $5 ^caret',
                  'en', 'src3', 48),
                 (9000012, 'laïque de elías y el mar la fête und der tag',
-                 'fr', 'src4', 44)
+                 'fr', 'src4', 44),
+                -- r11: NULL primary key with REAL text, duplicating
+                -- 9000005's text exactly — exercises every doc_id
+                -- window tiebreak (passage/canonical rep NULLS pins),
+                -- quota-order NULL placement (md5(NULL)), df counting
+                -- (tfidf), and NULL split assignment
+                (NULL, 'dup dup dup dup', 'en', 'dirty', 15)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """

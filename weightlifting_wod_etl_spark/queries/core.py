@@ -61,7 +61,9 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, source
     FROM documents
-    ORDER BY doc_id
+    -- NULLS LAST pinned both sides: a NULL doc_id sorts FIRST in Spark
+    -- and LAST in DuckDB, shifting the whole offset window (review r11)
+    ORDER BY doc_id NULLS LAST
     LIMIT 5 OFFSET 10
     """,
 )
@@ -71,7 +73,7 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
         .offset(10)
         .limit(5)
     )

@@ -63,11 +63,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
-    # explicit NULL-text guard: size(NULL) is -1 under ANSI-off and NULL
-    # under ANSI-on, so an unguarded sum would emit an environment-
-    # dependent -2 where the oracle's len(NULL) arithmetic yields NULL
+    # explicit NULL guard on the SEEDED concat t (not just text): concat
+    # nulls whenever ANY piece is NULL, so a NULL doc_id with real text
+    # still made t NULL — size(NULL) = -2 where the oracle yields NULL
+    # (review r11); size(NULL) is also -1/NULL depending on ANSI mode
     n_pii = F.when(
-        F.col("text").isNotNull(),
+        t.isNotNull(),
         F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
         + F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0))),
     ).cast("bigint")
@@ -224,8 +225,11 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
         SELECT lang, n_chars, doc_id
         FROM documents
+        -- NULLS LAST pinned both sides: md5(NULL) is NULL and Spark
+        -- would always sample the NULL-id doc first (review r11)
         QUALIFY row_number() OVER (PARTITION BY lang
-                                   ORDER BY md5(doc_id::VARCHAR), doc_id) <= 30
+                                   ORDER BY md5(doc_id::VARCHAR) NULLS LAST,
+                                            doc_id NULLS LAST) <= 30
     )
     SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
     FROM ranked GROUP BY lang
@@ -242,7 +246,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = _two_phase_top_per_group(
         docs,
         "lang",
-        [F.col("__h"), F.col("doc_id")],
+        # NULLS LAST: md5(NULL doc_id) is NULL and would rank FIRST under
+        # Spark's ASC default, always stealing a quota slot (review r11)
+        [F.col("__h").asc_nulls_last(), F.col("doc_id").asc_nulls_last()],
         30,
         # reuse __h's first hex digit: the default bucket would evaluate a
         # SECOND md5 per row (no CSE across projections)

@@ -44,6 +44,30 @@ _EMB_VALID_SQL = """emb AS (
         WHERE embedding IS NOT NULL AND len(embedding) = 64
     )"""
 
+# sign-bucket blocking + within-bucket cosine pairs (>= 0.25), shared by
+# q_embed_neardup and q_dup_clusters' oracle: the threshold, the 4-bit
+# bucket ladder, and the rounding MUST stay one definition — an edit to
+# one copy would leave q_dup_clusters verifying a different pair set
+# than the Spark path feeding connected_components (review r11)
+_NEARDUP_PAIRS_CTE = """b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+                CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+                CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+                CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM emb
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_dot_product(a.e, c.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) *
+                      sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE round(list_dot_product(a.e, c.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) *
+                     sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25
+    )"""
+
 
 def _valid_embeddings(emb: DataFrame) -> DataFrame:
     """Spark mirror of ``_EMB_VALID_SQL``."""
@@ -279,22 +303,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_neardup",
     oracle=f"""
     WITH {_EMB_VALID_SQL},
-    b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e,
-               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
-                CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-                CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
-                CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        FROM emb
-    )
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           round(list_dot_product(a.e, c.e) /
-                 (sqrt(list_dot_product(a.e, a.e)) *
-                  sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE round(list_dot_product(a.e, c.e) /
-                (sqrt(list_dot_product(a.e, a.e)) *
-                 sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25
+    {_NEARDUP_PAIRS_CTE}
+    SELECT id_a, id_b, cos_sim FROM pairs
     """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,21 +489,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_EMB_VALID_SQL},
-    b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS e,
-               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
-                CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-                CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
-                CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        FROM emb
-    ),
-    pairs AS (
-        SELECT a.vec_id AS id_a, c.vec_id AS id_b
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        WHERE round(list_dot_product(a.e, c.e) /
-                    (sqrt(list_dot_product(a.e, a.e)) *
-                     sqrt(list_dot_product(c.e, c.e))), 6) >= 0.25
-    ),
+    {_NEARDUP_PAIRS_CTE},
     und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
     nodes AS (SELECT DISTINCT u FROM und),
     reach AS (

@@ -24,14 +24,20 @@ from ..queries_registry import register
     "q_tfidf_topk",
     oracle="""
     WITH tok AS (
+        -- identified docs only: a NULL doc_id forms a tf group that the
+        -- engine's df-from-tf count includes but count(DISTINCT doc_id)
+        -- skips — every shared term's tfidf diverged by the off-by-one
+        -- df, and a term exclusive to the NULL doc hits df=0 (inf vs
+        -- NULL division). One filter, both sides, closes it (review r11)
         SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ), tf AS (
         SELECT doc_id, term, count(*)::BIGINT AS tf
         FROM tok GROUP BY 1, 2
     ), df AS (
         SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
-    ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    ), n AS (SELECT count(*)::BIGINT AS n_docs
+             FROM documents WHERE doc_id IS NOT NULL),
     scored AS (
         SELECT tf.doc_id, tf.term, tf.tf,
                round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
@@ -49,14 +55,18 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, score join, per-doc argmax).
 
     Plan: one shuffle on (doc,term) for tf, one on term for df; the IDF
-    side is vocabulary-sized so it BROADCASTS back onto tf (at web scale
-    a vocabulary still fits executor memory after the df-floor a real
-    indexer applies; if not, AQE falls back to shuffle join). The per-doc
+    side is vocabulary-sized so it BROADCASTS back onto tf — an explicit
+    hint, which Spark never demotes: at web scale apply a df-floor first
+    (as a real indexer does) or drop the hint and let AQE size-pick,
+    because an over-broadcast fails hard rather than falling back. The
+    per-doc
     winner is row_number over (tfidf, term) — fully tie-broken.
     Determinism: tf·ln(N/df) is computed from exact BIGINTs with one ln
     and one multiply, same op order as the oracle; ties on the rounded
     score resolve by term."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()  # unidentifiable docs can't be indexed
+    )
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
@@ -177,8 +187,6 @@ def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr/stddev (hash-green at sf0.01); if a future corpus lands a
     knife-edge value, widen the rounding margin rather than reordering
     the fold."""
-    from ..functions.expr import let
-
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     grams = F.expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
@@ -236,7 +244,8 @@ def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, passage_hash
     FROM p
     QUALIFY row_number() OVER (PARTITION BY passage_hash
-                               ORDER BY doc_id, chunk_idx) = 1
+                               ORDER BY doc_id NULLS LAST,
+                                        chunk_idx NULLS LAST) = 1
     """,
 )
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +285,12 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         F.md5(F.col("passage").cast("binary")).alias("passage_hash"),
     )
-    w = Window.partitionBy("passage_hash").orderBy("doc_id", "chunk_idx")
+    # NULLS LAST pinned both sides: a NULL doc_id otherwise ranks FIRST
+    # in Spark and LAST in DuckDB, flipping which document owns every
+    # passage hash it shares (review r11)
+    w = Window.partitionBy("passage_hash").orderBy(
+        F.col("doc_id").asc_nulls_last(), F.col("chunk_idx").asc_nulls_last()
+    )
     return (
         passages.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -298,7 +312,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) OVER (PARTITION BY grp)::BIGINT AS n_members
     FROM g
     QUALIFY row_number() OVER (PARTITION BY grp
-                               ORDER BY n_chars DESC, doc_id) = 1
+                               ORDER BY n_chars DESC, doc_id NULLS LAST) = 1
     """,
 )
 def q_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +333,9 @@ def q_canonical_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring("text", 1, 64).cast("binary")).alias("grp"),
     )
     wp = Window.partitionBy("grp")
-    wr = wp.orderBy(F.col("n_chars").desc(), "doc_id")
+    # doc_id NULLS LAST both sides: a NULL-id member tying the max
+    # n_chars must lose the rep slot identically in both engines (r11)
+    wr = wp.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc_nulls_last())
     return (
         g.withColumn("n_members", F.count(F.lit(1)).over(wp).cast("bigint"))
         .withColumn("rn", F.row_number().over(wr))
@@ -373,8 +389,6 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     count frames broadcast back onto the probe. Cross-engine drift: the
     per-doc mean sums IEEE doubles in engine order — ~1 ulp, absorbed
     by round(…, 6) (the corr/stddev accepted class)."""
-    from ..functions.expr import let
-
     docs = load_table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     b = docs.select(
