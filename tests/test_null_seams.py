@@ -117,7 +117,11 @@ _DIRTY_ROWS = {
                 -- has NULL priority, a 1-row partition both engines
                 -- bucket identically)
                 (9000003, 2, 'O', NULL, TIMESTAMP '2031-09-02 00:00:00',
-                 '1-URGENT')
+                 '1-URGENT'),
+                -- r11: NEGATIVE price — floor-vs-truncation binning
+                -- (q_histogram) and any sign-sensitive money math
+                (9000004, 2, 'F', -150.25,
+                 TIMESTAMP '2031-09-03 00:00:00', '2-HIGH')
             ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority)
     """,
@@ -137,7 +141,13 @@ _DIRTY_ROWS = {
                 -- a NULL inside a populated partition (the
                 -- min_cost_supplier / weighted_median / ntile blind spot)
                 (9000010, 1, 1, 1, 5.0, NULL, 0.0, 0.0,
-                 'N', 'O', TIMESTAMP '2031-08-02 00:00:00')
+                 'N', 'O', TIMESTAMP '2031-08-02 00:00:00'),
+                -- r11: NULL suppkey with a REAL partkey — the NOT IN vs
+                -- anti-join probe-side NULL seam (tpch_q16): the older
+                -- NULL-suppkey row also has NULL partkey, which kills
+                -- the part join in both engines and hid the divergence
+                (9000011, 2, NULL, 1, 1.0, 10.00, 0.0, 0.0,
+                 'N', 'O', TIMESTAMP '2031-08-03 00:00:00')
             ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
                 l_quantity, l_extendedprice, l_discount, l_tax,
                 l_returnflag, l_linestatus, l_shipdate)

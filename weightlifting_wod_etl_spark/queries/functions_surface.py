@@ -5,10 +5,13 @@ of the suite exercises only incidentally (inside sessionization, date
 extraction, similarity). These three queries pin each category directly so a
 reference user can see every function family verified one-for-one.
 
-All three are pure per-row projections — zero Exchanges, they run entirely
-inside the scan stage and scale linearly with input at 100 TB. Shared
-subexpressions (the token array) are let-bound via ``expr.let`` so Catalyst's
-CollapseProject cannot re-inline the split once per reference.
+The three function-surface queries (string/date/array) are pure per-row
+projections — zero Exchanges, they run entirely inside the scan stage and
+scale linearly with input at 100 TB. Shared subexpressions (the token
+array) are let-bound via ``expr.let`` so Catalyst's CollapseProject cannot
+re-inline the split once per reference. The module has since grown two
+shuffle-bearing siblings: q_histogram (one |bins|-key aggregate) and
+q_rank_fns (one window Exchange + sort) — see their own docstrings.
 """
 
 from __future__ import annotations
@@ -154,8 +157,12 @@ def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_histogram",
     oracle="""
-    SELECT (round(o_totalprice * 100)::BIGINT // 5000000)::BIGINT AS bin_id,
-           ((round(o_totalprice * 100)::BIGINT // 5000000) * 50000)::BIGINT AS bin_lo,
+    -- floor(), not integer //: DuckDB's // truncates toward ZERO, so a
+    -- negative price would land in bin 0 there while Spark's F.floor
+    -- (toward -inf) bins it at -1 (review r11); floor of the float
+    -- division is exact here (|cents| < 2^53 by to_fixed's guard)
+    SELECT floor(round(o_totalprice * 100)::BIGINT / 5000000.0)::BIGINT AS bin_id,
+           (floor(round(o_totalprice * 100)::BIGINT / 5000000.0) * 50000)::BIGINT AS bin_lo,
            count(*)::BIGINT AS n,
            round(min(o_totalprice), 2) AS bin_min,
            round(max(o_totalprice), 2) AS bin_max

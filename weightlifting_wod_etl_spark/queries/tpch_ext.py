@@ -284,13 +284,20 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the pair-distinct keys on (partkey, suppkey) — the one
     fact-sized exchange, partially combined map-side. The complaint
-    exclusion is a broadcast LEFT ANTI (the bad-supplier list is tiny and
-    none of its keys are NULL, so anti-join = NOT IN here; a nullable
-    subquery would need the null-aware plan). The part filters prune
-    before the join, and count(DISTINCT) over the already-distinct pairs
-    adds no extra expand."""
+    exclusion is a broadcast LEFT ANTI. Anti-join = NOT IN needs BOTH
+    sides non-NULL: the bad-supplier list carries no NULLs, and the
+    PROBE side filters NULL l_suppkey explicitly — 'NULL NOT IN
+    (non-empty list)' is NULL-dropped in SQL while a left_anti KEEPS the
+    unmatched NULL pair (review r11, reproduced: a NULL-suppkey line on
+    a qualifying part minted a phantom supplier_cnt=0 group only in
+    Spark). The one residue, spec-documented: if the bad list were
+    EMPTY, NOT IN would keep NULL probes — unreachable here, the
+    synthetic supplier table always has negative balances. The part
+    filters prune before the join, and count(DISTINCT) over the
+    already-distinct pairs adds no extra expand."""
     pairs = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
         .select("l_partkey", "l_suppkey")
         .distinct()
     )
@@ -407,8 +414,11 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT SEMI (some other supplier on the order) then LEFT ANTI (no other
     late supplier). The anti side pre-joins lineitem to the finalized
     orders so 'late' is evaluated before the anti-join, keeping its build
-    side a fraction of lineitem; all three legs hash-partition on
-    orderkey, so AQE can reuse the exchange rather than reshuffling. The
+    side a fraction of lineitem. The late-lines derivation is built ONCE
+    and lazily checkpointed (the q15/q17 pattern, review r11: the
+    executed plan previously re-built the identical join from scratch
+    for the anti probe — 3 lineitem FileScans per execution where 2
+    suffice); the probe and anti legs are aliased projections of it. The
     supplier dim attaches after both correlations — only surviving rows
     pay the name join."""
     o = load_table(spark, sf_dir, "orders").filter(
@@ -417,18 +427,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    l1 = (
+    late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
     )
+    l1 = late
     l2 = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
     )
-    l3 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
     )
     waiting = (
         l1.join(
