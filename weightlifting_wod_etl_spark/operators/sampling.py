@@ -104,6 +104,10 @@ def token_chunks(text: Column, chunk_size: int = 512) -> Column:
                     i.alias("chunk_id"),
                     (i * chunk_size).alias("token_start"),
                     F.least(i * chunk_size + chunk_size, n).alias("token_end"),
+                    # the already-computed token count rides along so
+                    # consumers never re-split the text for it (review
+                    # r11: q_token_chunks_ids paid two full splits/doc)
+                    n.alias("n_tokens"),
                 ),
             ),
         ),

@@ -125,5 +125,9 @@ def doc_fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives
     formatting-only edits."""
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    # explicit class, not \s: Java's \s includes \x0B (vertical tab),
+    # RE2's does not — a \x0B-separated text would fingerprint
+    # differently per engine (review r11; same fix class as the ASCII
+    # \b stopword pin)
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\f\r]+", " "))
     return F.md5(normalized)

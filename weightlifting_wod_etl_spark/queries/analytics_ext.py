@@ -38,7 +38,9 @@ def rolling_hash(text: Column) -> Column:
     here the hash is a streaming fold that at 100 TB never leaves the scan
     stage.
     """
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    # explicit class, not \s: Java \s includes \x0B, RE2's does not
+    # (review r11)
+    toks = F.split(F.trim(F.lower(text)), r"[ \t\n\f\r]+")
     return F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
@@ -63,7 +65,7 @@ def rolling_hash(text: Column) -> Column:
                list_reduce(
                    list_prepend(0::BIGINT,
                        list_transform(
-                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
                            t -> (ascii(substr(t || '_', 1, 1)) * 1009 + length(t))::BIGINT)),
                    (a, b) -> (a * 1000003 + b) % 2147483647) END AS fingerprint
         FROM documents
@@ -447,10 +449,11 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0),
-            2,
-        ).alias("revenue"),
+        # to_fixed, not a hand-inlined round().cast: the helper carries
+        # the r11 non-finite/overflow guard (review r11)
+        F.round(F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2).alias(
+            "revenue"
+        ),
     )
 
 

@@ -382,8 +382,14 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (a.blk == b.blk_b) & (F.col("name_a") < F.col("name_b")))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("edit_dist") <= 3)
+        # bounded 3-arg levenshtein: early-exits once the distance passes
+        # the threshold (returns -1), and the -1 filter keeps Catalyst
+        # from re-evaluating the full distance in both Filter AND Project
+        # on the quadratic within-block hot set (review r11)
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b", 3).cast("long")
+        )
+        .filter(F.col("edit_dist") >= 0)
         .select("name_a", "name_b", "edit_dist", "cnt_a", "cnt_b")
     )
 

@@ -75,18 +75,21 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_chunks_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunk ids per document (512-token windows) — the
     chunk plan for sequence packing, as a scan-local explode. ``n_tokens``
-    is projected BEFORE the explode (once per document, not once per
-    chunk) via the null-guarded ws_token_count."""
+    rides inside the chunk struct — computed once per document by
+    token_chunks' let-bound split, never re-derived per chunk or by a
+    second split."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", "text", ws_token_count(F.col("text")).alias("n_tokens")
+    # n_tokens now rides inside the chunk struct (computed once by
+    # token_chunks' let-bound split) — the separate ws_token_count
+    # projection re-split every document a second time (review r11)
+    chunked = docs.select(
+        "doc_id", F.explode(token_chunks(F.col("text"), 512)).alias("c")
     )
-    chunked = d.select(
+    return chunked.select(
         "doc_id",
-        F.explode(token_chunks(F.col("text"), 512)).alias("c"),
-        "n_tokens",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
     )
-    return chunked.select("doc_id", F.col("c.chunk_id").alias("chunk_id"), "n_tokens")
 
 
 @register(
@@ -161,7 +164,10 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("40"))
     )
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "src_idx", F.substring("source", 4, 10).try_cast("int")
+        # substr to END of string: a 10-char cap silently parsed the
+        # truncated prefix of an 11+-digit index where the oracle's
+        # uncapped TRY_CAST overflows to NULL -> ELSE arm (review r11)
+        "src_idx", F.expr("substr(source, 4)").try_cast("int")
     )
     kept = docs.filter(hash_bucket(F.col("doc_id")) < cutoff)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -179,7 +185,7 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed AS (
         SELECT lang, pack_bucket, n_toks,
                ((sum(n_toks) OVER (PARTITION BY lang, pack_bucket
-                                   ORDER BY n_toks DESC, doc_id
+                                   ORDER BY n_toks DESC, doc_id NULLS LAST
                                    ROWS UNBOUNDED PRECEDING) - n_toks) // 2048)::BIGINT AS bin_id
         FROM d
     )
@@ -218,7 +224,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("lang", "pack_bucket")
-        .orderBy(F.col("n_toks").desc(), "doc_id")
+        .orderBy(F.col("n_toks").desc(), F.col("doc_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = d.withColumn(
@@ -247,7 +253,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, lang, source,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint,
                round(0.4 * least(n_toks / 100.0, 1.0)
                      + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
                      + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4) AS quality
@@ -257,7 +263,8 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM scored
         WHERE quality >= 0.5
         QUALIFY row_number() OVER (PARTITION BY fingerprint
-                                   ORDER BY quality DESC, doc_id) = 1
+                                   ORDER BY quality DESC,
+                                            doc_id NULLS LAST) = 1
     )
     SELECT lang, source, count(*)::BIGINT AS n_docs,
            round(sum(quality), 4) AS sum_quality
@@ -282,7 +289,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(F.col("text")).alias("fingerprint"),
         quality_score(F.col("text")).alias("quality"),
     ).filter(F.col("quality") >= 0.5)
-    w = Window.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
+    # doc_id NULLS LAST both sides: a NULL-id duplicate tying on quality
+    # must lose the survivor slot identically in both engines (review r11)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc_nulls_last()
+    )
     survivors = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return survivors.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
