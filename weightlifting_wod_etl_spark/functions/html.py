@@ -40,8 +40,13 @@ _ENTITIES = {
     "&#8220;": "“",
     "&#8221;": "”",
     "&nbsp;": " ",
+    "&quot;": '"',
+    "&#039;": "'",
     "&lt;": "<",
     "&gt;": ">",
+    # the numeric amp &#038; (wptexturize's canonical '&' in titles) obeys
+    # the same decode-LAST rule as &amp; — review r11
+    "&#038;": "&",
     "&amp;": "&",
 }
 
@@ -49,7 +54,11 @@ _ENTITIES = {
 def strip_html(html: Column) -> Column:
     """Visible text of an HTML fragment: <br>/<p> → newline, tags dropped,
     entities decoded, blank-run collapse."""
-    c = F.regexp_replace(html, r"(?i)<br\s*/?>", "\n")
+    # \b after 'br': an attributed break (<br class="wp" />) must still
+    # mint its newline — the old attribute-less pattern let it fall to the
+    # generic tag-delete and two lines silently merged (review r11);
+    # <broken> stays a generic tag (\b fails before a word char)
+    c = F.regexp_replace(html, r"(?i)<br\b[^>]*>", "\n")
     c = F.regexp_replace(c, r"(?i)</p\s*>", "\n")
     c = F.regexp_replace(c, r"<[^>]+>", "")
     for ent, ch in _ENTITIES.items():

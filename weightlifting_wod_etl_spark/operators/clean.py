@@ -38,7 +38,17 @@ def clean_records(
     rename_map = DEFAULT_RENAME if rename_map is None else rename_map
     expected_fields = EXPECTED_FIELDS if expected_fields is None else expected_fields
 
-    out = df.withColumnsRenamed({k: v for k, v in rename_map.items() if k in df.columns})
+    applicable = {k: v for k, v in rename_map.items() if k in df.columns}
+    clash = [v for k, v in applicable.items() if v in df.columns and v != k]
+    if clash:
+        # withColumnsRenamed would mint DUPLICATE column names and every
+        # later reference dies with an opaque AMBIGUOUS_REFERENCE at
+        # analysis time (review r11) — fail with the actual precondition
+        raise ValueError(
+            f"clean_records: rename targets {clash} already exist in the "
+            "input alongside their raw keys — drop or rename one first"
+        )
+    out = df.withColumnsRenamed(applicable)
     # drop AFTER rename — only raw single-letter keys are dropped (§2.3-5)
     out = out.drop(*[c for c in drop_cols if c in out.columns])
     if date_col in out.columns:
@@ -54,6 +64,11 @@ def clean_records(
                 for fmt in (
                     "yyyy-MM-dd",
                     "yyyy-MM-dd'T'HH:mm:ss",
+                    # the space-separated shape: dateutil parses it, and a
+                    # TimestampType date column casts to exactly this
+                    # string form (review r11 — without it such values
+                    # silently degraded to '')
+                    "yyyy-MM-dd HH:mm:ss",
                     "M/d/yyyy",
                     "MMMM d, yyyy",
                     "MMM d, yyyy",

@@ -93,7 +93,10 @@ def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Colum
         (``make_date`` NULL ≙ the reference's ValueError), BOTH are NULL
         — never a partial or cross-pattern pair.
 
-    Returns two DateType columns.
+    Returns two DateType columns. Selecting BOTH does not double the
+    regex work: the two getFields share one struct subtree and
+    whole-stage codegen's subexpression elimination computes it once
+    (measured at sf0.1, r11: both fields no slower than one).
     """
 
     def parse(src: Column, pat: str) -> Column:

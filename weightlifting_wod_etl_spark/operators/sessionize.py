@@ -50,6 +50,13 @@ def explode_lines(
     Reference: ``transforms.py:156`` (``post_text_str.split('\\n')``).
     ``posexplode`` keeps the ordinal, which every downstream sessionization
     step orders by — no row order assumptions survive a shuffle otherwise.
+
+    A NULL ``text_col`` row emits ZERO lines (inner posexplode) — the
+    entity vanishes from everything downstream. DELIBERATE: the oracle
+    mirrors (unnest over string_split) drop the row identically, and the
+    reference raises per-record on None text, which a distributed job
+    cannot do row-by-row; use ``posexplode_outer`` upstream if an empty
+    record must survive.
     """
     id_cols = id_cols or []
     # \Q..\E: F.split treats the separator as a Java regex — sep='.' would
@@ -85,9 +92,13 @@ def mark_boundaries(
     Both windows share one partitioning, so the whole-partition marker
     count adds no exchange — just a second frame over the same sort.
     """
+    # asc_nulls_last: callers today pass non-null posexplode ordinals,
+    # but an unpinned nullable order would put NULL rows in group 0 on
+    # Spark and the tail group on a NULLS-LAST engine (the repo's
+    # recurring asc-null divergence class — review r11)
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(order_col)
+        .orderBy(F.col(order_col).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*partition_cols)
@@ -109,11 +120,15 @@ def sessionize_by_marker(
     order_col: str = "line_idx",
     line_col: str = "line",
     group_col: str = "group_id",
+    drop_preamble: bool = True,
 ) -> DataFrame:
     """OP9 — composite sessionizer: regex marker → per-row group id.
 
     Reference: ``group_source_by(regex, source)`` at ``transforms.py:115-128``.
     Returns the input rows + ``group_col``; aggregate/pivot downstream.
+    ``drop_preamble`` forwards to :func:`mark_boundaries` so the
+    segment-level pass no longer needs to bypass this composite
+    (review r11).
     """
     return mark_boundaries(
         df,
@@ -121,6 +136,7 @@ def sessionize_by_marker(
         partition_cols=partition_cols,
         order_col=order_col,
         group_col=group_col,
+        drop_preamble=drop_preamble,
     )
 
 
@@ -147,13 +163,26 @@ def gap_sessionize(
     FIRST while DuckDB/Postgres sort NULLS LAST, so an unpinned order
     diverges the moment a timestamp is missing (a NULL-ts row opens a
     phantom leading session on one engine only).
+
+    NULL-timestamp rows (sorted last) JOIN the final session: they are
+    neither the partition's first row nor provably gap-late, so under
+    the documented rule they never open one. (The previous formulation
+    tested ``lag(ts) IS NULL`` for 'first row', which also fired for the
+    row AFTER a NULL-ts row — the second and every later trailing NULL
+    each opened a phantom singleton session, review r11.) The window
+    orders by the SAME microsecond expression the gap math uses, so a
+    string or epoch-integer ``ts_col`` can never sort lexicographically
+    while the deltas compare temporally.
     """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order_cols = [
-        F.col(c).asc_nulls_last() for c in [ts_col, *(tiebreak_cols or [])]
+        ts_us.asc_nulls_last(),
+        *[F.col(c).asc_nulls_last() for c in (tiebreak_cols or [])],
     ]
     w_order = Window.partitionBy(*partition_cols).orderBy(*order_cols)
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_us = F.lag(ts_us).over(w_order)
-    is_new = prev_us.isNull() | (ts_us - prev_us > F.lit(gap_seconds * 1_000_000))
+    is_new = (F.row_number().over(w_order) == 1) | F.coalesce(
+        ts_us - prev_us > F.lit(gap_seconds * 1_000_000), F.lit(False)
+    )
     w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_new.cast("int")).over(w_run))

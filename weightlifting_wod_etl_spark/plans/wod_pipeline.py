@@ -64,11 +64,9 @@ def sessionize_post_text(stripped: DataFrame) -> DataFrame:
     # drop_preamble=False here: a day whose lines match no segment marker
     # (rest day) must stay visible to the day spine; seg_idx==0 rows are
     # filtered at record build instead (transforms.py:191-194 parity)
-    from ..operators.sessionize import mark_boundaries
-
-    return mark_boundaries(
+    return sessionize_by_marker(
         days,
-        marker=F.col("line").rlike(SEGMENT_MARKER),
+        SEGMENT_MARKER,
         partition_cols=["post_id", "day_idx"],
         order_col="line_idx",
         group_col="seg_idx",

@@ -15,7 +15,11 @@ from ..queries_registry import register
     oracle="""
     WITH marked AS (
         SELECT user_id, value, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
+               -- row_number = 1, not lag IS NULL: the row AFTER a
+               -- trailing NULL-ts row also has lag NULL and opened a
+               -- phantom singleton session (review r11); a NULL delta
+               -- (undated row) falls to ELSE 0 = joins the last session
+               CASE WHEN row_number() OVER w = 1
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events

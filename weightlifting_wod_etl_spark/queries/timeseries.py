@@ -161,7 +161,10 @@ def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN lag(ts) OVER w IS NULL
+               -- row_number = 1, not lag IS NULL (same r11 rule as
+               -- q_sessionize_events: trailing NULL-ts rows join the
+               -- last session instead of each opening a phantom one)
+               CASE WHEN row_number() OVER w = 1
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                             > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
@@ -204,9 +207,10 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = e.select("user_id", "ts", "event_id").withColumn(
+        # row_number = 1, not lag IS NULL — the r11 trailing-NULL rule
         "is_new",
         F.when(
-            F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+            (F.row_number().over(w) == 1) | (gap_us > 1800 * 1_000_000), 1
         ).otherwise(0),
     )
     sess = marked.withColumn(
