@@ -98,78 +98,79 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-11 window (tools/rotate_window.py): the 2 never-checked
-# registrations (q_cdc_apply / q_interval_join — the streaming CDC and
-# interval-join contract, staged since r9) head the window, followed by
-# 48 of the 50-query r8 tranche. Over-capacity note: 52 candidates for
-# 50 slots, so q_variant_json + q_weighted_median (the 2 r8 queries that
-# sort last alphabetically) sit one round past the N-2 cutoff and MUST
-# head the r12 window — tools/rotate_window.py ranks them first
-# automatically once CORRECTNESS_r11 lands. CADENCE RULE (r10 verdict
-# #2): 153 registered / 50-slot window = a 3-round revisit cycle against
-# a 2-round staleness bound, so under over-capacity the invariant is
+# Round-12 window (tools/rotate_window.py): the 2 over-capacity r8
+# stragglers (q_variant_json / q_weighted_median, last green r08 — the
+# documented r12 heads) front the window, followed by 48 of the
+# 50-query r9 tranche. Over-capacity note: 52 candidates for 50 slots,
+# so q_window_frames + q_window_rank (the 2 r9 queries that sort last
+# alphabetically) spill one round past the N-2 cutoff and MUST head the
+# r13 window — tools/rotate_window.py ranks them first automatically
+# once CORRECTNESS_r12 lands. CADENCE RULE (r10 verdict #2): 153
+# registered / 50-slot window = a 3-round revisit cycle against a
+# 2-round staleness bound, so under over-capacity the invariant is
 # "stalest-first": the window always fronts never-checked then
 # least-recently-green queries, and the staleness test's over-capacity
 # branch (test_driver_contract_process.py) accepts the bounded overflow
 # as long as the overflow queries are exactly the ones the next rotation
-# fronts. Net-new registrations from r12 on should stay ~0 unless a slot
-# genuinely frees up.
+# fronts. Net-new registrations stay ~0 from r12 on (r12 added none)
+# unless a slot genuinely frees up; if a new operator needs driver
+# evidence, retire or merge an existing query in the same commit.
 # the external driver verifies only the FIRST this-many registered
 # queries each round; the rotation tooling and the window-invariant
 # tests all share this single constant
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_cdc_apply",  # never
-    "q_interval_join",  # never
-    "q_ann_ivf",  # last green r08
-    "q_ann_lsh_bucket",  # last green r08
-    "q_anti_scalar_sub",  # last green r08
-    "q_asof_join",  # last green r08
-    "q_autocorr",  # last green r08
-    "q_binary_meta",  # last green r08
-    "q_bloom_semi_join",  # last green r08
-    "q_chi_square",  # last green r08
-    "q_chunk_bounds",  # last green r08
-    "q_collation_group",  # last green r08
-    "q_corpus_mixture",  # last green r08
-    "q_count_distinct",  # last green r08
-    "q_curation_pipeline",  # last green r08
-    "q_dataset_split",  # last green r08
-    "q_date_fns",  # last green r08
-    "q_decimal_agg",  # last green r08
-    "q_decontaminate",  # last green r08
-    "q_doc_fingerprint",  # last green r08
-    "q_domain_cap",  # last green r08
-    "q_dup_clusters",  # last green r08
-    "q_embed_neardup",  # last green r08
-    "q_frame_sample",  # last green r08
-    "q_full_outer",  # last green r08
-    "q_gini",  # last green r08
-    "q_hash_sample",  # last green r08
-    "q_intradoc_repetition",  # last green r08
-    "q_linreg_trend",  # last green r08
-    "q_media_resize",  # last green r08
-    "q_mode_per_group",  # last green r08
-    "q_null_semantics",  # last green r08
-    "q_nullsafe_join",  # last green r08
-    "q_outer_join_dist",  # last green r08
-    "q_pii_redact",  # last green r08
-    "q_pruned_scan",  # last green r08
-    "q_range_join",  # last green r08
-    "q_recursive_reachability",  # last green r08
-    "q_rolling_hash",  # last green r08
-    "q_rollup_time",  # last green r08
-    "q_semi_join",  # last green r08
-    "q_sequence_pack",  # last green r08
-    "q_set_ops_all",  # last green r08
-    "q_skyline",  # last green r08
-    "q_stratified_sample",  # last green r08
-    "q_streaks",  # last green r08
-    "q_token_chunks",  # last green r08
-    "q_token_topk",  # last green r08
-    "q_union_by_name",  # last green r08
-    "q_unpivot_measures",  # last green r08
+    "q_variant_json",  # last green r08
+    "q_weighted_median",  # last green r08
+    "q_argmax_events",  # last green r09
+    "q_array_fns",  # last green r09
+    "q_bigram_topk",  # last green r09
+    "q_canonical_rep",  # last green r09
+    "q_clean_normalize",  # last green r09
+    "q_corr_stats",  # last green r09
+    "q_cube",  # last green r09
+    "q_dedup_antijoin",  # last green r09
+    "q_dedup_exact",  # last green r09
+    "q_event_gap_stats",  # last green r09
+    "q_funnel_conversion",  # last green r09
+    "q_grouping_sets",  # last green r09
+    "q_histogram",  # last green r09
+    "q_kv_upsert_dedup",  # last green r09
+    "q_lang_id",  # last green r09
+    "q_limit_offset",  # last green r09
+    "q_min_cost_supplier",  # last green r09
+    "q_multimodal_features",  # last green r09
+    "q_ntile_bucket",  # last green r09
+    "q_passage_dedup",  # last green r09
+    "q_percentile",  # last green r09
+    "q_pivot_wide",  # last green r09
+    "q_quality_score",  # last green r09
+    "q_rank_fns",  # last green r09
+    "q_regex_filter",  # last green r09
+    "q_retention_cohort",  # last green r09
+    "q_rollup",  # last green r09
+    "q_scalar_subquery",  # last green r09
+    "q_scan_project",  # last green r09
+    "q_scd2_snapshot",  # last green r09
+    "q_skew_agg",  # last green r09
+    "q_skew_join",  # last green r09
+    "q_text_stats",  # last green r09
+    "q_tfidf_topk",  # last green r09
+    "q_token_count",  # last green r09
+    "q_tpch_q1",  # last green r09
+    "q_tpch_q10",  # last green r09
+    "q_tpch_q14",  # last green r09
+    "q_tpch_q18",  # last green r09
+    "q_tpch_q19",  # last green r09
+    "q_tpch_q3",  # last green r09
+    "q_tpch_q4",  # last green r09
+    "q_tpch_q5",  # last green r09
+    "q_tpch_q6",  # last green r09
+    "q_tpch_q7",  # last green r09
+    "q_tpch_q9",  # last green r09
+    "q_trigram_entropy",  # last green r09
+    "q_unpivot",  # last green r09
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
