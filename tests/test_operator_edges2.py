@@ -276,3 +276,43 @@ def test_observe_quality_default_names_do_not_collide(spark):
     d2, o2 = observe_quality(d1, required=["id"])
     assert d2.count() == 5  # one action drives both observations
     assert o1.get["n_rows"] == 5 and o2.get["n_rows"] == 5
+
+
+def test_to_fixed_guards_the_scaled_product_not_the_input(spark):
+    """r12 advice: the r11 guard tested abs(input) < Long.MAX/10^scale —
+    a bound with a one-double-ULP window where round(c * 10^scale) still
+    lands at 2^63 and the ANSI-off long cast clamps it to Long.MAX (the
+    exact garbage-finite hazard the guard exists to close). The guard now
+    bounds the scaled, rounded product itself, so no boundary input may
+    ever surface the clamp value."""
+    import math
+
+    from weightlifting_wod_etl_spark.functions.money import to_fixed
+
+    lmax = 2**63 - 1
+    cases = []
+    for scale in (0, 2, 4):
+        limit = lmax / float(10**scale)
+        # walk the doubles straddling the old input-side limit
+        v = math.nextafter(limit, 0.0)
+        for _ in range(6):
+            cases.append((scale, v))
+            v = math.nextafter(v, math.inf)
+        cases.append((scale, limit))
+        cases.append((scale, -limit))
+        cases.append((scale, math.nextafter(-limit, -math.inf)))
+    for scale in (0, 2, 4):
+        vals = [
+            (i, float(v))
+            for i, (s, v) in enumerate(cases)
+            if s == scale
+        ]
+        df = spark.createDataFrame(vals, "id long, v double")
+        out = df.select("id", to_fixed("v", scale=scale).alias("f")).collect()
+        for r in out:
+            # either rejected (NULL) or a genuine in-range long — never
+            # the Long.MAX clamp artifact, never past the long range
+            # (Long.MIN = -2^63 is legitimate: exactly representable as
+            # a double and cast faithfully, unlike the positive clamp)
+            if r.f is not None:
+                assert r.f != lmax and -(2**63) <= r.f <= lmax

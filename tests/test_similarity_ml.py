@@ -204,3 +204,26 @@ def test_bigram_lm_score_single_token_docs_do_not_crash(spark, tmp_path):
     ).write.parquet(os.path.join(src, "documents.parquet"))
     rows = QUERIES["q_bigram_lm_score"](spark, src).collect()
     assert all(r.doc_id == 2 for r in rows)  # doc 1 yields no bigrams, no crash
+
+
+def test_neardup_duplicate_ids_never_self_pair(spark):
+    """r12 advice: with a DUPLICATED vec_id the distinct-vector collapse
+    self-paired — within a group (collect_list keeps both copies, the
+    slice expansion pairs them) and across groups (same id under two
+    different vectors in one bucket) — where the pre-r11 pairwise join's
+    id_a < id_b filter excluded both. least/greatest renders a self-pair
+    as id_a == id_b; the output filter must drop them."""
+    from weightlifting_wod_etl_spark.operators.similarity import neardup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 0.0, 1.0, 1.0]),  # same id, same vector (within-group)
+        (2, [1.0, 0.1, 1.0, 0.9]),
+        (5, [1.0, 0.0, 1.0, 0.9]),
+        (5, [1.0, 0.05, 1.0, 0.95]),  # same id, near-identical vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = neardup_pairs(df, min_cosine=0.5, n_bits=1).collect()
+    assert pairs, "near-identical vectors must still pair"
+    assert all(r.id_a != r.id_b for r in pairs)
+    assert any({r.id_a, r.id_b} == {1, 2} for r in pairs)

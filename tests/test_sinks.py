@@ -228,11 +228,14 @@ def test_xml_round_trip_explicit_schema(spark, tmp):
 
 
 def test_jsonl_idempotent_in_batch_duplicates_and_null_keys(spark, tmp):
-    """Review r11: (a) the same key twice in ONE batch wrote twice (the
-    anti-join only suppressed prior runs); (b) a NULL key never matched
-    the equi anti-join, so every rerun re-appended the row to the output
-    AND the ledger forever. One write per key per batch; NULL keys behave
-    as one key (null-safe anti-join)."""
+    """Review r11 + r12 advice: (a) the same key twice in ONE batch wrote
+    twice (the anti-join only suppressed prior runs); (b) a NULL key never
+    matched the equi anti-join, so every rerun re-appended the row
+    forever; (c) the r11 treat-all-NULLs-as-one-key fix silently DROPPED
+    distinct NULL-key payloads — data loss, not idempotency. Contract
+    now: one write per key per batch; a NULL key falls back to a
+    content-hash key, so DISTINCT payloads each write once and
+    content-identical replays still suppress."""
     import os
 
     from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
@@ -240,20 +243,22 @@ def test_jsonl_idempotent_in_batch_duplicates_and_null_keys(spark, tmp):
     path = os.path.join(tmp, "nulldup_out")
     ledger = os.path.join(tmp, "nulldup_ledger")
     batch = spark.createDataFrame(
-        [("k1", "a"), ("k1", "b"), (None, "n1")],
+        [("k1", "a"), ("k1", "b"), (None, "n1"), (None, "n2"), (None, "n2")],
         "idem_key string, payload string",
     )
     n1 = write_jsonl_idempotent(batch, path, ledger)
-    assert n1 == 2  # k1 collapsed to one deterministic winner, NULL written
+    # k1 collapsed to one winner; NULL-key n1 and n2 are DISTINCT content
+    # (each written once); the duplicate n2 collapses by content hash
+    assert n1 == 3
     rows = {r.payload for r in spark.read.json(path).collect()}
-    assert rows == {"a", "n1"}  # asc full-column order: min payload wins
+    assert rows == {"a", "n1", "n2"}  # asc full-column order: min payload wins
 
-    # replay: zero fresh rows, including the NULL-key one
+    # replay: zero fresh rows, including every NULL-key one
     n2 = write_jsonl_idempotent(batch, path, ledger)
     assert n2 == 0
-    assert spark.read.json(path).count() == 2
-    # ledger holds exactly two entries (k1 + the unified NULL key)
-    assert spark.read.parquet(ledger).count() == 2
+    assert spark.read.json(path).count() == 3
+    # ledger holds exactly three entries (k1 + two content hashes)
+    assert spark.read.parquet(ledger).count() == 3
 
 
 def test_kv_upsert_default_preserves_existing_stats_index(spark, tmp):

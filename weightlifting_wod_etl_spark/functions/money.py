@@ -28,11 +28,17 @@ def to_fixed(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # one range predicate covers all three hazards: NaN compares false,
     # ±Inf fails the bound, and a huge FINITE double whose scaled value
-    # exceeds Long.MAX would otherwise clamp to 9223372036854775807 under
-    # the ANSI-off cast — a garbage finite number that wraps the sum just
-    # like Inf did before the r10 guard (review r11)
-    limit = F.lit((2**63 - 1) / float(10**scale))
-    return F.when(F.abs(c) < limit, F.round(c * F.lit(10**scale))).cast("long")
+    # reaches 2^63 would otherwise clamp to 9223372036854775807 under the
+    # ANSI-off cast — a garbage finite number that wraps the sum just like
+    # Inf did before the r10 guard (review r11). The bound is applied to
+    # the SCALED, ROUNDED product itself, not the input: a pre-scale input
+    # bound leaves a one-double-ULP window where round(c * 10^scale) still
+    # lands at 2^63 (r11 advice). Doubles strictly below 2^63 cast
+    # exactly (largest is 2^63 - 1024 < Long.MAX); -2^63 is itself exactly
+    # representable and casts to Long.MIN with no clamping.
+    scaled = F.round(c * F.lit(10**scale))
+    in_range = (scaled >= F.lit(-(2.0**63))) & (scaled < F.lit(2.0**63))
+    return F.when(in_range, scaled).cast("long")
 
 
 def sum_fixed(col: Column | str, scale: int = 2) -> Column:

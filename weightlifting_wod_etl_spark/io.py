@@ -57,10 +57,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # return raw epoch-nanos bigints for TIMESTAMP(NANOS) columns. Safe to
     # restore immediately — spark.read.parquet infers the schema eagerly,
     # and later actions execute against the analyzed plan (verified).
-    # The set→infer→unset window is serialized under a module lock:
-    # concurrent driver threads otherwise race one thread's unset into
-    # another's inference (crash on TIMESTAMP(NANOS)) or leak the conf
-    # into an unrelated concurrent read (silent epoch-ns bigints).
+    # The set→infer→unset window is serialized under a module lock. The
+    # lock protects load_table against ITSELF: concurrent load_table
+    # calls otherwise race one thread's unset into another's inference
+    # (crash on TIMESTAMP(NANOS)). It does NOT fence parquet reads issued
+    # elsewhere during the window — SQLConf is session-shared, so such a
+    # read CAN observe nanosAsLong=true. That exposure is benign here by
+    # construction: the conf only changes how TIMESTAMP(NANOS) columns
+    # are read, the only table with one is ``events``, and every events
+    # reader is routed through this function. Code adding another
+    # NANOS-bearing table must route its reads through load_table (or a
+    # dedicated spark.newSession() clone holding the conf).
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     with _NANOS_CONF_LOCK:
         prior = spark.conf.get(conf_key, None)

@@ -200,7 +200,12 @@ def neardup_pairs(
             "cos_sim",
         )
     )
-    return cross.unionByName(within)
+    # ids are assumed unique, but tolerate violations the way the pre-r11
+    # pairwise join (id_a < id_b) did: a duplicated id would self-pair both
+    # within a group (collect_list keeps both copies) and across groups
+    # (same id, two different vectors) — least/greatest renders those as
+    # id_a == id_b, so one filter drops them from both branches (r11 advice)
+    return cross.unionByName(within).filter(F.col("id_a") != F.col("id_b"))
 
 
 def ivf_topk(

@@ -157,16 +157,21 @@ def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_histogram",
     oracle="""
-    -- floor(), not integer //: DuckDB's // truncates toward ZERO, so a
-    -- negative price would land in bin 0 there while Spark's F.floor
-    -- (toward -inf) bins it at -1 (review r11); floor of the float
-    -- division is exact here (|cents| < 2^53 by to_fixed's guard)
-    SELECT floor(round(o_totalprice * 100)::BIGINT / 5000000.0)::BIGINT AS bin_id,
-           (floor(round(o_totalprice * 100)::BIGINT / 5000000.0) * 50000)::BIGINT AS bin_lo,
+    -- EXACT int64 floor division (r12, was floor of a float division —
+    -- exact only for |cents| < 2^53, a weaker bound than to_fixed's
+    -- ~9.2e18 guard, so extreme values could drift a bin edge): both
+    -- engines' integer // and % truncate/sign toward the DIVIDEND, so
+    -- subtracting 1 exactly when the remainder is negative turns
+    -- truncation into floor with no float in the path
+    WITH c AS (SELECT o_totalprice, round(o_totalprice * 100)::BIGINT AS cents FROM orders)
+    SELECT (cents // 5000000
+            - CASE WHEN cents % 5000000 < 0 THEN 1 ELSE 0 END)::BIGINT AS bin_id,
+           ((cents // 5000000
+             - CASE WHEN cents % 5000000 < 0 THEN 1 ELSE 0 END) * 50000)::BIGINT AS bin_lo,
            count(*)::BIGINT AS n,
            round(min(o_totalprice), 2) AS bin_min,
            round(max(o_totalprice), 2) AS bin_max
-    FROM orders
+    FROM c
     GROUP BY 1, 2
     """,
 )
@@ -179,9 +184,17 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.money import to_fixed
 
     o = load_table(spark, sf_dir, "orders")
-    bin_id = F.floor(to_fixed("o_totalprice") / F.lit(5000000)).cast("bigint")
+    # exact int64 floor division: `div` truncates toward zero (as does
+    # DuckDB //), and % takes the dividend's sign in both engines, so
+    # floor = trunc - 1 exactly when the remainder is negative. No float
+    # division anywhere — bins are exact over to_fixed's full long range.
+    bin_id = (
+        F.expr("__cents div 5000000")
+        - F.when(F.col("__cents") % 5000000 < 0, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
     return (
-        o.select("o_totalprice", bin_id.alias("bin_id"))
+        o.select("o_totalprice", to_fixed("o_totalprice").alias("__cents"))
+        .select("o_totalprice", bin_id.alias("bin_id"))
         .groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -53,18 +53,34 @@ def write_jsonl_idempotent(
     Review r11 hardening: (a) duplicate keys WITHIN one batch collapse to
     one deterministic winner before the ledger check — the reference's
     per-record check-then-write admits a key once per RUN, not once per
-    occurrence; (b) the ledger anti-join is NULL-SAFE, so a NULL key
-    (unidentifiable content) behaves as ONE key — first write wins,
-    replays suppress — instead of re-appending to the output AND the
-    ledger on every rerun forever; (c) no forced broadcast hint: the
-    keys-only ledger grows without bound across runs, and AQE must stay
-    free to pick a shuffled join once it outgrows the driver
-    (operators/dedup.anti_join_ledger's documented rationale).
+    occurrence; (b) a NULL key (unidentifiable content) falls back to a
+    CONTENT-HASH key — sha256 of the row's canonical JSON payload — the
+    same never-NULL contract the reference ledger keys on
+    (services/idempotency_service.py:42-73). The r11 null-safe-join
+    treatment made all NULL-key rows behave as ONE key, which silently
+    dropped distinct payloads on the very first write (r11 advice: data
+    loss, not idempotency); with the content fallback, distinct payloads
+    each write once and content-identical replays still suppress. The
+    anti-join stays null-safe as belt-and-braces; (c) no forced
+    broadcast hint: the keys-only ledger grows without bound across
+    runs, and AQE must stay free to pick a shuffled join once it
+    outgrows the driver (operators/dedup.anti_join_ledger's documented
+    rationale).
     """
     from .operators.dedup import exact_dedup
 
     spark = df.sparkSession
-    others = [F.col(c).asc_nulls_last() for c in df.columns if c != key_col]
+    payload = [c for c in df.columns if c != key_col]
+    if payload:
+        # canonical payload JSON: struct field order is the fixed column
+        # order, so the hash is deterministic per content. A non-string
+        # key column is cast to string by the coalesce — the ledger only
+        # ever equality-compares keys, never interprets them.
+        content_key = F.sha2(F.to_json(F.struct(*payload)), 256)
+        df = df.withColumn(
+            key_col, F.coalesce(F.col(key_col).cast("string"), content_key)
+        )
+    others = [F.col(c).asc_nulls_last() for c in payload]
     df = exact_dedup(df, key_cols=[key_col], order_cols=others or [F.lit(1)])
     ledger = _ledger_keys(spark, ledger_path, fail_open)
     fresh = df if ledger is None else df.join(
