@@ -8,6 +8,17 @@ import pytest
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_DIR not in sys.path:
     sys.path.insert(0, REPO_DIR)
+# The driver-side sys.path insert above does NOT reach Python datasource/
+# UDF worker processes — they import from PYTHONPATH. Without this, any
+# test exercising the Python data source (sources/rest_posts.py) fails
+# with ModuleNotFoundError when pytest runs from outside the repo root
+# (e.g. /tmp, the documented way to keep scratch files out of the repo).
+if REPO_DIR not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        REPO_DIR + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else REPO_DIR
+    )
 
 # sf0.001 keeps the pre-commit sweep fast; before shipping a new query,
 # re-run at the driver's correctness scale with

@@ -121,7 +121,17 @@ _DIRTY_ROWS = {
                 -- r11: NEGATIVE price — floor-vs-truncation binning
                 -- (q_histogram) and any sign-sensitive money math
                 (9000004, 2, 'F', -150.25,
-                 TIMESTAMP '2031-09-03 00:00:00', '2-HIGH')
+                 TIMESTAMP '2031-09-03 00:00:00', '2-HIGH'),
+                -- r12: DUPLICATE primary key across statuses — the q21
+                -- divergence class (an anti/NOT-EXISTS leg derived from
+                -- a status-filtered order set silently assumes orderkey
+                -- uniqueness; reproduced 17-vs-16 numwait before the
+                -- fix). Every orderkey equi-join now multiplies rows —
+                -- both engines must multiply identically.
+                (8000001, 1, 'F', 100.00,
+                 TIMESTAMP '2030-01-10 00:00:00', '1-URGENT'),
+                (8000001, 1, 'O', 100.00,
+                 TIMESTAMP '2030-01-01 00:00:00', '1-URGENT')
             ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority)
     """,
@@ -147,7 +157,31 @@ _DIRTY_ROWS = {
                 -- NULL-suppkey row also has NULL partkey, which kills
                 -- the part join in both engines and hid the divergence
                 (9000011, 2, NULL, 1, 1.0, 10.00, 0.0, 0.0,
-                 'N', 'O', TIMESTAMP '2031-08-03 00:00:00')
+                 'N', 'O', TIMESTAMP '2031-08-03 00:00:00'),
+                -- r12 q21 duplicate-PK scenario (pairs with the 8000001
+                -- orders above): supplier 1's line is late vs BOTH
+                -- duplicate orders; supplier 2's line is late ONLY vs
+                -- the non-'F' duplicate — an anti leg built from
+                -- 'F'-filtered orders misses it and overcounts numwait
+                (8000001, 1, 1, 1, 1.0, 10.00, 0.0, 0.0,
+                 'N', 'F', TIMESTAMP '2030-02-01 00:00:00'),
+                (8000001, 1, 2, 2, 1.0, 10.00, 0.0, 0.0,
+                 'N', 'O', TIMESTAMP '2030-01-05 00:00:00'),
+                -- r12 q20 coverage: the dominant-share query returned 0
+                -- rows at this scale (no SMALL-part majority supplier
+                -- sat in AMERICA), so the majority window and double
+                -- semi-join were vacuously swept. Partkey 8 is SMALL and
+                -- suppkey 9 is the one AMERICA supplier at sf0.001: qty
+                -- 100 of (100+3+2 injected + 76 clean) makes it a
+                -- majority shipper inside the 1996 window; the
+                -- NULL-suppkey line must count toward the part total
+                -- without forming a phantom majority group
+                (8000002, 8, 9, 1, 100.0, 50.00, 0.0, 0.0,
+                 'N', 'O', TIMESTAMP '1996-06-01 00:00:00'),
+                (8000002, 8, 0, 2, 3.0, 20.00, 0.0, 0.0,
+                 'N', 'O', TIMESTAMP '1996-06-02 00:00:00'),
+                (8000002, 8, NULL, 3, 2.0, 10.00, 0.0, 0.0,
+                 'N', 'O', TIMESTAMP '1996-06-03 00:00:00')
             ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
                 l_quantity, l_extendedprice, l_discount, l_tax,
                 l_returnflag, l_linestatus, l_shipdate)
@@ -155,7 +189,15 @@ _DIRTY_ROWS = {
     "customer": """
                 (9000001::BIGINT, NULL, NULL::INT, NULL::DOUBLE, NULL),
                 (9000002, 'name#with (meta) [chars] $x', 3, -12.34,
-                 'BUILDING')
+                 'BUILDING'),
+                -- r12: RICH customers with NO orders — q_anti_scalar_sub
+                -- (Q22 shape) returned 0 rows at every oracle scale, so
+                -- its threshold math and anti-join were vacuously
+                -- checked; one with a NULL nationkey exercises the
+                -- NULL-group-key aggregate too
+                (9000003, 'rich orderless', 3, 99999.99, 'MACHINERY'),
+                (9000004, 'rich orderless null nation', NULL, 88888.88,
+                 'AUTOMOBILE')
             ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     """,
     "supplier": """

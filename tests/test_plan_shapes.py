@@ -105,12 +105,13 @@ def test_semi_join_is_semi_with_pushed_date_filter(spark, sf_dir):
 
 
 def test_outer_join_dist_keeps_outer(spark, sf_dir):
-    """The status predicate must stay in the join condition — the plan keeps
-    a LeftOuter join (a WHERE would have let Catalyst rewrite it to inner
-    and drop zero-order customers)."""
+    """The priority predicate must stay in the join condition — the plan
+    keeps a LeftOuter join (a WHERE would have let Catalyst rewrite it to
+    inner and drop zero-order customers). Pinned on q_tpch_q13, the
+    canonical Q13 registration (q_outer_join_dist retired r12)."""
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
 
-    plan = _plan(QUERIES["q_outer_join_dist"](spark, sf_dir))
+    plan = _plan(QUERIES["q_tpch_q13"](spark, sf_dir))
     assert "LeftOuter" in plan
 
 

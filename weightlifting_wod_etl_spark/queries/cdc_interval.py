@@ -56,8 +56,17 @@ changes AS (
   FROM orders WHERE o_orderkey % 10 >= 5 AND o_orderkey % 4 = 1
 ),
 latest AS (
+  -- the FULL total order the operator documents (cdc_apply.py): seq
+  -- first, then every payload column DESC as tie-breakers. Ordering by
+  -- seq alone left the winner engine-arbitrary when a duplicated source
+  -- key mints two same-seq changes with different payloads (caught by
+  -- the r12 duplicate-PK dirty rows). DESC in Spark is NULLS LAST, so
+  -- pin the same here.
   SELECT k, op, status, val FROM (
-    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    SELECT *, row_number() OVER (
+      PARTITION BY k ORDER BY seq DESC, op DESC NULLS LAST,
+                            status DESC NULLS LAST, val DESC NULLS LAST
+    ) AS rn
     FROM changes
   ) t WHERE rn = 1
 )

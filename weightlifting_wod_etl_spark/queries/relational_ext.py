@@ -59,40 +59,12 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_outer_join_dist",
-    oracle="""
-    SELECT c_count, count(*)::BIGINT AS custdist
-    FROM (
-        SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
-        FROM customer c
-        LEFT OUTER JOIN orders o
-          ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
-        GROUP BY c.c_custkey
-    )
-    GROUP BY c_count
-    """,
-)
-def q_outer_join_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape — LEFT OUTER join keeping order-less customers, then
-    the order-count distribution.
-
-    The status predicate lives in the JOIN condition, not a WHERE — filtering
-    after the outer join would silently drop the zero-order customers the
-    query exists to count. ``count(o_orderkey)`` counts non-null matches, so
-    unmatched customers land in the c_count=0 bucket. First agg shuffles on
-    custkey (same key as the join — AQE reuses the exchange); second agg's
-    input is |distinct counts| rows, effectively free.
-    """
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
-    joined = c.join(
-        o,
-        (c.c_custkey == o.o_custkey) & (o.o_orderstatus != "F"),
-        "left_outer",
-    )
-    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+# q_outer_join_dist RETIRED r12: it was a near-verbatim duplicate of
+# tpch_ext.q_tpch_q13 (identical left-outer + two-level count-distribution
+# plan; only the join-condition predicate differed), burning a driver
+# window slot, a bench run, and a dirty-sweep run on one plan shape. The
+# canonical Q13 registration carries the coverage (review r12; cadence
+# rule: 152 registered / 50 slots).
 
 
 @register(
@@ -433,9 +405,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "k2",
         "status2",
-        # SQL `div` = exact long floor division: floor(x * 11 / 10) went
-        # through IEEE double division, which rounds once cents*11 passes
-        # 2^53 while the oracle's integer `// 10` stays exact (review r11)
+        # SQL `div` = exact long INTEGER division, truncating toward
+        # ZERO — exactly like the oracle's `// 10` (verified: DuckDB
+        # (-15025*11)//10 = -16527, truncation, where true floor is
+        # -16528), so negative cents agree to the cent. NOT floor
+        # division: swapping in F.floor(__c * 11 / 10) would both
+        # reintroduce the IEEE rounding past 2^53 this fixed (review
+        # r11) and shift every negative row down one cent (review r12).
         F.expr("(__c * 11) div 10").alias("cents2"),
     )
     joined = v1.join(v2, v1.k1 == v2.k2, "full_outer")
@@ -546,8 +522,13 @@ def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_data_quality",
     oracle="""
+    -- FK probes filter NULL keys: SQL FK semantics are vacuous on a
+    -- NULL child key (MATCH SIMPLE), so a NULL FK is a nullability
+    -- finding, never a referential violation (review r12 — it was
+    -- oracle-mirrored-counted as one before)
     SELECT 'orphan_lineitem' AS rule, count(*)::BIGINT AS n_violations
-    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+    ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'dup_event_id', coalesce(sum(n - 1), 0)::BIGINT
     FROM (SELECT event_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) > 1)
@@ -561,7 +542,8 @@ def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem WHERE l_discount < 0 OR l_discount > 1
     UNION ALL
     SELECT 'custkey_fk_broken', count(*)::BIGINT
-    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+    ANTI JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,14 +554,22 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot; zeros are emitted (not omitted) so the report schema is
     stable and a disappearing rule is itself detectable.
 
+    FK semantics (review r12): a NULL child key is filtered from the
+    probe side — SQL foreign keys (MATCH SIMPLE) pass vacuously on NULL,
+    so counting one as a referential violation was a wrong-intent audit;
+    nullability already has its own rule style ('null_user').
+
     Scale shape: each rule is the cheapest plan for its class — FK checks
     are LEFT ANTI joins on the key (semi-join pruned, no row
     multiplication), uniqueness is a keyed count HAVING>1 (map-side
-    combined), range/null checks are scan-local predicates feeding a
-    count. The six single-row aggregates union AFTER reduction, so the
-    combined plan reads each table the minimal number of times and ships
-    six rows. At 100 TB you additionally pushgate each rule behind a
-    sampled pre-check if the table is known-clean."""
+    combined), range checks are scan-local predicates. The two range
+    rules FUSE into one conditional-aggregate pass over lineitem
+    (review r12 — as separate filter→count subtrees Spark planned a full
+    FileScan each, the multi-consumer re-scan gotcha; at 100 TB that was
+    a spare fact-table read per audit). The single-row aggregates union
+    AFTER reduction, so the plan ships six rows. At 100 TB you
+    additionally gate each rule behind a sampled pre-check if the table
+    is known-clean."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -591,8 +581,10 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
         )
 
-    orphan = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
-        F.count(F.lit(1)).alias("n")
+    orphan = (
+        l.filter(F.col("l_orderkey").isNotNull())
+        .join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     dup = (
         e.groupBy("event_id")
@@ -601,12 +593,25 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") - 1).alias("n"))
     )
     null_user = e.filter(F.col("user_id").isNull()).agg(F.count(F.lit(1)).alias("n"))
-    nonpos = l.filter(F.col("l_extendedprice") <= 0).agg(F.count(F.lit(1)).alias("n"))
-    disc = l.filter(
-        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-    ).agg(F.count(F.lit(1)).alias("n"))
-    fk = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
-        F.count(F.lit(1)).alias("n")
+    # one lineitem pass for both scan-local range rules; the 1-row result
+    # is lazily checkpointed because BOTH report rows consume it (without
+    # the checkpoint each consumer re-runs the scan — the q15/q17 rule)
+    ranges = l.agg(
+        F.sum(
+            F.when(F.col("l_extendedprice") <= 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_nonpos"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_disc"),
+    ).localCheckpoint(eager=False)
+    nonpos = ranges.select(F.col("n_nonpos").alias("n"))
+    disc = ranges.select(F.col("n_disc").alias("n"))
+    fk = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     return (
         one("orphan_lineitem", orphan)

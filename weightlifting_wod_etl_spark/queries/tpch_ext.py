@@ -326,10 +326,13 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), part_avg AS (
         SELECT l.l_partkey,
                sum(round(l.l_quantity * 100)::BIGINT) AS qty_cents_sum,
-               count(*) AS n
+               count(l.l_quantity) AS n
         FROM lineitem l JOIN brand_parts b ON l.l_partkey = b.p_partkey
         GROUP BY 1
     )
+    -- count(l_quantity), NOT count(*): the numerator sum skips NULL
+    -- quantities, so a count(*) divisor deflated the per-part average
+    -- (the r11 avg_fixed defect class, oracle-mirrored here — r12)
     SELECT round(
              sum(round(l.l_extendedprice * 100)::BIGINT) / 100.0 / 7.0,
              2) AS avg_yearly
@@ -367,9 +370,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("p_partkey")
         .localCheckpoint(eager=False)
     )
+    # count(l_quantity), not count(*): the numerator skips NULL
+    # quantities, and a count(*) divisor would deflate the average —
+    # the r11 avg_fixed defect class, previously oracle-mirrored (r12)
     part_avg = l.groupBy("l_partkey").agg(
         F.sum(to_fixed("l_quantity")).alias("qty_cents_sum"),
-        F.count(F.lit(1)).alias("n"),
+        F.count("l_quantity").alias("n"),
     ).withColumnRenamed("l_partkey", "a_partkey")
     return (
         l.join(part_avg, F.col("l_partkey") == F.col("a_partkey"))
@@ -412,28 +418,33 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: both correlations decorrelate onto the SAME key (orderkey), as
     LEFT SEMI (some other supplier on the order) then LEFT ANTI (no other
-    late supplier). The anti side pre-joins lineitem to the finalized
-    orders so 'late' is evaluated before the anti-join, keeping its build
-    side a fraction of lineitem. The late-lines derivation is built ONCE
-    and lazily checkpointed (the q15/q17 pattern, review r11: the
-    executed plan previously re-built the identical join from scratch
-    for the anti probe — 3 lineitem FileScans per execution where 2
-    suffice); the probe and anti legs are aliased projections of it. The
+    late supplier). The anti side pre-joins lineitem to orders so 'late'
+    is evaluated before the anti-join, keeping its build side a fraction
+    of lineitem — and it joins ALL orders, not just finalized ones: the
+    oracle's NOT EXISTS leg carries no status filter, and restricting
+    the anti probe to 'F' orders diverges the moment an orderkey is
+    duplicated across statuses (review r12, reproduced: a line late only
+    vs a non-'F' duplicate order must still kill the row). The 'F'
+    filter applies to the l1 leg alone. The late-lines derivation is
+    built ONCE and lazily checkpointed (the q15/q17 pattern, review r11:
+    the executed plan previously re-built the identical join from
+    scratch for the anti probe — 3 lineitem FileScans per execution
+    where 2 suffice); the l1 and anti legs are projections of it. The
     supplier dim attaches after both correlations — only surviving rows
     pay the name join."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey", "o_orderdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select("l_orderkey", "l_suppkey")
+        .select("l_orderkey", "l_suppkey", "o_orderstatus")
         .localCheckpoint(eager=False)
     )
-    l1 = late
+    l1 = late.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
     l2 = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
     )
