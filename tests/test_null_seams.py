@@ -98,7 +98,12 @@ _DIRTY_ROWS = {
                 (9000003, list_transform(range(1, 65),
                                          i -> 0.0::FLOAT), NULL),
                 (9000004, list_transform(range(1, 65),
-                                         i -> ((i % 7) - 3)::FLOAT / 8), NULL)
+                                         i -> ((i % 7) - 3)::FLOAT / 8), NULL),
+                -- r12: single-element vector — the shortest possible
+                -- ragged dim; must be excluded by every _valid_embeddings
+                -- dim guard (DuckDB list_dot_product CRASHES on ragged
+                -- lists, so a miss burns the oracle side, not just parity)
+                (9000005, [0.25::FLOAT], NULL)
             ) t(vec_id, embedding, label)
     """,
     # orphan order (custkey NULL), all-NULL-attrs order, an order in

@@ -63,6 +63,12 @@ QUERIES = [
     "q_embed_neardup",     # bucketed embedding near-dup
     # r11 streaming-contract registrations, scale-checked from birth
     "q_interval_join",     # user_id equi-join + 30-min band filter
+    # r12 (VERDICT r11 #6): the remaining top-10-cost plans without smoke
+    # rows — the r11 smoke falsified a documented claim (q_embed_neardup
+    # 57.7x), so documented-plausible is not evidence
+    "q_wod_pipeline",      # pivot + double sessionization (reference core)
+    "q_date_extract",      # scan-local regex extraction claim
+    "q_min_cost_supplier", # fixed-point argmin join
 ]
 
 
