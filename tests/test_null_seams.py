@@ -64,7 +64,16 @@ _DIRTY_ROWS = {
                 (9000013, NULL, 49, 'click', 4.00, NULL),
                 (9000014, TIMESTAMP '2024-03-06 12:15:00',
                  NULL, 'purchase', 5.00, NULL),
-                (9000015, NULL, 49, 'purchase', 6.00, NULL)
+                (9000015, NULL, 49, 'purchase', 6.00, NULL),
+                -- r12: NULL event_id — at an exact ts tie with 9000010
+                -- (same user/type/hour) and inside the NULL-ts hour
+                -- bucket, the unpinned-window seam q_window_dedup had;
+                -- also probes uniqueness audits (SQL UNIQUE does not
+                -- treat two NULLs as duplicates) and every event_id
+                -- distinct-count
+                (NULL, TIMESTAMP '2024-03-06 12:00:00',
+                 49, 'click', 7.00, NULL),
+                (NULL, NULL, 49, 'click', 8.00, NULL)
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """

@@ -260,3 +260,68 @@ def test_read_pruned_rebuilds_on_incomplete_index(spark, tmp_path):
         (F.col("a") >= 0) & (F.col("a") <= 1000)
     ).count()
     assert got == full == 200  # both copies visible — nothing dropped
+
+
+def test_clustered_scratch_copy_builds_once_and_gcs_stale_generations(
+    spark, tmp_path, monkeypatch
+):
+    """Review r12: the inline q_pruned_scan fixture builder leaked one
+    clustered scratch copy per (sf_dir, testdata generation) into tempdir
+    forever, plus crashed builders' .tmp.<pid> staging dirs. The
+    extracted operator must (a) reuse an existing build, (b) rebuild
+    into a NEW dir when the source bytes change, (c) GC the stale
+    generation and orphaned staging dirs, (d) never touch the live
+    generation's own staging."""
+    import os
+    import time
+
+    from weightlifting_wod_etl_spark.operators.skipping import (
+        clustered_scratch_copy,
+    )
+
+    tmp_root = str(tmp_path / "tmproot")
+    os.makedirs(tmp_root)
+    monkeypatch.setenv("TMPDIR", tmp_root)
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    try:
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf)
+        spark.range(50).selectExpr(
+            "id AS o_orderkey",
+            "timestamp '1996-01-01' + make_interval(0,0,0,cast(id as int)) AS o_orderdate",
+            "cast(id * 2 as double) AS o_totalprice",
+        ).write.parquet(os.path.join(sf, "orders.parquet"))
+
+        kw = dict(
+            select_cols=["o_orderdate", "o_totalprice"],
+            cluster_col="o_orderdate",
+            prefix="wod_test_csc",
+        )
+        d1 = clustered_scratch_copy(spark, sf, "orders", **kw)
+        assert os.path.exists(os.path.join(d1, "_BUILT"))
+        mtime1 = os.path.getmtime(os.path.join(d1, "_BUILT"))
+        # second call reuses, does not rebuild
+        assert clustered_scratch_copy(spark, sf, "orders", **kw) == d1
+        assert os.path.getmtime(os.path.join(d1, "_BUILT")) == mtime1
+
+        # orphaned staging dir from a "crashed" builder of generation 1
+        orphan = d1 + ".tmp.99999"
+        os.makedirs(orphan)
+
+        # regenerate the source -> new fingerprint
+        time.sleep(0.05)
+        spark.range(60).selectExpr(
+            "id AS o_orderkey",
+            "timestamp '1996-01-01' + make_interval(0,0,0,cast(id as int)) AS o_orderdate",
+            "cast(id * 3 as double) AS o_totalprice",
+        ).write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+        d2 = clustered_scratch_copy(spark, sf, "orders", **kw)
+        assert d2 != d1
+        assert os.path.exists(os.path.join(d2, "_BUILT"))
+        # stale generation AND its orphan staging are gone
+        assert not os.path.exists(d1)
+        assert not os.path.exists(orphan)
+    finally:
+        tempfile.tempdir = None

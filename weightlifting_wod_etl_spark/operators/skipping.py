@@ -179,3 +179,90 @@ def load_stats_index(data_dir: str) -> list[dict] | None:
     return [
         {**e, "file": os.path.join(data_dir, e["file"])} for e in rows
     ]
+
+
+def clustered_scratch_copy(
+    spark,
+    sf_dir: str,
+    table: str,
+    select_cols: list[str],
+    cluster_col: str,
+    n_ranges: int = 8,
+    prefix: str = "wod_etl_clustered",
+) -> str:
+    """Build-once clustered scratch copy of a source table, with a
+    persisted skipping index — the fixture a pruned-read query needs so
+    its bench row times the READ, not a rewrite per run.
+
+    Contract (review r12 — this plumbing used to live inline in
+    q_pruned_scan and leaked):
+      * the scratch name embeds an mtime/size FINGERPRINT of the source,
+        so a regenerated testdata generation lands in a NEW dir instead
+        of silently serving a stale clustered copy;
+      * concurrent builders write private staging dirs; exactly one
+        atomic rename publishes, the loser reuses the winner's copy;
+      * STALE generations of the same (prefix, source) are GC'd on the
+        next build — without this, every testdata regeneration and every
+        dirty-sweep tmp dir accumulated an orphaned multi-MB parquet
+        copy in tempdir forever — and so are crashed builders' leftover
+        ``.tmp.<pid>`` staging dirs.
+    """
+    import hashlib
+    import re
+    import shutil
+    import tempfile
+
+    src_path = os.path.join(sf_dir, f"{table}.parquet")
+    stat_parts = []
+    for root, _dirs, files in os.walk(src_path):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    if not stat_parts and os.path.exists(src_path):
+        st = os.stat(src_path)
+        stat_parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.md5(";".join(stat_parts).encode()).hexdigest()[:12]
+    base = prefix + "_" + re.sub(r"\W+", "_", sf_dir).strip("_") + "_"
+    scratch = os.path.join(tempfile.gettempdir(), base + fp)
+
+    marker = os.path.join(scratch, "_BUILT")
+    if os.path.exists(marker):
+        return scratch
+    # GC stale generations and orphaned staging dirs BEFORE building the
+    # new one: anything with this source's prefix but a different
+    # fingerprint is a dead generation (its fingerprint can never recur
+    # — mtimes are monotone), and a .tmp.<pid> left by a crashed builder
+    # is unreachable garbage. Racing GC against a concurrent builder of
+    # the SAME generation is safe: that builder stages privately and the
+    # publish rename is atomic.
+    tmp_root = tempfile.gettempdir()
+    for entry in os.listdir(tmp_root):
+        if not entry.startswith(base):
+            continue
+        # skip the CURRENT generation entirely — published dir AND any
+        # concurrent builder's live ".tmp.<pid>" staging of it (deleting
+        # that mid-write would corrupt the race the atomic rename wins)
+        if entry.startswith(base + fp):
+            continue
+        shutil.rmtree(os.path.join(tmp_root, entry), ignore_errors=True)
+    staging = f"{scratch}.tmp.{os.getpid()}"
+    from ..io import load_table
+
+    (
+        load_table(spark, sf_dir, table)
+        .select(*select_cols)
+        .repartitionByRange(n_ranges, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    # persist the skipping index next to the data — read_pruned consumes
+    # the persisted form (the metadata-layer path), not a live footer scan
+    save_stats_index(staging, [cluster_col])
+    with open(os.path.join(staging, "_BUILT"), "w") as f:
+        f.write(sf_dir)
+    try:
+        os.rename(staging, scratch)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # another builder won
+    return scratch

@@ -55,9 +55,13 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
            sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0 AS sum_disc_price,
            sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000)::BIGINT) / 10000.0 AS sum_charge,
-           round(sum(round(l_quantity * 100)::BIGINT) / count(*) / 100.0, 4) AS avg_qty,
-           round(sum(round(l_extendedprice * 100)::BIGINT) / count(*) / 100.0, 4) AS avg_price,
-           round(sum(round(l_discount * 10000)::BIGINT) / count(*) / 10000.0, 4) AS avg_disc,
+           -- per-measure non-null divisors (r12): the fixed-point
+           -- numerators skip NULL measures, so a count(*) divisor would
+           -- deflate each average (the r11 avg_fixed defect class);
+           -- count_order stays count(*) by Q1's own definition
+           round(sum(round(l_quantity * 100)::BIGINT) / count(l_quantity) / 100.0, 4) AS avg_qty,
+           round(sum(round(l_extendedprice * 100)::BIGINT) / count(l_extendedprice) / 100.0, 4) AS avg_price,
+           round(sum(round(l_discount * 10000)::BIGINT) / count(l_discount) / 10000.0, 4) AS avg_disc,
            count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,14 +77,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
+    # per-measure non-null divisors (r12): the fixed-point numerators skip
+    # NULL measures, so dividing by count(*) deflated each average — the
+    # r11 avg_fixed defect class, oracle-mirrored here until now.
+    # count_order stays count(*) by Q1's own definition.
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         (F.sum(to_fixed("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
         (F.sum(to_fixed("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
         (F.sum(to_fixed(disc_price, 4)) / F.lit(10000.0)).alias("sum_disc_price"),
         (F.sum(to_fixed(charge, 4)) / F.lit(10000.0)).alias("sum_charge"),
-        F.round(F.sum(to_fixed("l_quantity")) / n / F.lit(100.0), 4).alias("avg_qty"),
-        F.round(F.sum(to_fixed("l_extendedprice")) / n / F.lit(100.0), 4).alias("avg_price"),
-        F.round(F.sum(to_fixed("l_discount", 4)) / n / F.lit(10000.0), 4).alias("avg_disc"),
+        F.round(
+            F.sum(to_fixed("l_quantity")) / F.count("l_quantity") / F.lit(100.0), 4
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(to_fixed("l_extendedprice"))
+            / F.count("l_extendedprice")
+            / F.lit(100.0),
+            4,
+        ).alias("avg_price"),
+        F.round(
+            F.sum(to_fixed("l_discount", 4)) / F.count("l_discount") / F.lit(10000.0),
+            4,
+        ).alias("avg_disc"),
         n.alias("count_order"),
     )
 
@@ -519,9 +537,13 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_min_cost_supplier",
     oracle="""
     WITH cost AS (
+        -- l_suppkey IS NOT NULL (r12): a NULL-suppkey observation could
+        -- win rn=1 for its part, and the later supplier equi-join would
+        -- then drop the PART entirely — the real min-cost supplier
+        -- vanishes (the tpch_q16 probe-NULL class, oracle-mirrored)
         SELECT l_partkey, l_suppkey,
                min(round(l_extendedprice / l_quantity * 10000)::BIGINT) AS unit_fp
-        FROM lineitem WHERE l_quantity > 0
+        FROM lineitem WHERE l_quantity > 0 AND l_suppkey IS NOT NULL
         GROUP BY 1, 2
     ), best AS (
         SELECT l_partkey, l_suppkey, unit_fp
@@ -552,7 +574,12 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply matrix before the partkey window (one Exchange each); the two
     dimension joins carry only one row per part, and AQE picks
     broadcast vs shuffle by size."""
-    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # l_suppkey IS NOT NULL mirrors the oracle (r12): without it a
+    # NULL-suppkey row winning the per-part minimum silently dropped the
+    # whole part at the supplier join in BOTH engines
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & F.col("l_suppkey").isNotNull()
+    )
     unit_fp = to_fixed(F.col("l_extendedprice") / F.col("l_quantity"), 4)
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(unit_fp).alias("unit_fp")
@@ -759,10 +786,14 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_rollup_time",
     oracle="""
+    -- revenue through integer cents (r12): this was the one money
+    -- aggregate in the file summing raw doubles — order-dependent
+    -- addition that can flip round(x, 2) at a .xx5 boundary between
+    -- engines/runs, worst for the grand-total rollup row
     SELECT extract(year FROM o_orderdate)::BIGINT AS yr,
            extract(month FROM o_orderdate)::BIGINT AS mo,
            count(*)::BIGINT AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(round(o_totalprice * 100)::BIGINT) / 100.0, 2) AS revenue
     FROM orders
     GROUP BY ROLLUP(extract(year FROM o_orderdate)::BIGINT,
                     extract(month FROM o_orderdate)::BIGINT)
@@ -786,7 +817,12 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("yr", "mo")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # fixed-point, not a raw double sum (r12): the grand-total
+            # row sums every order, where partial-merge addition order
+            # can flip the 2nd decimal across engines/runs
+            F.round(F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2).alias(
+                "revenue"
+            ),
         )
     )
 
@@ -805,7 +841,10 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, measure,
            count(*)::BIGINT AS n,
-           round(sum(round(val * 10000)::BIGINT) / 10000.0 / count(*), 4) AS avg_val,
+           -- count(val), not count(*) (r12): the fixed sum skips NULL
+           -- measures, so a row-count divisor deflated every cell's
+           -- average (the r11 avg_fixed class); n stays the row count
+           round(sum(round(val * 10000)::BIGINT) / 10000.0 / count(val), 4) AS avg_val,
            round(sum(round(val * 10000)::BIGINT) / 10000.0, 4) AS sum_val
     FROM long GROUP BY l_returnflag, measure
     """,
@@ -844,9 +883,12 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries the r11 non-finite/overflow guard (a huge finite measure
     # would clamp to Long.MAX and wrap the sums where the oracle raises)
     fixed = F.sum(to_fixed(F.col("val"), 4)) / F.lit(10000.0)
+    # avg divides by count(val) — the numerator skips NULL measures, so
+    # the old count(*) divisor deflated the cell average (r12, the r11
+    # avg_fixed class, oracle-mirrored here until now); n stays count(*)
     return long.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(fixed / F.count(F.lit(1)), 4).alias("avg_val"),
+        F.round(fixed / F.count("val"), 4).alias("avg_val"),
         F.round(fixed, 4).alias("sum_val"),
     )
 
@@ -861,15 +903,20 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1, 2
     ),
     cum AS (
-        -- cents NULLS LAST pinned both sides: a NULL-price group's
-        -- weight otherwise enters Spark's running sum FIRST and DuckDB's
-        -- LAST, firing the 2*cw >= tw cut one value early (review r11)
+        -- cents IS NOT NULL (r12): a NULL-price group's weight counted
+        -- into tw while its value can never satisfy the cut — inflating
+        -- the 2*cw >= tw threshold (or, when NULL-weight dominates,
+        -- yielding a NULL median for a group with a well-defined one).
+        -- operators/percentile.py already uses the zero-weight-for-NULL
+        -- convention; this brings the weighted median in line. The
+        -- NULLS LAST pins stay as belt-and-braces for the (now
+        -- impossible) NULL cents.
         SELECT l_returnflag, cents, w,
                sum(w) OVER (PARTITION BY l_returnflag
                             ORDER BY cents NULLS LAST
                             ROWS UNBOUNDED PRECEDING) AS cw,
                sum(w) OVER (PARTITION BY l_returnflag) AS tw
-        FROM vals
+        FROM vals WHERE cents IS NOT NULL
     )
     SELECT l_returnflag,
            min(cents) / 100.0 AS w_median,
@@ -898,6 +945,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         # where the oracle raises (review r11)
         F.sum(to_fixed("l_quantity", 0)).alias("w")
     )
+    # NULL cents carry zero weight (r12): a NULL-price group's mass
+    # otherwise inflated tw while its value could never satisfy the cut
+    # (operators/percentile.py's convention, mirrored in the oracle)
+    vals = vals.filter(F.col("cents").isNotNull())
     wflag = Window.partitionBy("l_returnflag")
     wcum = wflag.orderBy(F.col("cents").asc_nulls_last()).rowsBetween(
         Window.unboundedPreceding, 0

@@ -196,7 +196,7 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id,
                epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                   PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) AS gap_us
+                   PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST) AS gap_us
         FROM events
     )
     SELECT user_id,
@@ -216,7 +216,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs; the average's two divisions are performed in the same order as
     the oracle so the double is bit-identical."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     us = F.unix_micros("ts")
     gaps = e.select(
         "user_id", (us - F.lag(us).over(w)).alias("gap_us")
@@ -240,7 +240,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- unchanged state as a phantom A->A interval (review r11)
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id) AS prev_type
+                                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_type
         FROM events WHERE event_type IS NOT NULL
     ), changes AS (
         SELECT user_id, event_type, ts, event_id
@@ -250,7 +250,7 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS state,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
            strftime(lead(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts NULLS LAST, event_id),
+                                   ORDER BY ts NULLS LAST, event_id NULLS LAST),
                     '%Y-%m-%d %H:%M:%S') AS valid_to
     FROM changes
     """,
@@ -269,7 +269,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()  # a NULL type is not a state
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     changes = (
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev_type", F.lag("event_type").over(w))
@@ -351,7 +351,7 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id) AS prev_type
+                                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_type
         FROM events
     )
     SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n,
@@ -372,7 +372,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-row AGGREGATE, not the fact table. p_next's division is one IEEE
     op on exact BIGINTs, ordered identically in the oracle."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -561,7 +561,7 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT event_type AS next,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id) AS prev
+                                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev
         FROM events
     ), edges AS (
         SELECT prev AS src, next AS dst, count(*)::DOUBLE AS w
@@ -622,7 +622,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     edges = (
         e.select(
             F.col("event_type").alias("dst_t"),
@@ -830,7 +830,7 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT src, dst FROM (
             SELECT event_type AS src,
                    lead(event_type) OVER (PARTITION BY user_id
-                                          ORDER BY ts NULLS LAST, event_id) AS dst
+                                          ORDER BY ts NULLS LAST, event_id NULLS LAST) AS dst
             FROM events
         ) WHERE dst IS NOT NULL AND src <> dst
     ),
@@ -859,7 +859,7 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs — min(hops) afterwards recovers BFS depth from the walk
     expansion."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     edges = (
         e.select(
             F.col("event_type").alias("src"),

@@ -530,8 +530,12 @@ def q_global_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
     ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
+    -- event_id IS NOT NULL: SQL UNIQUE constraints never treat two
+    -- NULLs as duplicates of each other (r12, same intent rule as the
+    -- FK probes); missing ids are the nullability rules' business
     SELECT 'dup_event_id', coalesce(sum(n - 1), 0)::BIGINT
-    FROM (SELECT event_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) > 1)
+    FROM (SELECT event_id, count(*) AS n FROM events
+          WHERE event_id IS NOT NULL GROUP BY 1 HAVING count(*) > 1)
     UNION ALL
     SELECT 'null_user', count(*)::BIGINT FROM events WHERE user_id IS NULL
     UNION ALL
@@ -586,8 +590,11 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # NULL ids are excluded (r12): SQL UNIQUE never counts two NULLs as
+    # duplicates; nullability is its own rule class
     dup = (
-        e.groupBy("event_id")
+        e.filter(F.col("event_id").isNotNull())
+        .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
         .agg(F.sum(F.col("c") - 1).alias("n"))

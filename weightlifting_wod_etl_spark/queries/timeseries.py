@@ -45,7 +45,7 @@ def _daily_revenue(e: DataFrame) -> DataFrame:
         SELECT user_id, date_trunc('day', ts) AS day, value
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
-                                   ORDER BY ts DESC, event_id DESC) = 1
+                                   ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
     ), bounds AS (
         SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
     ), spine AS (
@@ -169,10 +169,10 @@ def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                             > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
     ), sess AS (
         SELECT user_id,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS session_id,
                ts
         FROM marked
@@ -204,7 +204,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     each session's [first, last] hour; the final agg keys on the hour
     bucket — time-uniform by construction."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = e.select("user_id", "ts", "event_id").withColumn(
         # row_number = 1, not lag IS NULL — the r11 trailing-NULL rule
@@ -266,7 +266,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN lag(cents, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END)
              * 100.0) AS ewma
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +286,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", to_fixed("value").alias("cents")
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     num = F.col("cents") * F.lit(1.0)
     den = F.lit(1.0)
     for d in range(1, 8):
