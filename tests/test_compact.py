@@ -144,3 +144,55 @@ def test_compact_preserves_hive_partition_layout(spark, tmp_path):
     )
     assert pdirs == ["date=2024-01-01", "date=2024-01-02", "date=2024-01-03"]
     assert sorted(map(tuple, read_table(spark, path).collect())) == before
+
+
+def test_compact_partitioned_converges_and_no_ops_thereafter(spark, tmp_path):
+    """Review r12: round-robin repartition(want) before partitionBy
+    scattered every Hive partition across all tasks — up to
+    want x n_partitions files, MORE than before — and the no-op guard
+    ignored the per-partition floor, so every maintenance run paid a
+    full rewrite forever."""
+    from weightlifting_wod_etl_spark.operators.compact import (
+        compact_parquet,
+        dir_stats,
+    )
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    path = str(tmp_path / "pc")
+    df = spark.createDataFrame(
+        [(k, f"d{k % 5}", k * 1.0) for k in range(500)],
+        "k long, date string, v double",
+    )
+    # 8 files per partition dir = 40 small files
+    df.repartition(8).write.partitionBy("date").parquet(path)
+    before, _ = dir_stats(path)
+    assert before >= 40
+
+    b1, a1 = compact_parquet(spark, path)
+    # converged toward the per-partition floor, never exploded
+    assert a1 <= 5 + 1 and a1 < b1
+    # second run is a no-op at the partition-aware ideal
+    b2, a2 = compact_parquet(spark, path)
+    assert (b2, a2) == (a1, a1)
+    # data intact, layout preserved
+    out = spark.read.parquet(resolve(path))
+    assert out.count() == 500 and out.filter("date IS NULL").count() == 0
+
+
+def test_compact_explicit_sort_request_always_runs(spark, tmp_path):
+    """Review r12: the early no-op guard returned before an explicitly
+    requested sort_by clustering pass / stats_cols index publication —
+    callers believed the table was clustered+indexed when nothing ran."""
+    from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+    from weightlifting_wod_etl_spark.operators.skipping import load_stats_index
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    path = str(tmp_path / "sc")
+    # one small unsorted file: the old `before <= want+1` no-op'd here
+    spark.createDataFrame(
+        [(k % 7, k) for k in range(100)], "k long, v long"
+    ).coalesce(1).write.parquet(path)
+    compact_parquet(spark, path, sort_by=["k"], stats_cols=["k"])
+    idx = load_stats_index(resolve(path))
+    assert idx, "requested index was silently skipped"
+    assert all("k_min" in e for e in idx)

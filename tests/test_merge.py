@@ -371,3 +371,66 @@ def test_merge_refuses_commit_when_base_moved_before_lock(spark, tmp_path):
     assert _rows(spark, path) == {1: (10, "old"), 2: (20, "other")}
     src = spark.createDataFrame([(3, 30, "c")], "k long, v long, tag string")
     assert merge_into(spark, path, src, on=["k"])["inserted"] == 1
+
+
+def test_merge_partitioned_indexed_table_keeps_partition_values_and_layout(
+    spark, tmp_path
+):
+    """Review r12: the file-targeted candidate read lacked basePath, so
+    Hive partition columns came back NULL for every rewritten AND carried-
+    through row (silent corruption), and the rewrite wrote flat files next
+    to carried date=*/ subtrees (a layout Spark's discovery rejects). The
+    full-rewrite path additionally flattened the layout entirely."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+    from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(k, f"d{k % 3}", k * 10) for k in range(30)], "k long, date string, v long"
+    )
+    kv_upsert_parquet(
+        base, path, key_cols=["k", "date"], order_cols=["v"],
+        partition_by=["date"], stats_cols=["k"],
+    )
+
+    src = spark.createDataFrame([(5, "d2", -5), (31, "d1", -31)],
+                                "k long, date string, v long")
+    stats = merge_into(spark, path, src, on=["k", "date"])
+    assert stats["matched"] == 1 and stats["inserted"] == 1
+
+    out = spark.read.parquet(resolve(path))
+    # no partition value may be NULL — the basePath regression nulled all
+    assert out.filter("date IS NULL").count() == 0
+    rows = {(r.k, r.date): r.v for r in out.collect()}
+    assert rows[(5, "d2")] == -5 and rows[(31, "d1")] == -31
+    assert rows[(6, "d0")] == 60  # carried/kept row intact
+    # Hive layout survived: every data file sits under a date=*/ dir
+    data_dir = resolve(path)
+    from weightlifting_wod_etl_spark.operators.skipping import list_data_files
+
+    assert all(
+        "date=" in os.path.relpath(f, data_dir) for f in list_data_files(data_dir)
+    )
+
+
+def test_merge_update_reports_dup_target_collapse(spark, tmp_path):
+    """Review r12: duplicate-keyed TARGET rows were silently collapsed by
+    an update merge (keyed-table LWW semantics) with no trace in the
+    stats; the collapse count must be reported."""
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+
+    path = str(tmp_path / "dupt")
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "x")], "k long, v string"
+    ).write.parquet(path)
+    src = spark.createDataFrame([(1, "NEW")], "k long, v string")
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["matched"] == 3
+    assert stats["dup_target_rows_collapsed"] == 2
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    got = {(r.k, r.v) for r in spark.read.parquet(resolve(path)).collect()}
+    assert got == {(1, "NEW"), (2, "x")}

@@ -759,3 +759,30 @@ def test_kv_upsert_retry_after_failed_first_write_not_wedged(spark, tmp_path):
             df, path, key_cols=["k", "p"], order_cols=["ver"], partition_by=part
         )
         assert read_table(spark, path).count() == 1
+
+
+def test_migration_commit_gcs_root_success_marker_and_stale_index(
+    spark, tmp_path
+):
+    """Review r12: the `entry == \"_SUCCESS\"` GC branch was dead code
+    (underscore entries were filtered one condition earlier), so a
+    migrated plain table leaked its pre-versioning _SUCCESS marker and
+    root _stats_index.parquet forever."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+    from weightlifting_wod_etl_spark.operators.skipping import save_stats_index
+
+    path = str(tmp_path / "mig")
+    spark.createDataFrame(
+        [(k, k * 2) for k in range(200)], "k long, v long"
+    ).repartition(6).write.parquet(path)
+    save_stats_index(path, ["k"])
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "_stats_index.parquet"))
+
+    # first compaction migrates plain -> versioned layout
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    assert os.path.exists(os.path.join(path, "_CURRENT"))
+    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "_stats_index.parquet"))

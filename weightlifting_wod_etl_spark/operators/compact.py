@@ -38,17 +38,15 @@ from .versioned import (
 def dir_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) of the parquet files under ``path``.
 
-    Skips ``_``/``.``-prefixed subdirs — the same children Spark's file
-    listing ignores — so staging/version dirs of the commit protocol are
-    never double-counted when statting a plain table root."""
-    n, total = 0, 0
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for fn in files:
-            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                n += 1
-                total += os.path.getsize(os.path.join(root, fn))
-    return n, total
+    Delegates visibility to ``skipping.list_data_files`` — the one
+    definition of "visible data file" (skips ``_``/``.``-prefixed
+    entries, the same children Spark's listing ignores), so compaction
+    sizing can never disagree with the commit protocol or the index
+    completeness checks (review r12)."""
+    from .skipping import list_data_files
+
+    files = list_data_files(path)
+    return len(files), sum(os.path.getsize(f) for f in files)
 
 
 def _partition_keys(data_dir: str) -> list[str]:
@@ -82,7 +80,8 @@ def compact_parquet(
 ) -> tuple[int, int]:
     """Rewrite ``path`` into ``ceil(bytes / target)`` files; returns
     (files_before, files_after). No-op (no rewrite at all) when the
-    layout is already within one file of ideal. Accepts both plain
+    layout is already within one file of the achievable ideal AND
+    nothing beyond file-count health was requested. Accepts both plain
     parquet dirs (first compaction migrates them to the versioned
     layout) and already-versioned tables; read results back with
     ``io.read_table`` / ``versioned.resolve``.
@@ -95,18 +94,48 @@ def compact_parquet(
     data_dir = resolve(path)
     before, total = dir_stats(data_dir)
     want = max(1, math.ceil(total / target_file_bytes))
-    if before <= want + 1:
+    pkeys = _partition_keys(data_dir)
+    # No-op rules (review r12 — the old `before <= want + 1` guard was
+    # wrong three ways):
+    #  * an explicit sort_by/stats_cols request must ALWAYS rewrite — the
+    #    early return silently skipped a requested clustering pass and
+    #    the promised index publication;
+    #  * the bound is two-sided: before >> want is small-file debt, but
+    #    before < want means files far OVER target that should split for
+    #    scan parallelism (2 one-GB files vs want=16 used to no-op);
+    #  * for a Hive layout the achievable floor is one file per live
+    #    partition dir, so "ideal" is max(want, n_partition_dirs) —
+    #    against plain `want`, a 100-partition table could never satisfy
+    #    the guard and paid a full rewrite on every maintenance run.
+    if pkeys:
+        from .skipping import list_data_files
+
+        n_part_dirs = len({os.path.dirname(f) for f in list_data_files(data_dir)})
+        ideal = max(want, n_part_dirs)
+    else:
+        ideal = want
+    if ideal <= before <= ideal + 1 and not sort_by and not stats_cols:
         return before, before
     df = spark.read.parquet(data_dir)
+    # Partitioned tables redistribute ON the partition keys (review r12):
+    # a bare round-robin repartition(want) scatters every Hive
+    # partition's rows across all `want` tasks, so the partitionBy write
+    # fans out to ~want × n_partitions files — MORE small files than
+    # before, and never converging. Hashing on pkeys lands each
+    # partition value in one task (one file per partition dir); with
+    # sort_by, range-partitioning partition-major keeps dirs contiguous
+    # AND sorted within.
     if sort_by:
-        out = df.repartitionByRange(want, *sort_by).sortWithinPartitions(*sort_by)
+        cluster = [*pkeys, *sort_by]
+        out = df.repartitionByRange(want, *cluster).sortWithinPartitions(*cluster)
+    elif pkeys:
+        out = df.repartition(want, *pkeys)
     else:
         out = df.repartition(want)
     staging, version = begin_commit(path)
     try:
         verify_read_base(path, data_dir)  # df reads data_dir (resolved above)
         writer = out.write.mode("overwrite")
-        pkeys = _partition_keys(data_dir)
         if pkeys:
             # preserve the Hive layout: partition pruning must survive a
             # maintenance compact (review r11)

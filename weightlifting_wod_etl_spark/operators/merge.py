@@ -73,9 +73,16 @@ def merge_into(
     (target row kept unchanged). ``when_not_matched``: ``"insert"`` or
     ``"ignore"`` (source-only rows added or dropped). Keys must be unique
     within ``source`` (enforced — ambiguous merges are rejected, the same
-    error Delta raises for multi-match sources).
+    error Delta raises for multi-match sources). Target-side key
+    uniqueness is NOT enforced: this is a KEYED-table merge, so an
+    update of a key the target holds N times collapses those N rows to
+    the one source row — LWW semantics, the contract kv_upsert/cdc_apply
+    carry (Delta's row-wise MERGE UPDATE would keep all N). The collapse
+    is reported, never silent (review r12): see
+    ``dup_target_rows_collapsed`` in the returned stats.
 
-    Returns counts: ``{"matched": n, "inserted": n, "deleted": n}``.
+    Returns counts: ``{"matched": n, "inserted": n, "deleted": n,
+    "dup_target_rows_collapsed": n, ...}``.
     """
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(f"when_matched={when_matched!r}")
@@ -103,14 +110,28 @@ def merge_into(
     carried_files: list[str] = []
     n_candidates = 0
     target = None
+    pkeys: list[str] = []
     if exists:
+        from .compact import _partition_keys
+
+        pkeys = _partition_keys(data_dir)
         full = spark.read.parquet(data_dir)
         carried_files, candidates = _prune_rewrite_set(
             spark, data_dir, source, on, set(full.columns)
         )
         n_candidates = len(candidates)
         if carried_files and candidates:
-            target = spark.read.schema(full.schema).parquet(*candidates)
+            # basePath is load-bearing on a Hive-partitioned table
+            # (review r12): a bare leaf-file read does no partition
+            # discovery, so every directory-derived partition column
+            # would come back NULL for every candidate row — carried
+            # rows included — committing silent corruption. io.py's
+            # read_pruned sets it for the same reason.
+            target = (
+                spark.read.schema(full.schema)
+                .option("basePath", data_dir)
+                .parquet(*candidates)
+            )
         elif carried_files and not candidates:
             target = full.limit(0)  # no file can match: pure insert
         else:
@@ -144,22 +165,52 @@ def merge_into(
     n_matched, n_src_matched = row.n_matched, row.n_src_matched
     matched_keys = key_stats.filter(F.col("_tcnt").isNotNull()).select(*on)
 
-    # survivors from the target side
+    # survivors from the target side. NO forced broadcast on the source
+    # key set (review r12): a right-to-be-forgotten deletion list — the
+    # module's own 100 TB use case — can hold hundreds of millions of
+    # keys, and a hard hint would OOM the driver/executors where AQE
+    # left free still broadcasts small sources and falls back to a
+    # shuffled join for large ones.
     if when_matched == "ignore":
         keep_target = target
     else:  # update and delete both remove the matched target rows
-        keep_target = target.join(F.broadcast(source.select(*on)), on, "left_anti")
+        keep_target = target.join(source.select(*on), on, "left_anti")
 
     # rows contributed by the source side
     parts = []
     if when_matched == "update":
-        parts.append(source.join(F.broadcast(matched_keys), on, "left_semi"))
+        parts.append(source.join(matched_keys, on, "left_semi"))
     if when_not_matched == "insert":
-        parts.append(source.join(F.broadcast(matched_keys), on, "left_anti"))
+        parts.append(source.join(matched_keys, on, "left_anti"))
 
     out = keep_target
     for p in parts:
         out = out.unionByName(p, allowMissingColumns=True)
+
+    # A FULL rewrite over an indexed table re-clusters on the indexed
+    # columns (review r12): the anti/semi clause joins shuffle the target,
+    # and without re-clustering the committed files carry overlapping key
+    # ranges — the index can rule out nothing, every later merge degrades
+    # to a full rewrite and read_pruned to full scans, a silent one-way
+    # perf cliff. One range shuffle is the honest price of keeping the
+    # clustered-layout contract the index's pruning power depends on
+    # (Delta's optimized-write analog). File-targeted merges skip this:
+    # their coalesced candidate slice plus carried files keep the layout.
+    if exists and not carried_files:
+        from .skipping import index_cols as _index_cols
+        from .skipping import list_data_files, load_stats_index
+
+        old_index = load_stats_index(data_dir)
+        cluster = [
+            c
+            for c in (_index_cols(old_index) if old_index else [])
+            if c in out.columns
+        ]
+        if cluster:
+            n_out = max(1, len(list_data_files(data_dir)))
+            out = out.repartitionByRange(n_out, *cluster).sortWithinPartitions(
+                *cluster
+            )
 
     n_inserted = int(row.n_src - n_src_matched) if when_not_matched == "insert" else 0
     n_deleted = int(n_matched) if when_matched == "delete" else 0
@@ -174,7 +225,17 @@ def merge_into(
             # this the rewritten slice fans out to one file per shuffle
             # partition and a 1-file-targeted merge litters tiny files
             out = out.coalesce(max(1, n_candidates))
-        out.write.mode("overwrite").parquet(staging)
+        writer = out.write.mode("overwrite")
+        if pkeys:
+            # preserve the Hive layout (review r12 — the same silent
+            # flatten compact.py fixed r11): without partitionBy the
+            # committed version carries the partition column as data with
+            # no date=*/ dirs, partition pruning dies, and the next
+            # partitioned kv_upsert sees loose root files and pays a
+            # full-table migration rewrite. Sources that insert rows must
+            # carry the partition columns (same contract as Delta MERGE).
+            writer = writer.partitionBy(*pkeys)
+        writer.parquet(staging)
         if carried_files:
             carry_files(carried_files, data_dir, staging)
         if exists:
@@ -197,6 +258,11 @@ def merge_into(
         "matched": int(n_matched),
         "inserted": n_inserted,
         "deleted": n_deleted,
+        # duplicate-keyed target rows an update collapsed to one survivor
+        # (keyed-table LWW semantics — see docstring); 0 for unique keys
+        "dup_target_rows_collapsed": (
+            int(n_matched - n_src_matched) if when_matched == "update" else 0
+        ),
         "files_rewritten": len(list_data_files(staging)) - len(carried_files),
         "files_carried": len(carried_files),
     }

@@ -70,11 +70,14 @@ def _lock_path(path: str, version: int) -> str:
 
 
 def _contains_parquet(d: str) -> bool:
-    for root, dirs, files in os.walk(d):
-        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
-        if any(f.endswith(".parquet") and not f.startswith(("_", ".")) for f in files):
-            return True
-    return False
+    # delegates to the ONE definition of "visible data file"
+    # (skipping.list_data_files) — review r12: four copies of the same
+    # walk-and-filter loop had drifted into versioned/compact/skipping,
+    # and any future change to visibility rules would desynchronize the
+    # commit protocol, history, compaction sizing, and index checks
+    from .skipping import list_data_files
+
+    return bool(list_data_files(d))
 
 
 def _pid_is_live(pid: int) -> bool:
@@ -175,19 +178,19 @@ def table_history(path: str) -> list[dict]:
     """Retained snapshots with their physical footprint, ascending — the
     ``DESCRIBE HISTORY`` analog for versioned tables. Each entry:
     ``{"version", "n_files", "bytes", "is_current"}``."""
+    from .skipping import list_data_files
+
     current = current_version(path)
     out = []
     for v in list_versions(path):
-        d = os.path.join(path, f"_v{v:06d}")
-        n = total = 0
-        for root, dirs, files in os.walk(d):
-            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
-            for fn in files:
-                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                    n += 1
-                    total += os.path.getsize(os.path.join(root, fn))
+        files = list_data_files(os.path.join(path, f"_v{v:06d}"))
         out.append(
-            {"version": v, "n_files": n, "bytes": total, "is_current": v == current}
+            {
+                "version": v,
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "is_current": v == current,
+            }
         )
     return out
 
@@ -452,8 +455,21 @@ def finish_commit(path: str, version: int, keep_versions: int = 1) -> None:
             if os.path.isdir(full):
                 if "=" in entry or _contains_parquet(full):
                     shutil.rmtree(full, ignore_errors=True)
-            elif entry.endswith(".parquet") or entry == "_SUCCESS":
+            elif entry.endswith(".parquet"):
                 try:
                     os.remove(full)
                 except OSError:
                     pass
+        elif version - 1 == 0 and entry in ("_SUCCESS", "_stats_index.parquet"):
+            # pre-migration METADATA files at the root: the write marker
+            # and a plain-layout skipping index (post-migration the index
+            # lives inside the version dir). These start with "_", so the
+            # branch above never reaches them — the old
+            # `entry == "_SUCCESS"` test there was dead code and the
+            # marker leaked forever (review r12). Never touched outside
+            # the one-time migration commit; _CURRENT/_v*/.lock* don't
+            # match these exact names.
+            try:
+                os.remove(full)
+            except OSError:
+                pass
