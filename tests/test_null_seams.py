@@ -223,7 +223,17 @@ _DIRTY_ROWS = {
                 (9000001::BIGINT, NULL, NULL, NULL, NULL::INT,
                  NULL::DOUBLE),
                 (9000002, 'meta.part (x) | $end', 'Brand#55', 'TYPE x',
-                 -3, 0.0)
+                 -3, 0.0),
+                -- r12: Java-vs-RE2 regex seams in the fuzzy-dedup block
+                -- key — a vertical tab (Java \\s includes it, RE2 \\S
+                -- matches it) and a trailing newline (Java $ matches
+                -- before it, RE2 $ does not; both engines now use an
+                -- explicit class + \\z). Names are 1 edit apart so a
+                -- block-key divergence surfaces as a pair diff.
+                (9000003, 'meta.part (y) |' || chr(11) || '$end',
+                 'Brand#55', 'TYPE x', -3, 0.0),
+                (9000004, 'meta.part (x) | $end' || chr(10),
+                 'Brand#55', 'TYPE x', -3, 0.0)
             ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
     """,
     "nation": """

@@ -227,3 +227,34 @@ def test_neardup_duplicate_ids_never_self_pair(spark):
     assert pairs, "near-identical vectors must still pair"
     assert all(r.id_a != r.id_b for r in pairs)
     assert any({r.id_a, r.id_b} == {1, 2} for r in pairs)
+
+
+def test_lsh_bucket_cap_counts_null_id_docs(spark):
+    """r12 review: the bucket cap tested size(collect_list(doc_id)),
+    which DROPS null ids — a bucket at the cap boundary holding a
+    NULL-id duplicate passed the Spark cap while the oracle's count(*)
+    dropped it (pair-set divergence at the boundary). The cap now
+    counts bucket ROWS."""
+    from weightlifting_wod_etl_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, boiler) for i in range(4)]
+    rows.append((None, boiler))  # same text, unidentifiable doc
+    rows.append((100, "one two three four five six seven eight nine ten"))
+    rows.append((101, "one two three four five six seven eight nine only"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap 4: the boiler bucket holds 4 real + 1 NULL row = 5 rows > 4,
+    # so it must drop even though only 4 ids are pairable
+    capped = lsh_candidate_pairs(docs, max_band_df=4).toPandas()
+    assert not ((capped.doc_a < 100) & (capped.doc_b < 100)).any()
+    assert (100, 101) in set(zip(capped.doc_a, capped.doc_b))
+
+    ncapped = ngram_jaccard_pairs(
+        docs, shingle_n=3, min_jaccard=0.1, max_shingle_df=4
+    ).toPandas()
+    assert not ((ncapped.doc_a < 100) & (ncapped.doc_b < 100)).any()
+    assert (100, 101) in set(zip(ncapped.doc_a, ncapped.doc_b))

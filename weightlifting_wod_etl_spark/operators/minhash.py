@@ -184,6 +184,38 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def _capped_bucket_pairs(
+    exploded: DataFrame, group_cols: list[str], id_col: str, cap: int | None
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs expanded INSIDE each bucket, with the
+    over-cap buckets dropped before expansion — the one shared shape
+    behind both LSH banding and rare-shingle pairing (review r12: the two
+    near-verbatim copies had already drifted once).
+
+    The size cap tests the bucket's ROW count, not size(collect_list):
+    collect_list drops NULL ids, so a bucket at the cap boundary holding
+    a NULL-id document undercounted vs the oracles' count(*) and kept a
+    bucket the oracle drops (review r12). A NULL-id doc is a real
+    document crowding the bucket — it counts toward document frequency
+    even though it can never appear in a pair. The >1 pairability test
+    stays on the PAIRABLE (non-null) ids: a bucket of one real + one
+    NULL id emits no pairs under either test, so the outputs agree."""
+    bucket_ok = F.size("ids") > 1
+    if cap is not None:
+        bucket_ok = bucket_ok & (F.col("_bucket_n") <= cap)
+    return (
+        exploded.groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("_bucket_n"),
+        )
+        .filter(bucket_ok)
+        .select(F.explode(_pairs_within("ids")).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -227,16 +259,8 @@ def lsh_candidate_pairs(
     # shuffle it twice; this shape computes it once and shuffles once, on
     # the uniformly-distributed band hash. Bucket sizes are tiny for any
     # sane (K, B), so the within-bucket expansion is O(dups²), not O(n²).
-    bucket_ok = F.size("ids") > 1
-    if max_band_df is not None:
-        bucket_ok = bucket_ok & (F.size("ids") <= max_band_df)
-    cand = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(bucket_ok)
-        .select(F.explode(_pairs_within("ids")).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
+    cand = _capped_bucket_pairs(
+        banded, ["band_idx", "band_key"], id_col, max_band_df
     )
     # Exact-Jaccard verification re-shingles ONLY candidate docs: the
     # left-semi join prunes the corpus to pair participants before the
@@ -289,17 +313,7 @@ def ngram_jaccard_pairs(
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
     # Same single-pass bucket-pair shape as lsh_candidate_pairs: one shuffle
     # on the shingle, pairs expanded inside each bucket.
-    bucket_ok = F.size("ids") > 1
-    if max_shingle_df is not None:
-        bucket_ok = bucket_ok & (F.size("ids") <= max_shingle_df)
-    cand = (
-        ex.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(bucket_ok)
-        .select(F.explode(_pairs_within("ids")).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(ex, ["shingle"], id_col, max_shingle_df)
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -28,12 +28,16 @@ from ..queries_registry import register
 )
 def q_dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP3 — idempotent-write guard as a left-anti join against a sha256
-    ledger (services/idempotency_service.py:27-106). The ledger side is
-    small → Catalyst broadcasts it; the big side streams through."""
+    ledger (services/idempotency_service.py:27-106). NO broadcast hint
+    (r12): this ledger is data-proportional (~10% of the corpus, 64-char
+    keys), so a hard hint would OOM the driver at the 100 TB design point
+    where the un-hinted plan lets AQE broadcast at small SF and degrade
+    to a shuffled hash join at scale — the exact contract
+    operators/dedup.anti_join_ledger documents."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select("doc_id", idempotency_key("put", F.col("text")).alias("idem_key"))
     ledger = keyed.filter(F.col("doc_id") % 10 == 0).select("idem_key")
-    return anti_join_ledger(keyed, F.broadcast(ledger), "idem_key").select("doc_id", "idem_key")
+    return anti_join_ledger(keyed, ledger, "idem_key").select("doc_id", "idem_key")
 
 
 @register(
@@ -340,8 +344,14 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fuzzy_dedup",
     oracle="""
     WITH names AS (
+        -- explicit char class + backslash-z, not (backslash-S)+$ (r12):
+        -- Java's whitespace class includes vertical tab where RE2's
+        -- non-space matches it, and Java $ matches BEFORE a trailing
+        -- newline where RE2 $ only matches end-of-text — both diverge
+        -- the block key. The explicit class and the end-of-input anchor
+        -- (same in both engines) pin identical extraction.
         SELECT p_name, count(*)::BIGINT AS cnt,
-               regexp_extract(p_name, '(\\S+)$', 1) AS blk
+               regexp_extract(p_name, '([^ \t\n\x0B\f\r]+)\\z', 1) AS blk
         FROM part GROUP BY 1
     )
     SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -367,11 +377,15 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same plan holds: frequency table ≪ memory, broadcast
     self-join per block, skew bounded by the largest block (pick a finer
     block key — last token + length band — if one token dominates)."""
+    # explicit class + \z, mirrored in the oracle (r12): Java-vs-RE2
+    # disagree on both \s membership (\x0B) and $-before-trailing-newline
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("blk", F.regexp_extract("p_name", r"(\S+)$", 1))
+        .withColumn(
+            "blk", F.regexp_extract("p_name", "([^ \t\n\x0B\f\r]+)\\z", 1)
+        )
     )
     a = names.select(
         F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"), "blk"
