@@ -789,3 +789,59 @@ def test_incremental_measure_requires_source(spark):
     with pytest.raises(ValueError, match="requires a source"):
         Measure(name="revenue", kind="sum", source="").build_expr()
     Measure(name="n", kind="count").build_expr()  # count stays source-less
+
+
+def test_exact_percentiles_rejects_colliding_names_and_reserved_cols(spark):
+    """Review r12: two distinct cuts inside the 6-significant-digit
+    rendering window minted the SAME column name (AMBIGUOUS_REFERENCE
+    deep in the agg instead of a loud ValueError), and percentile was the
+    one dunder-working-column operator with no input clash guard."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.percentile import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame([("g", 1), ("g", 2)], "g string, v long")
+    with pytest.raises(ValueError, match="colliding column names"):
+        exact_percentiles(df, ["g"], "v", [0.123456, 0.1234561])
+
+    clash = spark.createDataFrame([(1, 2)], "n_items long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        exact_percentiles(clash, ["n_items"], "v", [0.5])
+
+
+def test_salted_join_accepts_spark_join_aliases(spark):
+    """Review r12: 'leftsemi'/'semi'/'anti' — canonical Spark aliases of
+    row-identity-safe joins — were refused with a message blaming outer
+    replication semantics."""
+    from weightlifting_wod_etl_spark.operators.skew import (
+        replicated_salted_join,
+    )
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    small = spark.createDataFrame([(1,)], "k long")
+    got = replicated_salted_join(big, small, "k", "k", "v", how="leftsemi")
+    assert [r.k for r in got.collect()] == [1]
+    got2 = replicated_salted_join(big, small, "k", "k", "v", how="anti")
+    assert [r.k for r in got2.collect()] == [2]
+
+
+def test_asof_join_handles_dotted_column_names(spark):
+    """Review r12: F.col('__row.meta.src') parses a dotted column NAME as
+    a nested field path — getField is the robust extraction."""
+    from weightlifting_wod_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1")], ["k", "ts", "meta.src"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "R1")], ["k", "ts", "payload.x"]
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["payload.x"],
+    )
+    row = out.collect()[0]
+    assert row["meta.src"] == "L1"
+    assert row["asof_payload.x"] == "R1"

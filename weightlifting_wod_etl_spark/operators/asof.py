@@ -71,9 +71,16 @@ def asof_join(
             f"left columns {clash} collide with the prefixed payload "
             "output — pass a different prefix or rename them"
         )
+    def _c(name: str):
+        # backtick-quoted reference (review r12): a column NAME containing
+        # a dot is legal in Spark, and both F.col(name) and df[name] parse
+        # it as a nested field path; quoting forces exact-name resolution
+        # (embedded backticks escape by doubling, Spark's own rule)
+        return F.col("`" + name.replace("`", "``") + "`")
+
     tie = F.col(tiebreak) if tiebreak is not None else F.lit(0)
-    payload = F.struct(*[F.col(c) for c in right_payload])
     right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+    payload = F.struct(*[_c(c) for c in right_payload])
     r_side = right.select(
         F.col(key).alias("__key"),
         F.col(right_ts).alias("__ts"),
@@ -88,7 +95,7 @@ def asof_join(
         # left rows never affect the carry; any value of the right type works
         F.lit(None).cast(r_side.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(r_side.schema["__payload"].dataType).alias("__payload"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.struct(*[_c(c) for c in left.columns]).alias("__row"),
     )
     r_side = r_side.withColumn("__row", F.lit(None).cast(l_side.schema["__row"].dataType))
 
@@ -100,8 +107,14 @@ def asof_join(
     merged = r_side.unionByName(l_side).withColumn(
         "__carried", F.last("__payload", ignorenulls=True).over(w)
     )
+    # getField, not F.col("__row.c") string paths (review r12): a column
+    # whose NAME contains a dot (legal in Spark) would be parsed as a
+    # nested field path and fail resolution
     out = merged.filter(F.col("__side") == 1).select(
-        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__carried.{c}").alias(f"{prefix}{c}") for c in right_payload],
+        *[F.col("__row").getField(c).alias(c) for c in left.columns],
+        *[
+            F.col("__carried").getField(c).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
     )
     return out

@@ -77,12 +77,9 @@ def _with_slot(df: DataFrame, key: str, num_bits: int, cast_to: str | None = Non
     dunder-prefixed AND checked against the input — ``withColumn`` would
     silently REPLACE a caller column of the same name, and a duplicate
     would make the bitmap join ambiguous."""
-    clash = [c for c in df.columns if c in _WORK_COLS]
-    if clash:
-        raise ValueError(
-            f"input columns {clash} collide with bloom_semi_join's working "
-            "columns — rename them before calling"
-        )
+    from .util import require_free_columns
+
+    require_free_columns("bloom_semi_join", _WORK_COLS, df)
     k = F.col(key).cast(cast_to) if cast_to else F.col(key)
     return df.withColumn(
         "__bf_h", F.pmod(F.xxhash64(k), F.lit(num_bits))

@@ -57,6 +57,33 @@ def exact_percentiles(
         # cumulation row ever exceeds the index) where SQL quantile_cont
         # raises — fail as loudly as the engines do
         raise ValueError(f"cuts outside [0, 1]: {bad}")
+    # minted names must be UNIQUE (review r12): the ':g' format keeps 6
+    # significant digits, so two distinct cuts closer than that (e.g.
+    # 0.123456 vs 0.1234561) mint the same column name and the final
+    # select would die later with AMBIGUOUS_REFERENCE instead of the
+    # loud ValueError the docstring promises. '+'/'-' additionally cover
+    # scientific-notation names for sub-1e-6 cuts ('p1e-05').
+    minted = [
+        f"{out_prefix}{p * 100:g}".replace(".", "_")
+        .replace("-", "_")
+        .replace("+", "_")
+        for p in cuts
+    ]
+    dup = sorted({n for n in minted if minted.count(n) > 1})
+    if dup:
+        raise ValueError(
+            f"cuts {cuts} mint colliding column names {dup} (names keep 6 "
+            "significant digits) — space the cuts or alias the results"
+        )
+    from .util import require_free_columns
+
+    # only the SURVIVING columns (group cols + value col) can clash —
+    # other df columns are dropped by the first groupBy
+    require_free_columns(
+        "exact_percentiles",
+        {"__c", "__v", "__cum", "__n", "n_items", *minted},
+        df.select(*group_cols, value_col),
+    )
     counts = df.groupBy(*group_cols, value_col).agg(
         # NULL-value rows keep their group alive but carry zero weight:
         # they never enter __cum/__n, so every index and count below is
@@ -78,7 +105,7 @@ def exact_percentiles(
 
     aggs = [F.first("__n").alias("n_items")]
     names: list[str] = []
-    for p in cuts:
+    for p, name in zip(cuts, minted):
         # idx in [0, n-1]; lower neighbor covers idx, upper covers idx+1.
         # __n is group-constant: per-row uses the raw column (inside the
         # aggregate's input), the final arithmetic uses first(__n).
@@ -87,7 +114,6 @@ def exact_percentiles(
         frac = agg_pos - F.floor(agg_pos)
         lo = F.min(F.when(F.col("__cum") > row_idx, F.col("__v")))
         hi = F.min(F.when(F.col("__cum") > row_idx + 1, F.col("__v")))
-        name = f"{out_prefix}{p * 100:g}".replace(".", "_")
         names.append(name)
         aggs.append((lo + frac * (F.coalesce(hi, lo) - lo)).alias(name))
     out = cum.groupBy(*group_cols).agg(*aggs)

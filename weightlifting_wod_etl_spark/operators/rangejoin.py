@@ -70,15 +70,11 @@ def band_range_join(
     (review r11); a reversed interval also matches no point under the
     exact ``start <= p < end`` filter, so dropping it is semantics-free.
     """
-    reserved = {"__bin", "__bins"}
-    clash = [c for c in (*points.columns, *intervals.columns) if c in reserved]
-    if clash:
-        # withColumn would silently REPLACE a caller column of the same
-        # name and the final drop would delete it from the output
-        raise ValueError(
-            f"input columns {clash} collide with band_range_join's working "
-            "columns — rename them before calling"
-        )
+    from .util import require_free_columns
+
+    require_free_columns(
+        "band_range_join", {"__bin", "__bins"}, points, intervals
+    )
     p = points.withColumn("__bin", _bin_of(F.col(point_ts), bin_width_s))
     iv = intervals.filter(F.col(end_ts) >= F.col(start_ts))
     if max_bins_per_interval is not None:

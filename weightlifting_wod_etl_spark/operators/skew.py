@@ -46,14 +46,11 @@ _PARTIAL = {
 
 def _check_salt_clash(*dfs: DataFrame) -> None:
     """withColumn would silently REPLACE a caller column named __salt and
-    the final drop would delete it from the output (review r11 — the
-    same loud guard bloomjoin carries for its working columns)."""
-    for df in dfs:
-        if "__salt" in df.columns:
-            raise ValueError(
-                "input column '__salt' collides with the salting working "
-                "column — rename it before calling"
-            )
+    the final drop would delete it from the output (review r11; shared
+    guard since r12 — see operators/util.require_free_columns)."""
+    from .util import require_free_columns
+
+    require_free_columns("the salting operator", {"__salt"}, *dfs)
 
 
 def deterministic_salt(unique_col: str | Column, buckets: int) -> Column:
@@ -114,7 +111,14 @@ def replicated_salted_join(
     cross): a right or full outer join would emit ``buckets`` null-padded
     copies of every unmatched small-side row — silently wrong counts.
     """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+    # normalize the way Spark's own JoinType parser does (lowercase,
+    # underscores stripped), so every canonical alias of a row-identity-
+    # safe join is accepted — 'leftsemi', 'semi', 'leftanti', 'anti',
+    # 'leftouter' were wrongly refused before with a message blaming
+    # outer-join replication semantics (review r12)
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi",
+                    "leftanti", "anti", "cross"):
         raise ValueError(
             f"how={how!r} unsupported: small-side replication emits "
             f"{buckets} copies of each unmatched small row under "
