@@ -98,7 +98,13 @@ _DIRTY_ROWS = {
                 -- window tiebreak (passage/canonical rep NULLS pins),
                 -- quota-order NULL placement (md5(NULL)), df counting
                 -- (tfidf), and NULL split assignment
-                (NULL, 'dup dup dup dup', 'en', 'dirty', 15)
+                (NULL, 'dup dup dup dup', 'en', 'dirty', 15),
+                -- r12: a SECOND NULL-PK doc with different text — any
+                -- per-document query whose oracle GROUPs BY doc_id now
+                -- merges the two NULLs into one row while a per-row
+                -- Spark plan emits two (the q_trigram_entropy class);
+                -- both sides must pin the same NULL-PK rule
+                (NULL, 'zz zz yy xx ww vv uu tt', 'en', 'dirty', 23)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """

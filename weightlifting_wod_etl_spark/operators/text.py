@@ -121,6 +121,46 @@ def lang_id(text: Column) -> Column:
     return F.when(text.isNotNull(), _let(counts, body))
 
 
+def bigram_structs(text: Column) -> Column:
+    """Let-bound array of (w1, bg) structs over adjacent space-split
+    tokens — the ONE definition of bigram minting (review r12:
+    q_bigram_topk and q_bigram_lm_score hand-maintained near-identical
+    copies of the guard and index arithmetic, inviting one-sided fixes).
+
+    when-without-otherwise guard: ``sequence(1, 0)`` counts DOWN for a
+    single-token doc and ``element_at(arr, 0)`` aborts the whole job —
+    short docs must yield NULL, which explode drops, matching the
+    oracles on NULL and 1-token text. ``concat`` (NULL-propagating)
+    mirrors the oracles' ``||``; split never yields NULL tokens anyway.
+    The token array is let-bound: CollapseProject would otherwise re-run
+    the split per lambda reference — O(tokens²) per document."""
+    return _let(
+        F.split(text, " "),
+        lambda arr: F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("w1"),
+                    F.concat(
+                        F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                    ).alias("bg"),
+                ),
+            ),
+        ),
+    )
+
+
+def oracle_stopword_regex(lang: str) -> str:
+    """RE2-side stopword pattern for DuckDB oracle SQL — derived from the
+    SAME ``STOPWORDS`` table the Spark expressions read, so editing a
+    list can never silently desynchronize an oracle that hardcoded the
+    old literal (review r12; the BPE_ISH_PATTERN f-string interpolation
+    is the established pattern). RE2's ``\\b`` is ASCII-only, which the
+    Spark side reproduces with explicit lookarounds (``stopword_count``)."""
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives

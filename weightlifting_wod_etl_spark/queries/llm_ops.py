@@ -16,9 +16,11 @@ from ..operators.multimodal import (
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
 from ..operators.text import (
     BPE_ISH_PATTERN,
+    PUNCT_CLASS,
     bpe_ish_token_count,
     doc_fingerprint,
     lang_id,
+    oracle_stopword_regex,
     quality_score,
     ws_token_count,
 )
@@ -356,13 +358,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lang_id",
-    oracle=r"""
+    # stopword regexes INTERPOLATED from operators/text.STOPWORDS (r12):
+    # hardcoded literals silently desynchronized from the Spark side the
+    # moment anyone edited a list (the BPE_ISH_PATTERN pattern)
+    oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS c_en,
-               len(regexp_extract_all(lower(text), '\b(le|la|de|et)\b')) AS c_fr,
-               len(regexp_extract_all(lower(text), '\b(el|la|de|y)\b')) AS c_es,
-               len(regexp_extract_all(lower(text), '\b(der|die|das|und)\b')) AS c_de
+               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("en")}')) AS c_en,
+               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("fr")}')) AS c_fr,
+               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("es")}')) AS c_es,
+               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("de")}')) AS c_de
         FROM documents
     )
     SELECT doc_id, lang AS labeled_lang,
@@ -387,13 +392,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_quality_score",
-    oracle=r"""
+    # punct class + stopword regex INTERPOLATED from operators/text (r12)
+    oracle=f"""
     WITH feats AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_toks,
-               len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE
+               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE
                    / greatest(length(text), 1) AS punct_ratio,
-               len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
+               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("en")}')) AS n_stop
         FROM documents
     )
     SELECT doc_id,

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.sampling import dataset_split, hash_sample, token_chunks
-from ..operators.text import ws_token_count
+from ..operators.text import PUNCT_CLASS, oracle_stopword_regex, ws_token_count
 from ..queries_registry import register
 
 
@@ -238,13 +238,15 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_curation_pipeline",
-    oracle=r"""
+    # punct class + stopword regex INTERPOLATED from operators/text
+    # (r12): hardcoded copies desynchronize silently when a list changes
+    oracle=rf"""
     WITH feats AS (
         SELECT doc_id, lang, source, text,
                len(string_split(text, ' ')) AS n_toks,
-               len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE
+               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE
                    / greatest(length(text), 1) AS punct_ratio,
-               len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b')) AS n_stop
+               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("en")}')) AS n_stop
         FROM documents
         -- mirror of quality_score's NULL-text guard: without it DuckDB's
         -- least()/greatest() skip the NULL features, score NULL text 0.7,

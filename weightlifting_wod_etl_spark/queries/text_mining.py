@@ -119,27 +119,14 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing global is ever sorted. The token array is let-bound —
     CollapseProject would otherwise re-run the full split per lambda
     reference, twice per bigram (O(tokens²) per document)."""
+    from ..operators.text import bigram_structs
+
     docs = load_table(spark, sf_dir, "documents")
+    # shared minting (operators/text.bigram_structs, r12) — only the bg
+    # field is consumed here; Catalyst's nested-schema pruning drops w1
     bigrams = docs.select(
-        F.explode(
-            let(
-                F.split("text", " "),
-                # when-without-otherwise guard: sequence(1, 0) would be
-                # DESCENDING in Spark ([1, 0]) and mint two bogus bigrams
-                # for single-token docs; NULL explodes to no rows, which
-                # also matches the oracle on NULL text
-                lambda w: F.when(
-                    F.size(w) > 1,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - 1),
-                        lambda i: F.concat(
-                            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
-                        ),
-                    ),
-                ),
-            )
-        ).alias("bigram")
-    )
+        F.explode(bigram_structs(F.col("text"))).alias("t")
+    ).select(F.col("t.bg").alias("bigram"))
     return (
         bigrams.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -152,9 +139,12 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_trigram_entropy",
     oracle="""
     WITH g AS (
+        -- doc_id IS NOT NULL (r12): the final GROUP BY doc_id merges all
+        -- NULL-PK rows into ONE oracle row while the per-row Spark side
+        -- emits one row each — same guard q_tfidf_topk carries
         SELECT doc_id, text,
                unnest(range(1, greatest(length(text) - 1, 1))) AS i
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ), cnt AS (
         SELECT doc_id, substr(text, i, 3) AS gram, count(*)::BIGINT AS c
         FROM g GROUP BY 1, 2
@@ -186,8 +176,15 @@ def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1 ulp before the shared round(…, 6). Same accepted-drift class as
     corr/stddev (hash-green at sf0.01); if a future corpus lands a
     knife-edge value, widen the rounding margin rather than reordering
-    the fold."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    the fold.
+
+    ``doc_id IS NOT NULL`` on both sides (r12): the oracle's GROUP BY
+    doc_id merges all NULL-PK rows into one while this per-row plan
+    emits one row each — per-document entropy is undefined for an
+    unidentifiable document anyway (the q_tfidf_topk precedent)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 3) & F.col("doc_id").isNotNull()
+    )
     grams = F.expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
     )
@@ -385,34 +382,22 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ n(w1·) over the bigram-count AGGREGATE (split_part recovers the
     history from the bigram key — tokens are space-split so the bigram
     contains exactly one space), a vocab²-sized input. Only the bigram
-    count and the final per-doc mean touch corpus-sized data; both
-    count frames broadcast back onto the probe. Cross-engine drift: the
-    per-doc mean sums IEEE doubles in engine order — ~1 ulp, absorbed
-    by round(…, 6) (the corr/stddev accepted class)."""
+    count and the final per-doc mean touch corpus-sized data; the count
+    frames carry NO broadcast hint — they are vocabulary-sized
+    (sub-linear but unbounded), so AQE broadcasts them at bench SF and
+    falls back to shuffled joins at extreme vocabularies instead of
+    OOMing (the q_tpch_q3 rule; review r12 — the old text here claimed
+    an unconditional broadcast the plan never had). Cross-engine drift:
+    the per-doc mean sums IEEE doubles in engine order — ~1 ulp,
+    absorbed by round(…, 6) (the corr/stddev accepted class)."""
+    from ..operators.text import bigram_structs
+
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # shared minting (operators/text.bigram_structs, r12) — the old
+    # inline copy also carried a dead `.otherwise(empty array)` branch:
+    # when-without-otherwise yields NULL, which explode drops identically
     b = docs.select(
-        "doc_id",
-        F.explode(
-            let(
-                w,
-                # single-token guard (same hazard q_bigram_topk documents):
-                # sequence(1, 0) counts DOWN and element_at(arr, 0) aborts
-                # the job — a 1-token doc must yield zero bigrams instead
-                lambda arr: F.when(
-                    F.size(arr) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(arr) - 1),
-                        lambda i: F.struct(
-                            F.element_at(arr, i).alias("w1"),
-                            F.concat_ws(
-                                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                            ).alias("bg"),
-                        ),
-                    ),
-                ).otherwise(F.expr("array()").cast("array<struct<w1:string,bg:string>>")),
-            )
-        ).alias("t"),
+        "doc_id", F.explode(bigram_structs(F.col("text"))).alias("t")
     ).select("doc_id", "t.w1", "t.bg")
     c2 = b.groupBy("bg").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy(
