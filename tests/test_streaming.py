@@ -409,6 +409,11 @@ def test_tws_processor_logic_with_fake_state():
         def registerTimer(self, ts_ms):
             self.timers.append(ts_ms)
 
+        def deleteTimer(self, ts_ms):
+            # mirror the real handle: deleting an unknown timer is a no-op
+            if ts_ms in self.timers:
+                self.timers.remove(ts_ms)
+
     class FakeExpiredTimer:
         def __init__(self, ms):
             self._ms = ms
@@ -438,7 +443,7 @@ def test_tws_processor_logic_with_fake_state():
     out2 = list(proc.handleInputRows((7,), iter([b2]), None))
     assert not out2  # nothing closed
     start_us, last_us, n, total = handle.state.get()
-    assert n == 2 and total == 12.0
+    assert n == 2 and total == 1200  # state holds integer CENTS (r12)
 
     # a STALE timer (armed before the extension) must not close the session
     stale = FakeExpiredTimer(handle.timers[0] - 1)
@@ -749,6 +754,11 @@ def test_tws_processor_late_event_never_regresses_open_session():
         def registerTimer(self, ts_ms):
             self.timers.append(ts_ms)
 
+        def deleteTimer(self, ts_ms):
+            # mirror the real handle: deleting an unknown timer is a no-op
+            if ts_ms in self.timers:
+                self.timers.remove(ts_ms)
+
     proc = make_gap_session_processor(gap_seconds=1800)
     handle = FakeHandle()
     proc.init(handle)
@@ -772,7 +782,7 @@ def test_tws_processor_late_event_never_regresses_open_session():
     start_us, last_us, n, total = handle.state.get()
     assert last_us // 1_000_000 == int(hours(10).timestamp())  # NOT regressed
     assert start_us // 1_000_000 == int(hours(9.7).timestamp())  # extended back
-    assert n == 2 and total == 5.0
+    assert n == 2 and total == 500  # integer cents in state (r12)
     # the re-armed timer must not be EARLIER than the original horizon
     assert handle.timers[-1] >= t_open
 
@@ -816,6 +826,11 @@ def test_tws_processor_merges_consecutive_late_events():
         def registerTimer(self, ts_ms):
             self.timers.append(ts_ms)
 
+        def deleteTimer(self, ts_ms):
+            # mirror the real handle: deleting an unknown timer is a no-op
+            if ts_ms in self.timers:
+                self.timers.remove(ts_ms)
+
     proc = make_gap_session_processor(gap_seconds=1800)
     handle = FakeHandle()
     proc.init(handle)
@@ -844,7 +859,7 @@ def test_tws_processor_merges_consecutive_late_events():
     # open session untouched
     start_us, last_us, n, total = handle.state.get()
     assert start_us // 1_000_000 == int(hours(10).timestamp())
-    assert n == 1 and total == 1.0
+    assert n == 1 and total == 100  # integer cents in state (r12)
 
     # batch 3: a late CHAIN h=9.0 → h=9.4 → h=9.8 that connects through
     # to the open session at h=10 — everything merges, nothing emits
@@ -855,7 +870,7 @@ def test_tws_processor_merges_consecutive_late_events():
     start_us, last_us, n, total = handle.state.get()
     assert start_us // 1_000_000 == int(hours(9.0).timestamp())
     assert last_us // 1_000_000 == int(hours(10).timestamp())
-    assert n == 4 and total == 4.0
+    assert n == 4 and total == 400  # integer cents in state (r12)
 
 
 def test_stateful_sessionize_out_of_order_microbatch_no_inverted_sessions(
@@ -1065,3 +1080,56 @@ def test_twin_sink_jsonl_keeps_explicit_nulls(spark, tmp_path):
             lines += [_json.loads(ln) for ln in f if ln.strip()]
     by_k = {d["k"]: d for d in lines}
     assert "value" in by_k[1] and by_k[1]["value"] is None  # null kept
+
+
+def test_cdc_apply_null_key_changes_are_replay_idempotent(spark, tmp_path):
+    """Review r12 (reproduced): a NULL-key change row matched nothing in
+    merge_into's null-unsafe key joins, always landed in the insert
+    branch, and was RE-INSERTED on every at-least-once replay — and once
+    present could never be updated or deleted. NULL-key changes (a
+    malformed feed) are dropped before merging."""
+    import os
+
+    from weightlifting_wod_etl_spark.io import read_table
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    target = os.path.join(str(tmp_path), "cdc_nullkey")
+    spark.createDataFrame([(1, "base")], "k long, v string").write.parquet(target)
+    batch = spark.createDataFrame(
+        [(None, "U", 1, "nullkey"), (2, "U", 1, "ins")],
+        "k long, op string, seq long, v string",
+    )
+    apply_batch = make_cdc_apply(target, on=["k"], seq_col="seq", op_col="op")
+    apply_batch(batch, 0)
+    apply_batch(batch, 1)  # at-least-once replay
+    rows = sorted(
+        ((r.k, r.v) for r in read_table(spark, target).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert rows == [(1, "base"), (2, "ins")]  # no NULL-key duplicates ever
+
+
+def test_dedup_stream_batch_fallback_tolerates_map_column(spark):
+    """Review r12 (reproduced): the batch fallback ordered by every
+    non-key column bare — a MapType column made the window ORDER BY
+    unresolvable (INVALID_ORDERING_TYPE) and the whole backfill plan was
+    rejected, breaking the 'same pipeline backfills and streams'
+    promise. Map columns now order via their JSON text (the cdc_apply
+    r11 fix, shared since r12)."""
+    import datetime
+
+    from weightlifting_wod_etl_spark.streaming.dedup import dedup_stream
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, {"a": "x"}),
+            (1, t0, {"a": "y"}),
+            (2, t0, None),
+        ],
+        "event_id long, ts timestamp, image map<string,string>",
+    )
+    out = dedup_stream(df, keys=("event_id",))
+    rows = {r.event_id: r.image for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == {"a": "x"}  # deterministic: JSON-text order, not arrival

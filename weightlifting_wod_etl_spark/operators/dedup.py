@@ -55,3 +55,38 @@ def exact_dedup(
     while rn in df.columns:
         rn += "_"
     return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
+
+
+def orderable_order_cols(
+    df: DataFrame, exclude: set[str], ascending: bool = True
+) -> list[Column]:
+    """Every column of ``df`` outside ``exclude`` as a TOTAL-order sort
+    key, with unorderable columns routed through their JSON text.
+
+    MapType (and anything containing one) is not orderable in Spark — a
+    Debezium-style map payload column in an ORDER BY rejects the whole
+    plan. ``to_json`` is deterministic for the same physical map data, so
+    the order stays total; logically-equal maps serialized with different
+    key order remain the producer's cross-batch-contract problem, the
+    same as any same-rank tie. ONE shared definition (review r12:
+    cdc_apply fixed this inline in r11 and streaming/dedup's batch
+    fallback — plus the JSONL sink's in-batch collapse — still carried
+    the bare-column version that crashes on a map column)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    cols = []
+    for c, f in zip(df.columns, df.schema.fields):
+        if c in exclude:
+            continue
+        base = F.col(c) if orderable(f.dataType) else F.to_json(F.col(c))
+        cols.append(base.asc_nulls_last() if ascending else base.desc())
+    return cols

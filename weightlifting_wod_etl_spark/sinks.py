@@ -80,7 +80,12 @@ def write_jsonl_idempotent(
         df = df.withColumn(
             key_col, F.coalesce(F.col(key_col).cast("string"), content_key)
         )
-    others = [F.col(c).asc_nulls_last() for c in payload]
+    # shared orderable tiebreaks (r12): a MapType payload column in the
+    # bare per-column ORDER BY rejected the whole plan (the cdc_apply /
+    # dedup_stream defect class — one definition in operators/dedup.py)
+    from .operators.dedup import orderable_order_cols
+
+    others = orderable_order_cols(df, {key_col})
     df = exact_dedup(df, key_cols=[key_col], order_cols=others or [F.lit(1)])
     ledger = _ledger_keys(spark, ledger_path, fail_open)
     fresh = df if ledger is None else df.join(

@@ -45,36 +45,28 @@ def make_cdc_apply(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # NULL-key changes are UNADDRESSABLE and break replay idempotence
+        # (review r12, reproduced): merge_into's key joins are
+        # null-unsafe, so a NULL-key upsert matches nothing, always lands
+        # in the insert branch, and is re-inserted as a fresh duplicate
+        # on every at-least-once replay — and once present can never be
+        # updated or deleted. A Debezium row with a NULL PK is a
+        # malformed feed; drop it before merging.
+        for k in on:
+            batch_df = batch_df.filter(F.col(k).isNotNull())
         # TOTAL order for the in-batch collapse: seq first, then every
-        # remaining column as tie-breakers. Ordering by seq alone would
-        # pick a partition-order-dependent winner when a producer emits
-        # two changes at the same sequence value — the first application
-        # and an at-least-once replay could then disagree, breaking the
+        # remaining column as tie-breakers (unorderable map-bearing
+        # columns via their JSON text — operators/dedup.py holds the one
+        # shared definition since r12). Ordering by seq alone would pick
+        # a partition-order-dependent winner when a producer emits two
+        # changes at the same sequence value — the first application and
+        # an at-least-once replay could then disagree, breaking the
         # replay-idempotence contract above.
-        def orderable(dt) -> bool:
-            # MapType (and anything containing one) is not orderable in
-            # Spark — a Debezium-style map payload column in the ORDER BY
-            # would reject the whole plan on the first micro-batch
-            from pyspark.sql.types import ArrayType, MapType, StructType
+        from ..operators.dedup import orderable_order_cols
 
-            if isinstance(dt, MapType):
-                return False
-            if isinstance(dt, ArrayType):
-                return orderable(dt.elementType)
-            if isinstance(dt, StructType):
-                return all(orderable(f.dataType) for f in dt.fields)
-            return True
-
-        tiebreak = [
-            # unorderable columns still participate via their JSON text so
-            # the order stays TOTAL (to_json is deterministic for the same
-            # physical map data; a same-seq producer emitting logically
-            # equal maps with different key order remains the caller's
-            # cross-batch-contract problem, same as any same-seq tie)
-            (F.col(c) if orderable(f.dataType) else F.to_json(F.col(c))).desc()
-            for c, f in zip(batch_df.columns, batch_df.schema.fields)
-            if c not in set(on) | {seq_col}
-        ]
+        tiebreak = orderable_order_cols(
+            batch_df, set(on) | {seq_col}, ascending=False
+        )
         latest = exact_dedup(
             batch_df, key_cols=list(on),
             order_cols=[F.col(seq_col).desc(), *tiebreak],

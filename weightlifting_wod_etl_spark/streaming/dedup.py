@@ -40,13 +40,13 @@ def dedup_stream(
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
-        from ..operators.dedup import exact_dedup
+        from ..operators.dedup import exact_dedup, orderable_order_cols
 
-        tiebreak = [
-            F.col(c).asc_nulls_last()
-            for c in events.columns
-            if c not in set(keys) | {ts_col}
-        ]
+        # shared orderable tiebreaks (r12): the bare per-column version
+        # crashed the whole backfill plan on any MapType-bearing column
+        # (INVALID_ORDERING_TYPE) — the exact defect cdc_apply fixed r11,
+        # now one definition in operators/dedup.py
+        tiebreak = orderable_order_cols(events, set(keys) | {ts_col})
         return exact_dedup(
             events,
             key_cols=list(keys),

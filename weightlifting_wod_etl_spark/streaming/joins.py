@@ -42,9 +42,16 @@ def interval_join(
     be disjoint between the two sides; the right key column is dropped
     from the output (coalesced into ``key`` first, so right/full outer
     rows keep their key instead of emitting NULL with the value dropped)."""
+    from ..operators.util import require_free_columns
+
+    rkey = f"__r_{key}"
+    # loud clash guard (review r12, the repo's dunder-column rule): a
+    # side already carrying __r_<key> would make the rename mint a
+    # DUPLICATE column name — the join condition and the final
+    # coalesce/drop then become ambiguous or silently drop both
+    require_free_columns("interval_join", {rkey}, left, right)
     l_ = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r_ = right.withWatermark(right_ts, watermark) if right.isStreaming else right
-    rkey = f"__r_{key}"
     r_ = r_.withColumnRenamed(key, rkey)
     cond = (
         (F.col(key) == F.col(rkey))

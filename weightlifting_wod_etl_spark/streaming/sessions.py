@@ -58,7 +58,13 @@ def session_window_agg(
     )
 
 
-STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+# total_cents, not a double total (review r12): state accumulates across
+# micro-batches, and raw double addition is order-dependent — the same
+# data under a different maxFilesPerTrigger split summed in a different
+# order and could flip round(total, 2) one cent off the batch truth
+# (session_window_agg was converted to sum_fixed for exactly this).
+# Integer cents make the streamed sum order-free and bit-comparable.
+STATE_SCHEMA = "start_us long, last_us long, n long, total_cents long"
 OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
@@ -79,6 +85,8 @@ def stateful_gap_sessionize(
     gap_us = gap_seconds * 1_000_000
 
     def fn(key, pdf_iter, state):
+        import math
+
         import pandas as pd
 
         (user_id,) = key
@@ -92,9 +100,17 @@ def stateful_gap_sessionize(
                 if pd.isna(t):
                     continue
                 ts_list.append(int(t.value) // 1000)
-                # NULL value: NaN poisons the session's float sum; batch
-                # F.sum skips NULLs — contribute 0 (count still ticks)
-                val_list.append(0.0 if pd.isna(v) else float(v))
+                # NULL value: NaN poisons the session's sum; batch F.sum
+                # skips NULLs — contribute 0 (count still ticks). Values
+                # are INTEGER CENTS (HALF_UP like to_fixed) so the
+                # cross-batch accumulation is order-free (review r12).
+                val_list.append(
+                    0
+                    if pd.isna(v)
+                    else int(math.copysign(
+                        math.floor(abs(float(v)) * 100 + 0.5), float(v)
+                    ))
+                )
         # One unit interval per event plus the open-session interval from
         # state, then a single gap-merge sweep over start-sorted intervals
         # — which IS batch gap-sessionize semantics over (state ∪ batch).
@@ -123,11 +139,15 @@ def stateful_gap_sessionize(
         out = [(user_id, s, e, cnt, tot) for s, e, cnt, tot in merged[:-1]]
         if merged:
             state.update(tuple(merged[-1]))
-        else:
-            state.update((None, None, 0, 0.0))
+        elif state.exists:
+            # clear a legacy sentinel; NEVER mint state for a key that
+            # produced nothing — with NoTimeout, state is immortal, so
+            # the old (None, None, 0, 0.0) write leaked one permanent
+            # state row per all-NULL-ts key (review r12)
+            state.remove()
         if out:
             df = pd.DataFrame(
-                out, columns=["user_id", "s", "e", "n_events", "sum_value"]
+                out, columns=["user_id", "s", "e", "n_events", "cents"]
             )
             yield pd.DataFrame(
                 {
@@ -135,7 +155,9 @@ def stateful_gap_sessionize(
                     "session_start": pd.to_datetime(df.s, unit="us"),
                     "session_end": pd.to_datetime(df.e, unit="us"),
                     "n_events": df.n_events,
-                    "sum_value": df.sum_value.round(2),
+                    # one exact division per emitted session — the only
+                    # float op in the whole sum path
+                    "sum_value": df.cents / 100.0,
                 }
             )
 
@@ -169,8 +191,10 @@ def make_gap_session_processor(gap_seconds: int = 1800):
     class GapSessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
+            # total_cents long, same order-free convention as STATE_SCHEMA
             self._state = handle.getValueState(
-                "open_session", "start_us long, last_us long, n long, total double"
+                "open_session",
+                "start_us long, last_us long, n long, total_cents long",
             )
 
         def _emit(self, user_id, s):
@@ -182,11 +206,13 @@ def make_gap_session_processor(gap_seconds: int = 1800):
                     "session_start": [pd.to_datetime(s[0], unit="us")],
                     "session_end": [pd.to_datetime(s[1], unit="us")],
                     "n_events": [s[2]],
-                    "sum_value": [round(s[3], 2)],
+                    "sum_value": [s[3] / 100.0],
                 }
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import math
+
             import pandas as pd
 
             (user_id,) = key
@@ -194,11 +220,18 @@ def make_gap_session_processor(gap_seconds: int = 1800):
             for pdf in rows:
                 for t, v in zip(pd.to_datetime(pdf["ts"]), pdf["value"]):
                     # same NULL guards as stateful_gap_sessionize above:
-                    # NaT would overflow on emit, NaN poisons the sum
+                    # NaT would overflow on emit, NaN poisons the sum;
+                    # values accumulate as integer cents (order-free)
                     if pd.isna(t):
                         continue
                     ts.append(int(t.value) // 1000)
-                    vals.append(0.0 if pd.isna(v) else float(v))
+                    vals.append(
+                        0
+                        if pd.isna(v)
+                        else int(math.copysign(
+                            math.floor(abs(float(v)) * 100 + 0.5), float(v)
+                        ))
+                    )
             # Same interval gap-merge sweep as stateful_gap_sessionize:
             # batch gap-sessionize semantics over (state ∪ batch), so
             # consecutive very-late events merge with each other and with
@@ -225,6 +258,17 @@ def make_gap_session_processor(gap_seconds: int = 1800):
             if not merged:
                 return
             start_us, last_us, n, total = merged[-1]
+            # delete the previously armed timer BEFORE re-arming (review
+            # r12): registerTimer adds, never replaces, so a session
+            # extended across N batches accumulated N timers — O(batches)
+            # timer-state rows per active key, each firing a no-op'd
+            # stale callback. The old horizon is derivable from the prior
+            # state; deleting a never-registered timer is a no-op.
+            if cur is not None and cur[1] is not None:
+                old_horizon = cur[1] // 1000 + gap_seconds * 1000
+                new_horizon = last_us // 1000 + gap_seconds * 1000
+                if old_horizon != new_horizon:
+                    self._handle.deleteTimer(old_horizon)
             self._state.update((start_us, last_us, n, total))
             # (re-)arm the close timer: fires once the watermark passes the
             # open session's gap horizon
