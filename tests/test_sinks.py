@@ -298,3 +298,33 @@ def test_weekly_rollup_path_empty_batch_raises(spark, tmp):
     empty = spark.createDataFrame([], "date string, x long")
     with pytest.raises(ValueError, match="no non-NULL"):
         weekly_rollup_path(empty, tmp)
+
+
+def test_jsonl_idempotent_preserves_existing_ledger_key_type(spark, tmp):
+    """Review r12 (reproduced): the NULL-key content fallback cast every
+    key to string, so one run against a pre-existing LONG-typed ledger
+    appended string parquet files into the long dir — a mixed-schema
+    ledger that crashed every later run outside fail_open's guard. The
+    fallback's type now follows the ledger's stored type."""
+    import os
+
+    from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
+
+    path = os.path.join(tmp, "ltype_out")
+    ledger = os.path.join(tmp, "ltype_ledger")
+    # seed a pre-r12-style LONG-typed ledger
+    spark.createDataFrame([(12345,)], "idem_key long").write.parquet(ledger)
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (None, "n1"), (None, "n2")],
+        "idem_key long, payload string",
+    )
+    n1 = write_jsonl_idempotent(batch, path, ledger)
+    assert n1 == 3  # key 1 + two distinct NULL-key payloads
+    # replay must be suppressible — i.e. the ledger is still READABLE
+    # as one schema and the content keys match deterministically
+    n2 = write_jsonl_idempotent(batch, path, ledger)
+    assert n2 == 0
+    lt = spark.read.parquet(ledger)
+    assert dict(lt.dtypes)["idem_key"] == "bigint"  # type never corrupted
+    assert lt.count() == 4  # seed + 3 new keys

@@ -306,9 +306,15 @@ def test_clustered_scratch_copy_builds_once_and_gcs_stale_generations(
         assert clustered_scratch_copy(spark, sf, "orders", **kw) == d1
         assert os.path.getmtime(os.path.join(d1, "_BUILT")) == mtime1
 
-        # orphaned staging dir from a "crashed" builder of generation 1
+        # orphaned staging dir from a "crashed" builder of generation 1 —
+        # backdated past the liveness window (a FRESH .tmp dir is spared:
+        # it may belong to a live concurrent builder, review r12)
         orphan = d1 + ".tmp.99999"
         os.makedirs(orphan)
+        old = time.time() - 7200
+        os.utime(orphan, (old, old))
+        fresh_live = d1 + ".tmp.88888"
+        os.makedirs(fresh_live)
 
         # regenerate the source -> new fingerprint
         time.sleep(0.05)
@@ -320,8 +326,10 @@ def test_clustered_scratch_copy_builds_once_and_gcs_stale_generations(
         d2 = clustered_scratch_copy(spark, sf, "orders", **kw)
         assert d2 != d1
         assert os.path.exists(os.path.join(d2, "_BUILT"))
-        # stale generation AND its orphan staging are gone
+        # stale generation AND its aged orphan staging are gone; the
+        # fresh (possibly-live) staging survives
         assert not os.path.exists(d1)
         assert not os.path.exists(orphan)
+        assert os.path.exists(fresh_live)
     finally:
         tempfile.tempdir = None

@@ -78,19 +78,19 @@ def asof_join(
         # (embedded backticks escape by doubling, Spark's own rule)
         return F.col("`" + name.replace("`", "``") + "`")
 
-    tie = F.col(tiebreak) if tiebreak is not None else F.lit(0)
-    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+    tie = _c(tiebreak) if tiebreak is not None else F.lit(0)
+    right = right.filter(_c(key).isNotNull() & _c(right_ts).isNotNull())
     payload = F.struct(*[_c(c) for c in right_payload])
     r_side = right.select(
-        F.col(key).alias("__key"),
-        F.col(right_ts).alias("__ts"),
+        _c(key).alias("__key"),
+        _c(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         tie.alias("__tie"),
         payload.alias("__payload"),
     )
     l_side = left.select(
-        F.col(key).alias("__key"),
-        F.col(left_ts).alias("__ts"),
+        _c(key).alias("__key"),
+        _c(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         # left rows never affect the carry; any value of the right type works
         F.lit(None).cast(r_side.schema["__tie"].dataType).alias("__tie"),

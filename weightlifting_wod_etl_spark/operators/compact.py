@@ -103,15 +103,19 @@ def compact_parquet(
     #  * the bound is two-sided: before >> want is small-file debt, but
     #    before < want means files far OVER target that should split for
     #    scan parallelism (2 one-GB files vs want=16 used to no-op);
-    #  * for a Hive layout the achievable floor is one file per live
-    #    partition dir, so "ideal" is max(want, n_partition_dirs) —
-    #    against plain `want`, a 100-partition table could never satisfy
-    #    the guard and paid a full rewrite on every maintenance run.
+    #  * for a Hive layout WITHOUT sort_by, the rewrite hashes on the
+    #    partition keys alone, so what it can actually ACHIEVE is one
+    #    file per live partition dir — "ideal" must be exactly that
+    #    (review r12, reproduced: max(want, n_parts) was unreachable
+    #    whenever want > n_parts, so every maintenance run re-committed
+    #    a full rewrite forever while file counts never changed; big
+    #    partitions that need intra-partition splitting are the sort_by
+    #    path's job, whose requests always rewrite anyway).
     if pkeys:
         from .skipping import list_data_files
 
         n_part_dirs = len({os.path.dirname(f) for f in list_data_files(data_dir)})
-        ideal = max(want, n_part_dirs)
+        ideal = n_part_dirs
     else:
         ideal = want
     if ideal <= before <= ideal + 1 and not sort_by and not stats_cols:

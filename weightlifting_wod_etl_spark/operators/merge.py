@@ -208,8 +208,16 @@ def merge_into(
         ]
         if cluster:
             n_out = max(1, len(list_data_files(data_dir)))
-            out = out.repartitionByRange(n_out, *cluster).sortWithinPartitions(
-                *cluster
+            # PARTITION-MAJOR ranges on a Hive table (review r12,
+            # reproduced): ranging on the index cols alone gives every
+            # task all partition values, so the partitionBy write fans
+            # out to n_out × n_partitions files — 6 → 36 on the repro,
+            # multiplying again each merge. Leading with pkeys keeps each
+            # task's rows inside ~one partition dir (compact's sort_by
+            # rule).
+            cluster_major = [*[k for k in pkeys if k in out.columns], *cluster]
+            out = out.repartitionByRange(n_out, *cluster_major).sortWithinPartitions(
+                *cluster_major
             )
 
     n_inserted = int(row.n_src - n_src_matched) if when_not_matched == "insert" else 0

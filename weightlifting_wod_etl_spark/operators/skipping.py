@@ -244,7 +244,22 @@ def clustered_scratch_copy(
         # that mid-write would corrupt the race the atomic rename wins)
         if entry.startswith(base + fp):
             continue
-        shutil.rmtree(os.path.join(tmp_root, entry), ignore_errors=True)
+        full = os.path.join(tmp_root, entry)
+        if ".tmp." in entry:
+            # an OLD-generation staging dir may still belong to a LIVE
+            # builder that started before the source regenerated (review
+            # r12: GC'ing it mid-write failed that builder's Spark job,
+            # or let its swallowed rename return a nonexistent scratch).
+            # Only reclaim stale ones — a crashed builder's staging goes
+            # quiet; a live write keeps touching the dir.
+            import time
+
+            try:
+                if time.time() - os.path.getmtime(full) < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(full, ignore_errors=True)
     staging = f"{scratch}.tmp.{os.getpid()}"
     from ..io import load_table
 

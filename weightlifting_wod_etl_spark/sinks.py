@@ -54,7 +54,10 @@ def write_jsonl_idempotent(
     one deterministic winner before the ledger check — the reference's
     per-record check-then-write admits a key once per RUN, not once per
     occurrence; (b) a NULL key (unidentifiable content) falls back to a
-    CONTENT-HASH key — sha256 of the row's canonical JSON payload — the
+    CONTENT-HASH key — sha256 (string ledgers) or xxhash64 (integral
+    ledgers; the fallback's type always matches the ledger's stored
+    type, never corrupting a pre-existing ledger's schema) of the row's
+    canonical JSON payload — the
     same never-NULL contract the reference ledger keys on
     (services/idempotency_service.py:42-73). The r11 null-safe-join
     treatment made all NULL-key rows behave as ONE key, which silently
@@ -73,13 +76,54 @@ def write_jsonl_idempotent(
     payload = [c for c in df.columns if c != key_col]
     if payload:
         # canonical payload JSON: struct field order is the fixed column
-        # order, so the hash is deterministic per content. A non-string
-        # key column is cast to string by the coalesce — the ledger only
-        # ever equality-compares keys, never interprets them.
-        content_key = F.sha2(F.to_json(F.struct(*payload)), 256)
-        df = df.withColumn(
-            key_col, F.coalesce(F.col(key_col).cast("string"), content_key)
-        )
+        # order, so the hash is deterministic per content. The fallback
+        # key's TYPE must match the ledger's stored type (review r12,
+        # reproduced): the first cut cast every key to string, so one run
+        # against a pre-existing long-typed ledger appended string files
+        # into the long parquet dir and PERMANENTLY wedged the sink
+        # (mixed-schema read crash at the anti-join, outside fail_open's
+        # guard). The ledger's existing type wins; a fresh ledger takes
+        # the key column's own type (string keys stay string).
+        from pyspark.sql.types import IntegerType, LongType, StringType
+
+        ltype = df.schema[key_col].dataType
+        if os.path.exists(ledger_path):
+            try:
+                ltype = spark.read.parquet(ledger_path).schema["idem_key"].dataType
+            except Exception:
+                pass  # unreadable ledger: _ledger_keys applies fail_open below
+        if isinstance(ltype, StringType):
+            content_key = F.sha2(F.to_json(F.struct(*payload)), 256)
+            df = df.withColumn(
+                key_col,
+                F.coalesce(F.col(key_col).cast("string"), content_key),
+            )
+        elif isinstance(ltype, (LongType, IntegerType)):
+            # integral ledger: xxhash64 of the same canonical JSON — a
+            # 64-bit content key that appends type-compatibly (the
+            # ANSI-off int cast wraps deterministically)
+            content_key = F.xxhash64(F.to_json(F.struct(*payload)))
+            df = df.withColumn(
+                key_col,
+                F.coalesce(F.col(key_col), content_key.cast(ltype)),
+            )
+        else:
+            # no content-hash fallback can be expressed in this key type;
+            # fail LOUDLY only if a NULL key actually arrives (raise
+            # inside the coalesce) rather than silently dropping payloads
+            df = df.withColumn(
+                key_col,
+                F.coalesce(
+                    F.col(key_col),
+                    F.raise_error(
+                        F.lit(
+                            "write_jsonl_idempotent: NULL idempotency key "
+                            f"but key type {ltype.simpleString()} supports "
+                            "no content-hash fallback — use a string key"
+                        )
+                    ).cast(ltype),
+                ),
+            )
     # shared orderable tiebreaks (r12): a MapType payload column in the
     # bare per-column ORDER BY rejected the whole plan (the cdc_apply /
     # dedup_stream defect class — one definition in operators/dedup.py)

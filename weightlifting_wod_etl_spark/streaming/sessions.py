@@ -64,6 +64,13 @@ def session_window_agg(
 # order and could flip round(total, 2) one cent off the batch truth
 # (session_window_agg was converted to sum_fixed for exactly this).
 # Integer cents make the streamed sum order-free and bit-comparable.
+# STATE-SCHEMA v2 — checkpoint compatibility: restarting a query from a
+# pre-r12 checkpoint is an INCOMPATIBLE-schema start (double → long);
+# Spark's state-store schema check rejects it at startup, which is the
+# safe outcome — drain the old query (process no new data, let timers
+# close sessions) or start a fresh checkpoint. Never map the old
+# positional value through: a stored 12.0 (dollars) would silently
+# reread as 12 cents.
 STATE_SCHEMA = "start_us long, last_us long, n long, total_cents long"
 OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
