@@ -98,79 +98,82 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-12 window (tools/rotate_window.py): the 2 over-capacity r8
-# stragglers (q_variant_json / q_weighted_median, last green r08 — the
-# documented r12 heads) front the window, followed by 48 of the
-# 50-query r9 tranche. Over-capacity note: 52 candidates for 50 slots,
-# so q_window_frames + q_window_rank (the 2 r9 queries that sort last
-# alphabetically) spill one round past the N-2 cutoff and MUST head the
-# r13 window — tools/rotate_window.py ranks them first automatically
-# once CORRECTNESS_r12 lands. CADENCE RULE (r10 verdict #2): 153
-# registered / 50-slot window = a 3-round revisit cycle against a
-# 2-round staleness bound, so under over-capacity the invariant is
-# "stalest-first": the window always fronts never-checked then
-# least-recently-green queries, and the staleness test's over-capacity
-# branch (test_driver_contract_process.py) accepts the bounded overflow
-# as long as the overflow queries are exactly the ones the next rotation
-# fronts. Net-new registrations stay ~0 from r12 on (r12 added none)
-# unless a slot genuinely frees up; if a new operator needs driver
-# evidence, retire or merge an existing query in the same commit.
+# Round-13 window (tools/rotate_window.py): the 2 over-capacity r9
+# stragglers (q_window_frames / q_window_rank, last green r09 — the
+# documented r13 heads) front the window, followed by 48 of the
+# 50-query r10 tranche. Over-capacity note: 52 candidates for 50 slots,
+# so q_wod_pipeline + q_zscore_normalize (the 2 r10 queries that sort
+# last alphabetically) spill one round past the N-2 cutoff and MUST head
+# the r14 window — tools/rotate_window.py ranks them first automatically
+# once CORRECTNESS_r13 lands. CADENCE RULE (r10 verdict #2): under
+# over-capacity the invariant is "stalest-first": the window always
+# fronts never-checked then least-recently-green queries, and the
+# staleness test's over-capacity branch
+# (test_driver_contract_process.py) accepts the bounded overflow as long
+# as the overflow queries are exactly the ones the next rotation fronts.
+# r13 trims the registry to 150 (r12 verdict #5) — at 150 registered /
+# 50-slot window the revisit cycle is exactly 3 rounds, which fits the
+# 2-round staleness bound at steady state (everything OUTSIDE the window
+# is at most 2 rounds old), so the over-capacity spill ends after the
+# r14 rotation drains the two r10 stragglers. Net-new registrations stay
+# ~0; if a new operator needs driver evidence, retire or merge an
+# existing query in the same commit.
 # the external driver verifies only the FIRST this-many registered
 # queries each round; the rotation tooling and the window-invariant
 # tests all share this single constant
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_variant_json",  # last green r08
-    "q_weighted_median",  # last green r08
-    "q_argmax_events",  # last green r09
-    "q_array_fns",  # last green r09
-    "q_bigram_topk",  # last green r09
-    "q_canonical_rep",  # last green r09
-    "q_clean_normalize",  # last green r09
-    "q_corr_stats",  # last green r09
-    "q_cube",  # last green r09
-    "q_dedup_antijoin",  # last green r09
-    "q_dedup_exact",  # last green r09
-    "q_event_gap_stats",  # last green r09
-    "q_funnel_conversion",  # last green r09
-    "q_grouping_sets",  # last green r09
-    "q_histogram",  # last green r09
-    "q_kv_upsert_dedup",  # last green r09
-    "q_lang_id",  # last green r09
-    "q_limit_offset",  # last green r09
-    "q_min_cost_supplier",  # last green r09
-    "q_multimodal_features",  # last green r09
-    "q_ntile_bucket",  # last green r09
-    "q_passage_dedup",  # last green r09
-    "q_percentile",  # last green r09
-    "q_pivot_wide",  # last green r09
-    "q_quality_score",  # last green r09
-    "q_rank_fns",  # last green r09
-    "q_regex_filter",  # last green r09
-    "q_retention_cohort",  # last green r09
-    "q_rollup",  # last green r09
-    "q_scalar_subquery",  # last green r09
-    "q_scan_project",  # last green r09
-    "q_scd2_snapshot",  # last green r09
-    "q_skew_agg",  # last green r09
-    "q_skew_join",  # last green r09
-    "q_text_stats",  # last green r09
-    "q_tfidf_topk",  # last green r09
-    "q_token_count",  # last green r09
-    "q_tpch_q1",  # last green r09
-    "q_tpch_q10",  # last green r09
-    "q_tpch_q14",  # last green r09
-    "q_tpch_q18",  # last green r09
-    "q_tpch_q19",  # last green r09
-    "q_tpch_q3",  # last green r09
-    "q_tpch_q4",  # last green r09
-    "q_tpch_q5",  # last green r09
-    "q_tpch_q6",  # last green r09
-    "q_tpch_q7",  # last green r09
-    "q_tpch_q9",  # last green r09
-    "q_trigram_entropy",  # last green r09
-    "q_unpivot",  # last green r09
+    "q_window_frames",  # last green r09
+    "q_window_rank",  # last green r09
+    "q_bigram_lm_score",  # last green r10
+    "q_cms_estimate",  # last green r10
+    "q_cosine_topk",  # last green r10
+    "q_cumulative_distinct",  # last green r10
+    "q_data_quality",  # last green r10
+    "q_date_extract",  # last green r10
+    "q_date_spine",  # last green r10
+    "q_embed_centroid",  # last green r10
+    "q_event_transitions",  # last green r10
+    "q_ewma",  # last green r10
+    "q_explode_lines",  # last green r10
+    "q_fuzzy_dedup",  # last green r10
+    "q_global_topn",  # last green r10
+    "q_group_concat",  # last green r10
+    "q_hll_bound",  # last green r10
+    "q_hll_union",  # last green r10
+    "q_json_fns",  # last green r10
+    "q_lateral_topk",  # last green r10
+    "q_mad_anomaly",  # last green r10
+    "q_map_fns",  # last green r10
+    "q_minhash_lsh",  # last green r10
+    "q_ngram_jaccard",  # last green r10
+    "q_pagerank",  # last green r10
+    "q_quantile_bound",  # last green r10
+    "q_resample_ffill",  # last green r10
+    "q_rolling_range",  # last green r10
+    "q_session_concurrency",  # last green r10
+    "q_sessionize_events",  # last green r10
+    "q_sessionize_text",  # last green r10
+    "q_set_ops",  # last green r10
+    "q_simhash",  # last green r10
+    "q_sliding_window",  # last green r10
+    "q_snapshot_diff",  # last green r10
+    "q_string_fns",  # last green r10
+    "q_tdigest_quantile",  # last green r10
+    "q_tpch_q11",  # last green r10
+    "q_tpch_q12",  # last green r10
+    "q_tpch_q13",  # last green r10
+    "q_tpch_q15",  # last green r10
+    "q_tpch_q16",  # last green r10
+    "q_tpch_q17",  # last green r10
+    "q_tpch_q20",  # last green r10
+    "q_tpch_q21",  # last green r10
+    "q_tpch_q8",  # last green r10
+    "q_tumbling_window",  # last green r10
+    "q_weekly_rollup",  # last green r10
+    "q_weighted_sample",  # last green r10
+    "q_window_dedup",  # last green r10
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
