@@ -43,7 +43,6 @@ HEADLINE = [
     "q_pivot_wide",
     "q_weekly_rollup",
     "q_dedup_exact",
-    "q_window_rank",
     "q_wod_pipeline",
     "q_date_extract",
     "q_minhash_lsh",

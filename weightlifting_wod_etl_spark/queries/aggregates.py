@@ -850,11 +850,12 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT into a (group, measure) aggregation grid — extends
-    ``q_unpivot``'s global per-metric totals with a retained id column
-    (l_returnflag survives the melt) and mixed aggregate types (count /
-    avg / fixed-point sum) per cell, the generic shape of a per-segment
-    metrics matrix.
+    """UNPIVOT into a (group, measure) aggregation grid — a retained id
+    column (l_returnflag survives the melt) and mixed aggregate types
+    (count / avg / fixed-point sum) per cell, the generic shape of a
+    per-segment metrics matrix. (Absorbed q_unpivot, retired r13: the
+    global per-metric totals variant exercised the identical Expand +
+    4-key exchange with strictly less surface.)
 
     Unpivot is a zero-shuffle Expand (4 output rows per input row emitted
     map-side, like rollup's expansion) feeding a partially-aggregated

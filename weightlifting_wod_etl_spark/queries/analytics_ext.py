@@ -250,37 +250,6 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_unpivot",
-    oracle="""
-    SELECT metric, sum(cents)::BIGINT / 100.0 AS total
-    FROM (
-        SELECT 'l_quantity' AS metric, round(l_quantity * 100)::BIGINT AS cents FROM lineitem
-        UNION ALL
-        SELECT 'l_extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
-        UNION ALL
-        SELECT 'l_discount', round(l_discount * 100)::BIGINT FROM lineitem
-        UNION ALL
-        SELECT 'l_tax', round(l_tax * 100)::BIGINT FROM lineitem
-    )
-    GROUP BY metric
-    """,
-)
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt) — wide metric columns to (metric, value) rows, the
-    inverse of operators/pivot.py. Spark's `unpivot` expands map-side
-    (×4 rows, no shuffle) and the metric agg is one exchange over 4 keys;
-    the UNION ALL oracle shows the semantics Spark's Expand node encodes."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = li.select(
-        *[to_fixed(c).alias(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")]
-    )
-    melted = cents.unpivot([], cents.columns, "metric", "cents")
-    return melted.groupBy("metric").agg(
-        (F.sum("cents") / F.lit(100.0)).alias("total")
-    )
-
-
-@register(
     "q_map_fns",
     oracle="""
     SELECT o_orderkey,

@@ -165,7 +165,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arg-extremum aggregation (max_by / min_by): the event carrying the
     extreme value per type — a pure hash-aggregate, no sort and no window
-    (contrast q_window_rank's row_number top-N).
+    (contrast q_lateral_topk's rank-window top-N).
 
     Ties are broken exactly: the ordering key packs fixed-point cents and
     the unique event_id into one BIGINT ((cents << ~27b) + id), so max_by

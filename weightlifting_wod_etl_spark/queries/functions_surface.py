@@ -229,8 +229,11 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface: dense_rank / percent_rank / cume_dist /
-    nth_value over one shared partitioned sort (complements q_window_rank's
-    row_number and q_ntile_bucket's ntile).
+    nth_value over one shared partitioned sort (complements q_window_dedup's
+    row_number and q_ntile_bucket's ntile; the manual row_number-top-N
+    idiom lives in q_domain_cap and decorrelated q_lateral_topk — its
+    standalone query, q_window_rank, was retired r13 as a duplicate
+    WindowGroupLimit shape).
 
     All four share a single WINDOW clause — one Exchange + one sort serve
     every function. The orderkey tiebreak makes the order total, so the

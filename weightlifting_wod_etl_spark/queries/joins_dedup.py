@@ -92,36 +92,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_window_rank",
-    oracle="""
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn::BIGINT AS rn
-    FROM (
-        SELECT o_custkey, o_orderkey, o_totalprice,
-               row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM orders
-    )
-    WHERE rn <= 3
-    """,
-)
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N per group via row_number over a total order — the ranking
-    flavor of the reference's window pattern (OP7)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("total"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-    )
-
-
-@register(
     "q_set_ops",
     oracle="""
     SELECT c_custkey FROM customer WHERE c_acctbal > 0
@@ -313,7 +283,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window FRAMES (vs q_window_rank's ranking): running cumulative sum,
+    """Window FRAMES (vs q_rank_fns's ranking): running cumulative sum,
     3-row moving sum, lag/lead — all over ONE (custkey, date, key) sort, so
     the plan is a single Exchange + Sort shared by every frame variant.
 

@@ -98,24 +98,26 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-13 window (tools/rotate_window.py): the 2 over-capacity r9
-# stragglers (q_window_frames / q_window_rank, last green r09 — the
-# documented r13 heads) front the window, followed by 48 of the
-# 50-query r10 tranche. Over-capacity note: 52 candidates for 50 slots,
-# so q_wod_pipeline + q_zscore_normalize (the 2 r10 queries that sort
-# last alphabetically) spill one round past the N-2 cutoff and MUST head
-# the r14 window — tools/rotate_window.py ranks them first automatically
-# once CORRECTNESS_r13 lands. CADENCE RULE (r10 verdict #2): under
+# Round-13 window (tools/rotate_window.py): the r9 straggler
+# q_window_frames (the other r9 straggler, q_window_rank, was RETIRED
+# r13 — duplicate WindowGroupLimit shape vs q_domain_cap /
+# q_lateral_topk) fronts the window, followed by 49 of the 50-query r10
+# tranche. Over-capacity note: 51 candidates for 50 slots, so
+# q_zscore_normalize (the r10 query that sorts last alphabetically)
+# spills one round past the N-2 cutoff and MUST head the r14 window —
+# tools/rotate_window.py ranks it first automatically once
+# CORRECTNESS_r13 lands. CADENCE RULE (r10 verdict #2): under
 # over-capacity the invariant is "stalest-first": the window always
 # fronts never-checked then least-recently-green queries, and the
 # staleness test's over-capacity branch
 # (test_driver_contract_process.py) accepts the bounded overflow as long
 # as the overflow queries are exactly the ones the next rotation fronts.
-# r13 trims the registry to 150 (r12 verdict #5) — at 150 registered /
+# r13 trims the registry to 150 (r12 verdict #5: q_unpivot folded into
+# q_unpivot_measures, q_window_rank retired) — at 150 registered /
 # 50-slot window the revisit cycle is exactly 3 rounds, which fits the
 # 2-round staleness bound at steady state (everything OUTSIDE the window
 # is at most 2 rounds old), so the over-capacity spill ends after the
-# r14 rotation drains the two r10 stragglers. Net-new registrations stay
+# r14 rotation drains q_zscore_normalize. Net-new registrations stay
 # ~0; if a new operator needs driver evidence, retire or merge an
 # existing query in the same commit.
 # the external driver verifies only the FIRST this-many registered
@@ -125,7 +127,6 @@ DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
     "q_window_frames",  # last green r09
-    "q_window_rank",  # last green r09
     "q_bigram_lm_score",  # last green r10
     "q_cms_estimate",  # last green r10
     "q_cosine_topk",  # last green r10
@@ -174,6 +175,7 @@ _WINDOW_PRIORITY = [
     "q_weekly_rollup",  # last green r10
     "q_weighted_sample",  # last green r10
     "q_window_dedup",  # last green r10
+    "q_wod_pipeline",  # last green r10 (slot freed by the q_window_rank retirement)
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
