@@ -185,6 +185,23 @@ HEADLINE = [
     "q_interval_join",
 ]
 
+# Box-drift sentinels (VERDICT r12 #2): five stable, plan-untouched-
+# since-r1 queries whose summed wall time acts as a per-run measure of
+# the box itself (JIT state, contention, thermal). Official bench totals
+# drifted 37.2 -> 50.4 s across r11-r12 while same-code spreads spanned
+# +/-30%; dividing each query's seconds by the sentinel sum cancels the
+# uniform component, so `normalized` moves only when a query's cost
+# changes RELATIVE to the box. The adjudication rule (SCALE.md): a
+# regression claim requires the normalized ratio to move, not the raw
+# seconds. Never add a query here whose plan is still evolving.
+SENTINELS = [
+    "q_tpch_q6",
+    "q_tpch_q1",
+    "q_dedup_exact",
+    "q_semi_join",
+    "q_weekly_rollup",
+]
+
 # Queries whose WORK happens eagerly during frame build (table writes /
 # MERGE commits), leaving only a result scan in the returned frame: the
 # build-once/min-of-N loop would time the scan and miss a 10x regression
@@ -279,6 +296,46 @@ def _best_prior_timings(sf_val: float | str) -> dict[str, float]:
         except (OSError, json.JSONDecodeError):
             continue
     return best
+
+
+def _sentinel_normalize(timings: dict[str, float]) -> tuple[float, dict[str, float]]:
+    """(sentinel_sum, per-query seconds / sentinel_sum). The sum uses only
+    sentinels present in `timings`, so a partial artifact (errors, older
+    rounds) still normalizes consistently as long as the same sentinel
+    subset exists on both sides of a comparison — `_vs_prev_normalized`
+    enforces that by recomputing the prior side from the same formula."""
+    ssum = sum(timings[s] for s in SENTINELS if timings.get(s, 0) > 0)
+    if ssum <= 0:
+        return 0.0, {}
+    return ssum, {
+        name: round(sec / ssum, 4) for name, sec in timings.items() if sec > 0
+    }
+
+
+def _latest_prior_detail(sf_val: float | str) -> dict:
+    """The LATEST prior round's full detail payload at this sf (empty dict
+    if none). Latest — not best-of — because normalized drift adjudication
+    compares consecutive official runs (the box-drift question is 'did
+    this round's run move relative to last round's run')."""
+    import glob
+    import re
+
+    current = _current_round()
+    candidates = []
+    for path in glob.glob(os.path.join(REPO_DIR, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", path)
+        if m and int(m.group(1)) < current:
+            candidates.append((int(m.group(1)), path))
+    for _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if payload.get("sf") != sf_val or not payload.get("queries"):
+            continue
+        return payload
+    return {}
 
 
 def _latest_prior_cold(sf_val: float | str) -> dict[str, float]:
@@ -404,6 +461,28 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # Sentinel-normalized channel (VERDICT r12 #2): divide every query's
+    # seconds by the sentinel-set sum in the SAME run, then ratio this
+    # round's normalized value against the latest prior official run's
+    # (recomputed from its committed detail file with the same formula,
+    # so the channel is retroactively comparable to every round >= r6).
+    # This cancels uniform box drift: a real plan regression moves the
+    # normalized ratio; a slow box moves raw seconds but not this.
+    sentinel_sum, normalized = _sentinel_normalize(timings)
+    prior_detail = _latest_prior_detail(sf_val)
+    prior_timings = {
+        k: float(v)
+        for k, v in (prior_detail.get("queries") or {}).items()
+        if isinstance(v, (int, float)) and v > 0
+    }
+    _, prior_normalized = _sentinel_normalize(prior_timings)
+    vs_prev_normalized = {
+        name: round(nval / prior_normalized[name], 3)
+        for name, nval in normalized.items()
+        if prior_normalized.get(name, 0) > 0
+        and round(nval / prior_normalized[name], 3) > 0
+    }
+
     # Cold-vs-cold channel for the checkpoint/EAGER set: this round's
     # sample-1 against the latest prior round's sample-1. THIS ratio —
     # not the min-of-N vs_prev — is the adjudication basis for
@@ -439,6 +518,10 @@ def main() -> None:
         "vs_prev": vs_prev,
         "vs_prev_cold": vs_prev_cold,
         "cold_adjudicated": sorted(COLD_ADJUDICATED),
+        "sentinels": SENTINELS,
+        "sentinel_sum": round(sentinel_sum, 3),
+        "normalized": normalized,
+        "vs_prev_normalized": vs_prev_normalized,
         "methodology": (
             "queries = min of N noop-sink re-executions of a frame built "
             "once (steady state); cold = sample 1 of the same loop (pays "
@@ -447,7 +530,10 @@ def main() -> None:
             "samples re-read cached checkpoint blocks). RULE: for the "
             "cold_adjudicated set, round-over-round drift is judged on "
             "vs_prev_cold (this round's cold vs the latest prior round's "
-            "cold), never on the min-of-N vs_prev ratio"
+            "cold), never on the min-of-N vs_prev ratio. RULE (r13): "
+            "normalized = seconds / sum(sentinel seconds) in the same "
+            "run; a regression claim requires vs_prev_normalized to "
+            "move, not raw seconds — uniform box drift cancels out"
         ),
     }
     if errors:
@@ -457,6 +543,20 @@ def main() -> None:
         json.dump(detail, f, indent=1)
 
     worst5 = dict(sorted(vs_prev.items(), key=lambda kv: -kv[1])[:5])
+    norm_worst5 = dict(
+        sorted(vs_prev_normalized.items(), key=lambda kv: -kv[1])[:5]
+    )
+    norm_geomean = (
+        round(
+            __import__("math").exp(
+                sum(__import__("math").log(r) for r in vs_prev_normalized.values())
+                / len(vs_prev_normalized)
+            ),
+            3,
+        )
+        if vs_prev_normalized
+        else None
+    )
     geomean = (
         round(
             __import__("math").exp(
@@ -479,6 +579,8 @@ def main() -> None:
         "vs_prev_geomean": geomean,
         "vs_prev_worst5": worst5,
         "vs_prev_cold": vs_prev_cold,
+        "norm_geomean": norm_geomean,
+        "norm_worst5": norm_worst5,
         "detail": detail_name,
     }
     if errors:  # cap: 3 entries x 120 chars keeps the line inside 2000
