@@ -217,7 +217,17 @@ _DIRTY_ROWS = {
                 -- NULL-group-key aggregate too
                 (9000003, 'rich orderless', 3, 99999.99, 'MACHINERY'),
                 (9000004, 'rich orderless null nation', NULL, 88888.88,
-                 'AUTOMOBILE')
+                 'AUTOMOBILE'),
+                -- r13: combining-mark segment (M + U+0301) — DuckDB's
+                -- reverse() is grapheme-cluster-aware while Spark's
+                -- reverses code points; q_string_fns seg_rev diverged on
+                -- exactly this row until the oracle pinned codepoint
+                -- semantics via a ''-split + list_reverse. c_name stays
+                -- ASCII: length()/substr() are grapheme-vs-codepoint
+                -- split across engines too, and q_string_fns exposes
+                -- those on c_name only.
+                (9000005, 'combining mark segment', 3, 1.00,
+                 'SEGM' || chr(769) || 'ENT')
             ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
     """,
     "supplier": """
@@ -313,3 +323,81 @@ def test_query_matches_oracle_on_dirty_data(
     spark_pdf = reg.QUERIES[name](spark, dirty_dir).toPandas()
     duck_pdf = dirty_duck.execute(reg.ORACLES[name]).fetchdf()
     assert_frames_match(spark_pdf, duck_pdf, f"{name}[dirty]")
+
+
+# ---------------------------------------------------------------------------
+# NaN-measure seam (r13). A NaN `value` cannot live in _DIRTY_ROWS: the
+# engine's documented finite-measures contract (functions/money.py) maps
+# non-finite to NULL on the Spark side while every money oracle's
+# round(x*100)::BIGINT raises — injecting one would crash dozens of
+# oracles by design. The two sketch band-check queries, however, CLAIM
+# NaN-robustness (they filter isnan both sides), so they get a targeted
+# parity probe on an events table where NaN sits inside real groups.
+
+
+@pytest.fixture(scope="module")
+def nan_events_dir(tmp_path_factory):
+    import duckdb
+
+    from weightlifting_wod_etl_spark.io import table_path
+
+    d = tmp_path_factory.mktemp("nan_sf")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM read_parquet('{table_path(SF_SMOKE, "events")}')
+            UNION ALL SELECT * FROM (VALUES
+                -- NaN inside a REAL event_type partition (clean types
+                -- exist at every sf), plus a 2-real + 6-NaN tiny group:
+                -- before the r13 fix, q_quantile_bound counted the NaN
+                -- rows into __n while percentile_approx dropped them
+                -- from the sketch, flipping approx_in_band False on a
+                -- correct answer (and the oracle crashed casting NaN)
+                (9100001::BIGINT, TIMESTAMP '2024-04-01 10:00:00',
+                 3::BIGINT, 'click', 'nan'::DOUBLE, NULL),
+                (9100002, TIMESTAMP '2024-04-01 11:00:00',
+                 3, 'nan_evt', 10.00, NULL),
+                (9100003, TIMESTAMP '2024-04-01 12:00:00',
+                 4, 'nan_evt', 20.00, NULL),
+                (9100004, TIMESTAMP '2024-04-01 13:00:00',
+                 5, 'nan_evt', 'nan'::DOUBLE, NULL),
+                (9100005, TIMESTAMP '2024-04-01 14:00:00',
+                 6, 'nan_evt', 'nan'::DOUBLE, NULL),
+                (9100006, TIMESTAMP '2024-04-01 15:00:00',
+                 7, 'nan_evt', 'nan'::DOUBLE, NULL),
+                (9100007, TIMESTAMP '2024-04-01 16:00:00',
+                 8, 'nan_evt', 'nan'::DOUBLE, NULL),
+                (9100008, TIMESTAMP '2024-04-01 17:00:00',
+                 9, 'nan_evt', 'nan'::DOUBLE, NULL),
+                (9100009, TIMESTAMP '2024-04-01 18:00:00',
+                 10, 'nan_evt', 'nan'::DOUBLE, NULL)
+            ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{table_path(str(d), "events")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q_quantile_bound", "q_tdigest_quantile"])
+def test_sketch_band_checks_survive_nan_measures(spark, nan_events_dir, name):
+    import duckdb
+
+    from weightlifting_wod_etl_spark import queries_registry as reg
+    from weightlifting_wod_etl_spark.io import table_path
+
+    spark_pdf = reg.QUERIES[name](spark, nan_events_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{table_path(nan_events_dir, 'events')}')"
+    )
+    duck_pdf = con.execute(reg.ORACLES[name]).fetchdf()
+    con.close()
+    assert_frames_match(spark_pdf, duck_pdf, f"{name}[nan]")
+    # the band booleans must hold — a correct sketch on the 2 real values
+    # of the 8-row nan_evt group was judged out-of-band before the fix
+    band_cols = [c for c in spark_pdf.columns if c.endswith("_in_band")]
+    for c in band_cols:
+        assert spark_pdf[c].all(), f"{name}: {c} flipped False under NaN"

@@ -80,7 +80,13 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            substr(c_name, 1, 8) AS head8,
            replace(c_name, '#', '-') AS dashed,
            lpad(c_custkey::VARCHAR, 10, '0') AS key_pad,
-           reverse(c_mktsegment) AS seg_rev,
+           -- codepoint reversal pinned (r13): DuckDB's reverse() is
+           -- grapheme-cluster-aware (keeps combining marks attached)
+           -- while Spark's reverses code points; splitting on '' then
+           -- list-reversing makes DuckDB reverse code points too —
+           -- identity on ASCII, identical on combining marks and
+           -- astral (surrogate-pair) chars in both engines (verified)
+           array_to_string(list_reverse(string_split(c_mktsegment, '')), '') AS seg_rev,
            regexp_replace(lower(c_name), '[aeiou]', '', 'g') AS no_vowels,
            printf('%s:%d', c_mktsegment, c_custkey) AS tag,
            length(c_name)::INT AS name_len
@@ -103,6 +109,8 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 1, 8).alias("head8"),
         F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        # code-point reversal; the oracle mirrors it via a ''-split +
+        # list_reverse because DuckDB's own reverse() is grapheme-aware
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.regexp_replace(F.lower("c_name"), "[aeiou]", "").alias("no_vowels"),
         # NULL guard: Spark's format_string renders a NULL arg as the

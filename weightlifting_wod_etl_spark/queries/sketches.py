@@ -56,7 +56,12 @@ from ..queries_registry import register
     oracle="""
     WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents
                FROM events
-               WHERE value IS NOT NULL AND event_type IS NOT NULL)
+               -- NOT isnan too (r13, same fix as q_tdigest_quantile r11):
+               -- NaN passes IS NOT NULL in both engines, then crashes the
+               -- oracle's BIGINT cast and inflates Spark's __n against a
+               -- straddle that percentile_approx excluded NaN from
+               WHERE value IS NOT NULL AND NOT isnan(value)
+                 AND event_type IS NOT NULL)
     SELECT event_type,
            quantile_cont(cents, [0.25, 0.5, 0.75])[1]::DOUBLE / 100.0 AS p25,
            quantile_cont(cents, [0.25, 0.5, 0.75])[2]::DOUBLE / 100.0 AS p50,
@@ -86,7 +91,15 @@ def q_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned by the verification twins but never shuffled raw."""
     e = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        # ~isnan mirrors the oracle (r13): percentile_approx drops NaN
+        # from the sketch, so a NaN row counted into __n would shift the
+        # band center against a straddle the estimate never saw —
+        # flipping approx_in_band False on a CORRECT sketch answer
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & F.col("event_type").isNotNull()
+        )
         .select("event_type", to_fixed("value").alias("__cents"))
     )
     exact = exact_percentiles(e, ["event_type"], "__cents", [0.25, 0.5, 0.75])
@@ -308,7 +321,7 @@ def q_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     DROP the exact column and the dedup stage, keeping the single-pass
     constant-buffer sketch — which is the point this query certifies."""
     e = load_table(spark, sf_dir, "events")
-    dedup = e.groupBy("event_type", "user_id").agg(F.lit(1).alias("__one"))
+    dedup = e.select("event_type", "user_id").distinct()
     return (
         dedup.groupBy("event_type")
         .agg(
@@ -391,10 +404,16 @@ def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (VALUES ('join'), ('hash'), ('customer'),
                               ('window'), ('spark')) p(tok)
     ), est AS (
-        SELECT p.tok, min(c.c)::BIGINT AS cms_est
+        -- LEFT JOIN + coalesce 0 (r13): a CMS cell no token hashed into
+        -- holds count 0, so a probe hitting an unoccupied cell must
+        -- contribute 0 to the min (the canonical CMS answer), not
+        -- silently drop out of the row set — the old inner join both
+        -- overstated estimates (min over occupied cells only) and could
+        -- lose a probe row entirely on a small/filtered vocabulary
+        SELECT p.tok, min(coalesce(c.c, 0))::BIGINT AS cms_est
         FROM probes p
         JOIN hashes h ON TRUE
-        JOIN cells c
+        LEFT JOIN cells c
           ON c.k = h.k
          AND c.bucket = ('0x' || substr(md5(h.k::VARCHAR || ':' || p.tok), 1, 8)
                         )::UBIGINT % 64
@@ -439,8 +458,13 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 64
         )
 
-    cells = (
-        vocab.select(
+    def hash_cells(frame: DataFrame, *keep: str) -> DataFrame:
+        # ONE site encodes the sketch geometry (4 hash rows × %64
+        # buckets, via bucket() above) for both the build and the probe
+        # sides — the est join matches on (k, bucket), so two drifting
+        # copies would silently break the probe-to-cell correspondence
+        return frame.select(
+            *keep,
             F.explode(
                 F.array(
                     *[
@@ -452,29 +476,23 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 )
             ).alias("cell"),
-            "n",
-        )
-        .groupBy(F.col("cell.k").alias("k"), F.col("cell.bucket").alias("bucket"))
-        .agg(F.sum("n").alias("c"))
+        ).select(*keep, "cell.k", "cell.bucket")
+
+    cells = hash_cells(vocab, "n").groupBy("k", "bucket").agg(
+        F.sum("n").alias("c")
     )
     probes = spark.createDataFrame(
         [("join",), ("hash",), ("customer",), ("window",), ("spark",)], ["tok"]
     )
-    probe_cells = probes.select(
-        "tok",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("k"), bucket(k, F.col("tok")).alias("bucket"))
-                    for k in range(4)
-                ]
-            )
-        ).alias("cell"),
-    ).select("tok", "cell.k", "cell.bucket")
+    probe_cells = hash_cells(probes, "tok")
     est = (
-        probe_cells.join(F.broadcast(cells), ["k", "bucket"])
+        # left join + 0-fill (r13, mirrored in the oracle): an unoccupied
+        # CMS cell counts 0 — it must pull the min down to the canonical
+        # answer, and a probe whose 4 cells are ALL empty must still
+        # emit a row (the inner join dropped it on small vocabularies)
+        probe_cells.join(F.broadcast(cells), ["k", "bucket"], "left")
         .groupBy("tok")
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_est"))
     )
     return (
         est.join(F.broadcast(vocab.join(F.broadcast(probes), "tok")), "tok", "left")
