@@ -594,3 +594,141 @@ def test_stream_cursor_dir_option_survives_readonly_pages_dir(tmp_path, capsys):
     r3.commit({"next_page": 4})
     err = capsys.readouterr().err
     assert err.count("cursor hint write failed") == 1
+
+
+def test_read_tolerates_poison_pages_and_elements(spark, tmp_path, capsys):
+    """Review r13: a page whose body is a JSON object (WordPress error
+    shape), an unparseable/truncated page file, or a non-dict array
+    element killed the task deterministically — 4 retries, scan abort —
+    despite the poison-tolerance contract. All three now skip with a
+    loud stderr note, and well-formed pages still scan."""
+    import json
+    import os
+
+    d = str(tmp_path / "poisonpages")
+    os.makedirs(d)
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump([{"id": 1, "slug": "ok", "categories": []}], f)
+    with open(os.path.join(d, "page-2.json"), "w") as f:
+        json.dump({"code": "rest_post_invalid_page_number"}, f)  # error body
+    with open(os.path.join(d, "page-3.json"), "w") as f:
+        f.write('[{"id": 3, "slug": "trunc')  # truncated mid-object
+    with open(os.path.join(d, "page-4.json"), "w") as f:
+        json.dump(["oops", 42, {"id": 4, "slug": "ok4"}, [1, 2]], f)
+
+    rows = spark.read.format("wod_posts").option("pages_dir", d).load().collect()
+    assert sorted((r.post_id, r.slug) for r in rows) == [(1, "ok"), (4, "ok4")]
+
+
+def test_as_int_rejects_out_of_range_and_bool(spark, tmp_path):
+    """Review r13: an id beyond LongType or a category beyond IntegerType
+    passed int() unchanged and then killed the task in the worker's
+    Arrow conversion — the exact failure the normalization exists to
+    stop. Out-of-range values take the default; bools are malformed."""
+    import json
+    import os
+
+    d = str(tmp_path / "hugeints")
+    os.makedirs(d)
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump(
+            [
+                {"id": 99999999999999999999, "slug": "hugeid",
+                 "categories": [1]},
+                {"id": 7, "slug": "hugecat",
+                 "categories": [3000000000, 5, True]},
+            ],
+            f,
+        )
+    rows = spark.read.format("wod_posts").option("pages_dir", d).load().collect()
+    by_slug = {r.slug: r for r in rows}
+    assert by_slug["hugeid"].post_id == 0  # > 2^63-1 -> default 0
+    assert by_slug["hugecat"].categories == [5]  # int32 overflow + bool dropped
+
+
+def test_endpoint_url_separator_adapts(monkeypatch, tmp_path):
+    """Review r13: the endpoint URL was built with '&' unconditionally —
+    a bare endpoint (no existing query string) spliced the paging params
+    into the path. The separator is now '?' when the endpoint has no
+    query string, '&' when it does."""
+    import io
+    import json
+    import urllib.request
+
+    from weightlifting_wod_etl_spark.sources.rest_posts import _PostsReader
+
+    seen = []
+
+    def fake_urlopen(req, timeout=None):
+        seen.append(req.full_url)
+        body = io.BytesIO(json.dumps([]).encode())
+        body.__enter__ = lambda *a: body
+        body.__exit__ = lambda *a: False
+        return body
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    bare = _PostsReader({"endpoint": "https://x.test/wp-json/wp/v2/posts",
+                         "max_pages": 1})
+    bare._fetch_page(2)
+    assert seen[-1] == "https://x.test/wp-json/wp/v2/posts?per_page=10&page=2"
+    q = _PostsReader({"endpoint": "https://x.test/posts?type=wod",
+                      "max_pages": 1})
+    q._fetch_page(3)
+    assert seen[-1] == "https://x.test/posts?type=wod&per_page=10&page=3"
+
+
+def test_pages_dir_reader_does_not_resolve_credentials(tmp_path, monkeypatch):
+    """Review r13: every reader eagerly resolved credentials and pickled
+    the plaintext tuple to all executors, even on the pages_dir transport
+    that never authenticates. Resolution is now lazy for pages_dir (the
+    endpoint transport still resolves on the driver at construction)."""
+    import json
+    import os
+
+    from weightlifting_wod_etl_spark.sources.rest_posts import _PostsReader
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    with open(os.path.join(d, "page-1.json"), "w") as f:
+        json.dump([{"id": 1}], f)
+    monkeypatch.setenv("WOD_API_USERNAME", "envu")
+    monkeypatch.setenv("WOD_API_PASSWORD", "envp")
+    r = _PostsReader({"pages_dir": d})
+    assert r._credentials is None  # nothing resolved, nothing to pickle
+    assert r.credentials == ("envu", "envp")  # explicit access still works
+    e = _PostsReader({"endpoint": "https://x.test/p?a=1", "max_pages": 1})
+    assert e._credentials == ("envu", "envp")  # endpoint: eager, driver-side
+
+
+def test_stream_replay_after_crash_before_hint_not_wedged(tmp_path):
+    """Review r13: crash AFTER Spark's offset log recorded batch N but
+    BEFORE commit() persisted the hint, then retention deletes batch N's
+    pages. On restart the walk seeded from the stale hint (below the
+    committed end) and latestOffset waited forever for a deleted file —
+    no batch after the replay was ever planned. partitions() now advances
+    the walk cursor to the batch END Spark already holds."""
+    import json
+    import os
+
+    from weightlifting_wod_etl_spark.sources.rest_posts import (
+        _PostsStreamReader,
+    )
+
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    for p in range(1, 4):
+        with open(os.path.join(d, f"page-{p}.json"), "w") as f:
+            json.dump([{"id": p}], f)
+
+    # restart WITHOUT a prior commit(): hint absent, cursor seeds at 1
+    r = _PostsStreamReader({"pages_dir": d})
+    # Spark replays the offset-logged batch [1, 4)
+    parts = r.partitions({"next_page": 1}, {"next_page": 4})
+    assert [p.page for p in parts] == [1, 2, 3]
+    # retention deletes the replayed pages; new pages land
+    for p in range(1, 4):
+        os.remove(os.path.join(d, f"page-{p}.json"))
+    for p in (4, 5):
+        with open(os.path.join(d, f"page-{p}.json"), "w") as f:
+            json.dump([{"id": p}], f)
+    assert r.latestOffset() == {"next_page": 6}  # not wedged at 1

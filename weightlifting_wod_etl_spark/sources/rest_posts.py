@@ -86,15 +86,38 @@ class _PostsReader(DataSourceReader):
         self._per_page_explicit = "per_page" in options
         self.start_page = int(options.get("start_page", 1))
         self.max_pages = int(options.get("max_pages", 0))  # 0 = discover
-        # OP24: option > secrets_file > env > anonymous (fail-open)
-        from .credentials import resolve_credentials
-
-        self.credentials = resolve_credentials(options)
+        # OP24: option > secrets_file > env > anonymous (fail-open).
+        # Resolved EAGERLY only for the endpoint transport — resolution
+        # reads the driver's secrets file / env, and the result must ride
+        # the pickled reader to executors where _fetch_page builds the
+        # auth header. The pages_dir transport never authenticates, so
+        # resolving (and serializing plaintext secrets into every task
+        # closure) for it is pure liability; those readers resolve only
+        # if .credentials is explicitly accessed (review r13).
+        self._cred_options = {
+            k: options[k]
+            for k in ("username", "password", "secrets_file")
+            if k in options
+        }
+        self._credentials: tuple[str | None, str | None] | None = None
+        if self.endpoint:
+            self._credentials = self._resolve_credentials()
 
         # pushFilters-derived page window (None = unbounded on that side)
         self._page_lo: int | None = None
         self._page_hi: int | None = None
         self._page_in: set[int] | None = None
+
+    def _resolve_credentials(self) -> tuple[str | None, str | None]:
+        from .credentials import resolve_credentials
+
+        return resolve_credentials(self._cred_options)
+
+    @property
+    def credentials(self) -> tuple[str | None, str | None]:
+        if self._credentials is None:
+            self._credentials = self._resolve_credentials()
+        return self._credentials
 
     def pushFilters(self, filters):
         """Source-side pushdown of predicates on the ``page`` column
@@ -170,30 +193,68 @@ class _PostsReader(DataSourceReader):
         # One partition per page: pagination IS the parallelism (OP1+OP19).
         return [_PagePartition(p) for p in self._discover_pages()]
 
-    def _fetch_page(self, page: int) -> list[dict]:
+    @staticmethod
+    def _as_page_list(posts, page: int, origin: str) -> list:
+        """A page body must be a JSON array; anything else (a WordPress
+        error object like ``{"code": "rest_post_invalid_page_number"}``,
+        a bare scalar, a truncated file) is a poison PAGE — warn and
+        return empty rather than iterating dict keys / raising, which
+        would kill the task deterministically, exhaust its 4 retries,
+        and abort the whole scan (review r13, same tolerance contract as
+        the per-post normalization in read())."""
+        if isinstance(posts, list):
+            return posts
+        import sys
+
+        print(
+            f"wod_posts: page {page} at {origin} is not a JSON array "
+            f"(got {type(posts).__name__}); skipping page",
+            file=sys.stderr,
+        )
+        return []
+
+    def _fetch_page(self, page: int) -> list:
         if self.pages_dir:
             path = os.path.join(self.pages_dir, f"page-{page}.json")
             if not os.path.exists(path):
                 return []
-            with open(path, encoding="utf-8") as f:
-                posts = json.load(f)
+            try:
+                with open(path, encoding="utf-8") as f:
+                    posts = json.load(f)
+            except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+                # corrupt/truncated page file: poison-page tolerance —
+                # a deterministic parse error would fail the task on
+                # every retry and abort the scan (review r13)
+                import sys
+
+                print(
+                    f"wod_posts: page {page} at {path} is unparseable "
+                    f"({exc}); skipping page",
+                    file=sys.stderr,
+                )
+                return []
+            posts = self._as_page_list(posts, page, path)
             # a local page file IS the page — the DEFAULT per_page is the
             # endpoint transport's server page size, and slicing by it
             # here silently dropped rows from pages larger than 10; an
             # EXPLICIT per_page option remains a user-requested cap
             return posts[: self.per_page] if self._per_page_explicit else posts
-        # Reference URL shape, services/invictus_api_service.py:54
+        # Reference URL shape, services/invictus_api_service.py:54 — but
+        # the separator adapts: the reference's endpoint constant embeds
+        # '?', a bare endpoint option does not, and unconditionally
+        # appending '&' would splice the params into the path (review r13)
         import urllib.request
 
         from .credentials import basic_auth_header
 
-        url = f"{self.endpoint}&per_page={self.per_page}&page={page}"
+        sep = "&" if "?" in self.endpoint else "?"
+        url = f"{self.endpoint}{sep}per_page={self.per_page}&page={page}"
         req = urllib.request.Request(  # noqa: S310
             url, headers=basic_auth_header(*self.credentials, url=url)
         )
         with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
             posts = json.load(resp)
-        return posts[: self.per_page]
+        return self._as_page_list(posts, page, url)[: self.per_page]
 
     @staticmethod
     def _as_str(v):
@@ -201,14 +262,29 @@ class _PostsReader(DataSourceReader):
         return v if isinstance(v, str) else None
 
     @staticmethod
-    def _as_int(v, default=None):
+    def _as_int(v, default=None, bits: int = 64):
+        """int() with a type-range guard: a JSON number beyond the Arrow
+        column's width (LongType ids / IntegerType categories) would pass
+        int() and then kill the task in the worker's Arrow conversion —
+        the exact failure mode this normalization exists to prevent
+        (review r13). bool is rejected too (int(True) is 1, but a boolean
+        id is malformed data, not id 1)."""
+        if isinstance(v, bool):
+            return default
         try:
-            return int(v)
+            iv = int(v)
         except (TypeError, ValueError):
             return default
+        bound = 1 << (bits - 1)
+        return iv if -bound <= iv < bound else default
 
     def read(self, partition: _PagePartition):
         for post in self._fetch_page(partition.page):
+            if not isinstance(post, dict):
+                # poison array ELEMENT ("oops", 42, [...]): skip — .get
+                # on a str raises AttributeError, a deterministic task
+                # death the page-level tolerance can't absorb (review r13)
+                continue
             title = post.get("title")
             if isinstance(title, dict):  # raw WP shape: title.rendered
                 title = title.get("rendered")
@@ -227,7 +303,7 @@ class _PostsReader(DataSourceReader):
             cat_ids = [
                 c_int
                 for c in cats
-                if (c_int := self._as_int(c)) is not None
+                if (c_int := self._as_int(c, bits=32)) is not None
             ]
             yield (
                 self._as_int(pid, default=0),
@@ -303,9 +379,16 @@ class _PostsStreamReader(DataSourceStreamReader):
         return {"next_page": p}
 
     def partitions(self, start: dict, end: dict):
-        # Spark hands us the checkpointed start when (re)planning a batch:
-        # the walk must never restart below an offset Spark already holds
-        self._cursor = max(self._cursor, start["next_page"])
+        # Spark hands us the checkpointed [start, end) when (re)planning a
+        # batch: the contiguity walk must never restart below END — Spark's
+        # offset log already holds every page under it, so re-probing them
+        # is at best wasted I/O. At worst it WEDGES the stream (review
+        # r13): a crash between the offset-log write and the commit hint,
+        # followed by retention deleting the replayed batch's pages,
+        # leaves the hint at start; seeding the walk there makes
+        # latestOffset wait forever for a file that will never come back,
+        # and no batch after the replay is ever planned.
+        self._cursor = max(self._cursor, end["next_page"])
         return [
             _PagePartition(p) for p in range(start["next_page"], end["next_page"])
         ]
@@ -320,6 +403,10 @@ class _PostsStreamReader(DataSourceStreamReader):
         # retention deletes consumed pages walks from start_page into the
         # hole and the stream wedges — warn once so the operator can point
         # 'cursor_dir' at a writable location before that restart happens.
+        # belt-and-braces with partitions(): the in-memory walk cursor
+        # must track every committed offset even if this batch's
+        # partitions() ran in a different reader instance
+        self._cursor = max(self._cursor, end["next_page"])
         try:
             hint = max(self._read_hint(), end["next_page"])
             tmp = self._hint_path() + ".tmp"
