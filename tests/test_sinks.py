@@ -328,3 +328,37 @@ def test_jsonl_idempotent_preserves_existing_ledger_key_type(spark, tmp):
     lt = spark.read.parquet(ledger)
     assert dict(lt.dtypes)["idem_key"] == "bigint"  # type never corrupted
     assert lt.count() == 4  # seed + 3 new keys
+
+
+def test_jsonl_idempotent_casts_wider_keys_to_ledger_type(spark, tmp):
+    """Review r13 advice: the integral fallback cast only the content
+    hash to the ledger's stored type; a LONG-keyed batch against an
+    INT-typed ledger still appended bigint parquet files into the int
+    dir — the same mixed-schema wedge the r12 fix closed for strings.
+    The whole coalesced key now casts to the ledger type; a real key
+    that overflows the narrower type raises loudly instead of wrapping
+    (a wrapped key silently changes identity)."""
+    import os
+
+    import pytest
+
+    from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
+
+    path = os.path.join(tmp, "itype_out")
+    ledger = os.path.join(tmp, "itype_ledger")
+    spark.createDataFrame([(7,)], "idem_key int").write.parquet(ledger)
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (None, "n1")], "idem_key long, payload string"
+    )
+    assert write_jsonl_idempotent(batch, path, ledger) == 2
+    assert write_jsonl_idempotent(batch, path, ledger) == 0  # replayable
+    lt = spark.read.parquet(ledger)
+    assert dict(lt.dtypes)["idem_key"] == "int"  # never widened on disk
+    assert lt.count() == 3
+
+    over = spark.createDataFrame(
+        [(2**40, "big")], "idem_key long, payload string"
+    )
+    with pytest.raises(Exception, match="exceeds the existing ledger"):
+        write_jsonl_idempotent(over, path, ledger)

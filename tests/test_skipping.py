@@ -326,10 +326,26 @@ def test_clustered_scratch_copy_builds_once_and_gcs_stale_generations(
         d2 = clustered_scratch_copy(spark, sf, "orders", **kw)
         assert d2 != d1
         assert os.path.exists(os.path.join(d2, "_BUILT"))
-        # stale generation AND its aged orphan staging are gone; the
-        # fresh (possibly-live) staging survives
-        assert not os.path.exists(d1)
+        # the aged orphan staging is gone; the fresh (possibly-live)
+        # staging survives; the stale PUBLISHED generation d1 is
+        # DEFERRED one generation (r13 advice: a long-running reader may
+        # still be mid-scan of it — mtime can't see readers, so the
+        # newest stale generation gets a full generation of grace)
+        assert os.path.exists(d1)
         assert not os.path.exists(orphan)
         assert os.path.exists(fresh_live)
+
+        # regenerate AGAIN: d1 is no longer the newest stale generation
+        # and is finally reclaimed; d2 becomes the deferred one
+        time.sleep(0.05)
+        spark.range(70).selectExpr(
+            "id AS o_orderkey",
+            "timestamp '1997-01-01' + make_interval(0,0,0,cast(id as int)) AS o_orderdate",
+            "cast(id * 5 as double) AS o_totalprice",
+        ).write.mode("overwrite").parquet(os.path.join(sf, "orders.parquet"))
+        d3 = clustered_scratch_copy(spark, sf, "orders", **kw)
+        assert d3 not in (d1, d2)
+        assert not os.path.exists(d1)
+        assert os.path.exists(d2)
     finally:
         tempfile.tempdir = None

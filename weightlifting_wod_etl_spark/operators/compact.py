@@ -116,6 +116,24 @@ def compact_parquet(
 
         n_part_dirs = len({os.path.dirname(f) for f in list_data_files(data_dir)})
         ideal = n_part_dirs
+        if want > n_part_dirs * 2:
+            # intra-partition splitting is out of scope for the default
+            # hash-on-pkeys path, so oversized partition files can never
+            # be split by plain maintenance — say so instead of silently
+            # no-opping forever (r13 advice): the caller's remedy is the
+            # sort_by path, whose range partitioning CAN split within a
+            # partition. 2× threshold: one file modestly over target is
+            # normal packing slack, not actionable debt.
+            import sys
+
+            print(
+                f"compact_parquet: {data_dir} holds ~{total / 2**20:.0f} MiB "
+                f"across {n_part_dirs} partition dirs (~{want} files at "
+                f"target size) — the default partitioned compact cannot "
+                "split within a partition; pass sort_by to split oversized "
+                "partitions",
+                file=sys.stderr,
+            )
     else:
         ideal = want
     if ideal <= before <= ideal + 1 and not sort_by and not stats_cols:

@@ -236,6 +236,7 @@ def clustered_scratch_copy(
     # the SAME generation is safe: that builder stages privately and the
     # publish rename is atomic.
     tmp_root = tempfile.gettempdir()
+    stale_published: list[tuple[float, str]] = []
     for entry in os.listdir(tmp_root):
         if not entry.startswith(base):
             continue
@@ -259,6 +260,21 @@ def clustered_scratch_copy(
                     continue
             except OSError:
                 continue
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            # a stale PUBLISHED generation may still be mid-scan by a
+            # long-running process that planned its read before the
+            # source regenerated (r13 advice: unconditional rmtree
+            # failed that reader with FileNotFound). mtime can't see
+            # readers, so defer by one generation instead: keep the
+            # NEWEST stale published dir, reclaim everything older —
+            # any older generation already survived a previous GC pass
+            # as "newest stale" and has had a full generation of grace.
+            try:
+                stale_published.append((os.path.getmtime(full), full))
+            except OSError:
+                continue
+    for _, full in sorted(stale_published)[:-1]:
         shutil.rmtree(full, ignore_errors=True)
     staging = f"{scratch}.tmp.{os.getpid()}"
     from ..io import load_table

@@ -101,11 +101,36 @@ def write_jsonl_idempotent(
         elif isinstance(ltype, (LongType, IntegerType)):
             # integral ledger: xxhash64 of the same canonical JSON — a
             # 64-bit content key that appends type-compatibly (the
-            # ANSI-off int cast wraps deterministically)
+            # ANSI-off int cast wraps deterministically — acceptable for
+            # a HASH, whose identity is arbitrary anyway). The whole
+            # coalesced key is cast to the ledger's stored type (r13
+            # advice): coalesce(long key, int hash) otherwise promoted to
+            # long and appended wider-typed files into an int ledger —
+            # the same mixed-schema wedge the r12 fix closed for strings.
+            # A REAL key that overflows the narrower ledger type raises
+            # loudly instead of wrapping: a wrapped real key silently
+            # changes identity and could collide with another real key.
+            real = F.col(key_col)
+            if isinstance(ltype, IntegerType) and not isinstance(
+                df.schema[key_col].dataType, IntegerType
+            ):
+                bound = 2**31
+                real = F.when(
+                    real.isNull() | ((real >= -bound) & (real < bound)),
+                    real,
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "write_jsonl_idempotent: key value exceeds the "
+                            "existing ledger's INT key type — migrate the "
+                            "ledger to a wider type"
+                        )
+                    ).cast("long")
+                )
             content_key = F.xxhash64(F.to_json(F.struct(*payload)))
             df = df.withColumn(
                 key_col,
-                F.coalesce(F.col(key_col), content_key.cast(ltype)),
+                F.coalesce(real, content_key).cast(ltype),
             )
         else:
             # no content-hash fallback can be expressed in this key type;

@@ -51,9 +51,26 @@ def make_cdc_apply(
         # in the insert branch, and is re-inserted as a fresh duplicate
         # on every at-least-once replay — and once present can never be
         # updated or deleted. A Debezium row with a NULL PK is a
-        # malformed feed; drop it before merging.
+        # malformed feed; drop it before merging — but OBSERVABLY (r13
+        # advice): a corrupted feed silently shrinking is hard to detect
+        # downstream, so count the dropped rows per batch and log. One
+        # extra action on the (cached-below) batch is batch-bounded cost.
+        key_ok = None
         for k in on:
-            batch_df = batch_df.filter(F.col(k).isNotNull())
+            c = F.col(k).isNotNull()
+            key_ok = c if key_ok is None else (key_ok & c)
+        batch_df = batch_df.persist()
+        n_null_key = batch_df.filter(~key_ok).count()
+        if n_null_key:
+            import sys
+
+            print(
+                f"cdc_apply: batch {batch_id} dropped {n_null_key} "
+                "NULL-key change row(s) — unaddressable by MERGE; "
+                "check the upstream feed for PK corruption",
+                file=sys.stderr,
+            )
+        batch_df = batch_df.filter(key_ok)
         # TOTAL order for the in-batch collapse: seq first, then every
         # remaining column as tie-breakers (unorderable map-bearing
         # columns via their JSON text — operators/dedup.py holds the one
@@ -89,5 +106,6 @@ def make_cdc_apply(
                 merge_into(spark, target_path, upserts, on)
         finally:
             latest.unpersist()
+            batch_df.unpersist()
 
     return apply_batch
