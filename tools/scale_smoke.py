@@ -69,6 +69,12 @@ QUERIES = [
     "q_wod_pipeline",      # pivot + double sessionization (reference core)
     "q_date_extract",      # scan-local regex extraction claim
     "q_min_cost_supplier", # fixed-point argmin join
+    # r13 (VERDICT r12 #4): the remaining top-cost plans without smoke
+    # rows — counts-first cumulative-weight window, per-doc TF-IDF with
+    # a bounded-vocab DF join, and the 6-table profit rollup
+    "q_weighted_median",
+    "q_tfidf_topk",
+    "q_tpch_q9",
 ]
 
 
