@@ -118,7 +118,15 @@ _DIRTY_ROWS = {
                 -- ragged dim; must be excluded by every _valid_embeddings
                 -- dim guard (DuckDB list_dot_product CRASHES on ragged
                 -- lists, so a miss burns the oracle side, not just parity)
-                (9000005, [0.25::FLOAT], NULL)
+                (9000005, [0.25::FLOAT], NULL),
+                -- r13 (REPRODUCED): NULL primary key with a VALID 64-dim
+                -- vector — the last table without a NULL-PK row. It
+                -- passes _valid_embeddings and then hits every id-order
+                -- seam: ivf_topk's centroid seed (Spark NULLS FIRST vs
+                -- oracle NULLS LAST trained on DIFFERENT centroid sets)
+                -- and the top-k LIMIT tiebreaks
+                (NULL, list_transform(range(1, 65),
+                                      i -> ((i % 5) - 2)::FLOAT / 4), 2)
             ) t(vec_id, embedding, label)
     """,
     # orphan order (custkey NULL), all-NULL-attrs order, an order in

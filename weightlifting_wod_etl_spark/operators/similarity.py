@@ -78,7 +78,10 @@ def brute_force_topk(
     return (
         base.crossJoin(F.broadcast(p))
         .select(F.col(id_col), sim.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), id_col)
+        # asc_nulls_last (r13, reproduced in ivf_topk's seed): Spark ASC
+        # is NULLS FIRST, DuckDB is NULLS LAST — a NULL-id row tying at
+        # the LIMIT cut would keep different rows per engine
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc_nulls_last())
         .limit(k)
     )
 
@@ -237,8 +240,14 @@ def ivf_topk(
     candidate scan is an equi-join on the centroid id.
     """
     base = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__n"))
+    # asc_nulls_last (r13, REPRODUCED): Spark sorts NULL ids FIRST where
+    # the oracle's ORDER BY vec_id LIMIT n is NULLS LAST — one NULL-id
+    # vector made the engines train on DIFFERENT centroid sets and
+    # return different neighbors
     cent_src = (
-        centroids if centroids is not None else df.orderBy(id_col).limit(n_centroids)
+        centroids
+        if centroids is not None
+        else df.orderBy(F.col(id_col).asc_nulls_last()).limit(n_centroids)
     )
     cents = cent_src.select(
         F.col(id_col).alias("__cid"),
@@ -273,7 +282,8 @@ def ivf_topk(
         assign.join(F.broadcast(probe_cents), "__cid")
         .crossJoin(F.broadcast(p))
         .select(F.col(id_col), qsim.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), id_col)
+        # NULLS LAST pin — same seam as the centroid seed above
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc_nulls_last())
         .limit(k)
     )
 
@@ -304,6 +314,7 @@ def lsh_bucket_topk(
     return (
         bucketed.join(F.broadcast(p), F.col("__bucket") == F.col("__pbucket"))
         .select(F.col(id_col), sim.alias("cos_sim"))
-        .orderBy(F.col("cos_sim").desc(), id_col)
+        # NULLS LAST pin — same seam as brute_force_topk
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc_nulls_last())
         .limit(k)
     )

@@ -161,6 +161,33 @@ def oracle_stopword_regex(lang: str) -> str:
     return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
 
 
+def oracle_quality_feats_sql(lang: str = "en") -> str:
+    """DuckDB SQL for ``quality_score``'s three features, as SELECT-list
+    columns named (n_toks, punct_ratio, n_stop) — the single source the
+    quality oracles interpolate (r13: q_quality_score and
+    q_curation_pipeline each hand-copied the feature exprs AND the
+    weighted formula, so editing the weights or lists here needed three
+    synchronized edits; one-sided drift desynchronized an oracle from the
+    Spark score it filters on — the r12 interpolate-shared-constants
+    rule)."""
+    return (
+        "len(string_split(text, ' ')) AS n_toks,\n"
+        f"               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE\n"
+        "                   / greatest(length(text), 1) AS punct_ratio,\n"
+        "               len(regexp_extract_all(lower(text), "
+        f"'{oracle_stopword_regex(lang)}')) AS n_stop"
+    )
+
+
+# the weighted composite over the oracle_quality_feats_sql columns —
+# MUST mirror quality_score()'s body above, weight for weight
+ORACLE_QUALITY_FORMULA_SQL = (
+    "round(0.4 * least(n_toks / 100.0, 1.0)\n"
+    "                 + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))\n"
+    "                 + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4)"
+)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Canonical content fingerprint: md5 of lowercased,
     whitespace-collapsed text — the exact-dedup key that survives

@@ -103,9 +103,13 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag training docs sharing any 4-gram
     with the held-out set (here: doc_id % 97 == 0 stands in for the eval
-    corpus). The eval side is distinct-collapsed and broadcast — at 100 TB
-    the train side streams map-side against a benchmark-sized hash set;
-    only the final distinct shuffles, on the bounded flagged-doc set."""
+    corpus). The eval side is distinct-collapsed; NO forced broadcast
+    (r13, the r12 forced-broadcast audit rule): the eval slice's distinct
+    4-grams are DATA-PROPORTIONAL — 1/97th of a 100 TB corpus's grams is
+    far beyond broadcast limits, so the hint must stay with AQE, which
+    broadcasts a genuinely benchmark-sized eval set and degrades to a
+    shuffled semi-join instead of OOMing the driver when it isn't. Only
+    the final distinct shuffles on the bounded flagged-doc set."""
     from ..operators.minhash import shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -117,7 +121,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         grams.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .join(eval_grams, "gram", "left_semi")
         .select("doc_id", "lang")
         .distinct()
     )
@@ -142,19 +146,36 @@ def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - distinct/total tokens. Pure array expressions over the scan —
     no explode, no shuffle; the filter threshold a real pipeline applies
     downstream pushes into the same map stage."""
+    from ..functions.expr import let
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks).cast("bigint")
-    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
-    return (
-        docs.select(
-            "doc_id",
-            "lang",
-            n_tokens.alias("n_tokens"),
-            n_distinct.alias("n_distinct"),
-            F.round(1.0 - n_distinct.cast("double") / n_tokens, 4).alias("rep_ratio"),
-        )
-        .filter(F.col("n_tokens") > 0)
+    # let-bind the (n_tokens, n_distinct) pair: CollapseProject re-inlines
+    # deterministic aliases with no CSE, so the bare spelling re-split the
+    # full text ~4x per row (n_tokens, n_distinct, and both again inside
+    # rep_ratio) — the measured 4-10x regex/array pipeline pitfall (r13)
+    # the n_tokens > 0 predicate is text IS NOT NULL in both engines
+    # (split of empty text yields one empty token, so only a NULL text
+    # fails it) — filtering on text keeps the pushed-down predicate off
+    # __c, whose inlined copy would re-pay the split
+    counted = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        let(
+            F.split(F.col("text"), " "),
+            lambda toks: F.struct(
+                F.size(toks).cast("bigint").alias("n_tokens"),
+                F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+            ),
+        ).alias("__c"),
+    )
+    n_tokens = F.col("__c.n_tokens")
+    n_distinct = F.col("__c.n_distinct")
+    return counted.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(1.0 - n_distinct.cast("double") / n_tokens, 4).alias("rep_ratio"),
     )
 
 
@@ -197,8 +218,12 @@ def _two_phase_top_per_group(
     WITH kept AS (
         SELECT source, n_chars, doc_id
         FROM documents
+        -- doc_id NULLS LAST pinned both sides (r13): at an n_chars tie
+        -- on the rank-20 cut, Spark's bare ASC (NULLS FIRST) and
+        -- DuckDB's default (NULLS LAST) would keep different documents
         QUALIFY row_number() OVER (PARTITION BY source
-                                   ORDER BY n_chars DESC, doc_id) <= 20
+                                   ORDER BY n_chars DESC,
+                                            doc_id NULLS LAST) <= 20
     )
     SELECT source, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS sum_chars
     FROM kept GROUP BY source
@@ -211,7 +236,12 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts through one reducer."""
     docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
     kept = _two_phase_top_per_group(
-        docs, "source", [F.col("n_chars").desc(), F.col("doc_id")], 20
+        docs,
+        "source",
+        # asc_nulls_last mirrors the oracle's NULLS LAST (r13 — the one
+        # top-k in this file that missed the pin its siblings carry)
+        [F.col("n_chars").desc(), F.col("doc_id").asc_nulls_last()],
+        20,
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),

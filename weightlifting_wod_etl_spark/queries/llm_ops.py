@@ -16,8 +16,10 @@ from ..operators.multimodal import (
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
 from ..operators.text import (
     BPE_ISH_PATTERN,
+    ORACLE_QUALITY_FORMULA_SQL,
     PUNCT_CLASS,
     bpe_ish_token_count,
+    oracle_quality_feats_sql,
     doc_fingerprint,
     lang_id,
     oracle_stopword_regex,
@@ -212,7 +214,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
                  6) AS cos_sim
     FROM emb a, (SELECT embedding FROM emb WHERE vec_id = 0) p
-    ORDER BY cos_sim DESC, a.vec_id
+    ORDER BY cos_sim DESC, a.vec_id NULLS LAST
     LIMIT 10
     """,
 )
@@ -247,7 +249,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
                  6) AS cos_sim
     FROM bucketed a JOIN p ON a.bucket = p.bucket
-    ORDER BY cos_sim DESC, a.vec_id
+    ORDER BY cos_sim DESC, a.vec_id NULLS LAST
     LIMIT 10
     """,
 )
@@ -266,7 +268,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_EMB_VALID_SQL},
     c AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-        FROM emb ORDER BY vec_id LIMIT 8
+        FROM emb ORDER BY vec_id NULLS LAST LIMIT 8
     ),
     scored AS (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
@@ -288,7 +290,7 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (sqrt(list_dot_product(a.v, a.v)) *
                   sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
     FROM assign a JOIN pc ON a.cid = pc.cid, p
-    ORDER BY cos_sim DESC, a.vec_id
+    ORDER BY cos_sim DESC, a.vec_id NULLS LAST
     LIMIT 10
     """,
 )
@@ -392,21 +394,18 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_quality_score",
-    # punct class + stopword regex INTERPOLATED from operators/text (r12)
+    # features + weighted formula INTERPOLATED from operators/text (r13:
+    # one shared definition — the formula was hand-copied here and in
+    # q_curation_pipeline's oracle)
     oracle=f"""
     WITH feats AS (
         SELECT doc_id,
-               len(string_split(text, ' ')) AS n_toks,
-               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE
-                   / greatest(length(text), 1) AS punct_ratio,
-               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("en")}')) AS n_stop
+               {oracle_quality_feats_sql("en")}
         FROM documents
     )
     SELECT doc_id,
            CASE WHEN n_toks IS NULL THEN NULL ELSE
-           round(0.4 * least(n_toks / 100.0, 1.0)
-                 + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-                 + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4)
+           {ORACLE_QUALITY_FORMULA_SQL}
            END AS quality
     FROM feats
     """,

@@ -7,7 +7,13 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.sampling import dataset_split, hash_sample, token_chunks
-from ..operators.text import PUNCT_CLASS, oracle_stopword_regex, ws_token_count
+from ..operators.text import (
+    ORACLE_QUALITY_FORMULA_SQL,
+    PUNCT_CLASS,
+    oracle_quality_feats_sql,
+    oracle_stopword_regex,
+    ws_token_count,
+)
 from ..queries_registry import register
 
 
@@ -238,15 +244,13 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_curation_pipeline",
-    # punct class + stopword regex INTERPOLATED from operators/text
-    # (r12): hardcoded copies desynchronize silently when a list changes
+    # features + weighted formula INTERPOLATED from operators/text (r13:
+    # one shared definition with q_quality_score's oracle — hardcoded
+    # copies desynchronize silently when a weight or list changes)
     oracle=rf"""
     WITH feats AS (
         SELECT doc_id, lang, source, text,
-               len(string_split(text, ' ')) AS n_toks,
-               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE
-                   / greatest(length(text), 1) AS punct_ratio,
-               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("en")}')) AS n_stop
+               {oracle_quality_feats_sql("en")}
         FROM documents
         -- mirror of quality_score's NULL-text guard: without it DuckDB's
         -- least()/greatest() skip the NULL features, score NULL text 0.7,
@@ -256,9 +260,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT doc_id, lang, source,
                md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint,
-               round(0.4 * least(n_toks / 100.0, 1.0)
-                     + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
-                     + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4) AS quality
+               {ORACLE_QUALITY_FORMULA_SQL} AS quality
         FROM feats
     ),
     survivors AS (
