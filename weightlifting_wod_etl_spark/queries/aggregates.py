@@ -812,17 +812,19 @@ def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             F.year("o_orderdate").cast("long").alias("yr"),
             F.month("o_orderdate").cast("long").alias("mo"),
-            "o_totalprice",
+            # fixed-point, not a raw double sum (r12): the grand-total
+            # row sums every order, where partial-merge addition order
+            # can flip the 2nd decimal across engines/runs. Hoisted into
+            # the pre-rollup projection (r13 adjudication): inside the
+            # agg it was evaluated per EXPAND output row — 3x per order
+            # for the 3 grouping sets — which was most of the r12
+            # 0.08 -> 0.165 normalized move
+            to_fixed("o_totalprice").alias("__cents"),
         )
         .rollup("yr", "mo")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # fixed-point, not a raw double sum (r12): the grand-total
-            # row sums every order, where partial-merge addition order
-            # can flip the 2nd decimal across engines/runs
-            F.round(F.sum(to_fixed("o_totalprice")) / F.lit(100.0), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum("__cents") / F.lit(100.0), 2).alias("revenue"),
         )
     )
 
