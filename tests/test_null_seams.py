@@ -104,7 +104,27 @@ _DIRTY_ROWS = {
                 -- merges the two NULLs into one row while a per-row
                 -- Spark plan emits two (the q_trigram_entropy class);
                 -- both sides must pin the same NULL-PK rule
-                (NULL, 'zz zz yy xx ww vv uu tt', 'en', 'dirty', 23)
+                (NULL, 'zz zz yy xx ww vv uu tt', 'en', 'dirty', 23),
+                -- r13: NEGATIVE doc_id — % truncates toward zero in both
+                -- engines, so every doc_id-modulo derivation (e2e slug
+                -- day, decontaminate eval slice, split assignment) sees
+                -- a negative remainder; the e2e oracle's make_date RAISED
+                -- on it before the pmod pin
+                (-7, 'negative id doc with scan marker join words scan',
+                 'en', 'dirty', 48),
+                -- r13: text ending in a vertical tab — Java's whitespace
+                -- class includes x0B, RE2's does not; the HTML-strip trim
+                -- diverged on exactly this until both sides pinned the
+                -- explicit class
+                (9000013, 'trailing vtab token' || chr(11), 'en',
+                 'dirty', 20),
+                -- r13: DUPLICATE real PK with different text (the orders
+                -- 8000001 class, for documents): caught q_trigram_entropy
+                -- computing union entropy in the oracle's GROUP BY doc_id
+                -- while the per-row Spark plan emits one row per physical
+                -- doc, and pins wod_pipeline's duplicate-post dedup
+                (9000003, 'dup pk different text scan join scan', 'en',
+                 'dirty', 37)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """

@@ -66,8 +66,12 @@ def strip_html(html: Column) -> Column:
     c = F.regexp_replace(c, r"[ \t]*\n[ \t]*", "\n")  # trim around breaks
     c = F.regexp_replace(c, r"\n{2,}", "\n")  # collapse blank lines
     # full whitespace trim — F.trim alone strips spaces but would leave the
-    # newline minted from a trailing </p>
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    # newline minted from a trailing </p>. Explicit class, not \s (r13,
+    # the fuzzy-dedup r12 class): Java's \s includes \x0B where RE2's
+    # does not, so the oracle's trim would keep a trailing vertical tab
+    # this one strips — the class spells out Java \s so both engines
+    # strip identically
+    return F.regexp_replace(c, r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "")
 
 
 def decode_entities(text: Column) -> Column:

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.html import decode_entities, strip_html
 from ..operators.clean import DEFAULT_RENAME, clean_records
 from ..operators.dates import extract_date_range, week_start_sunday
-from ..operators.pivot import ordered_concat_expr
+from ..operators.pivot import ordered_concat_expr, pivot_wide
 from ..operators.sessionize import explode_lines, sessionize_by_marker
 
 DAY_MARKER = "(?i)(Monday)|(Tuesday)|(Wednesday)|(Thursday)|(Friday)|(Saturday)|(Sunday)"
@@ -114,11 +114,11 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
     kv_all = kv.unionByName(rest)
     # duplicate segment keys within a day: LAST one wins (the reference's
     # dict comprehension overwrites in iteration order) — max_by(seg_idx)
-    # makes that deterministic under shuffle, where first() would not be
-    wide = (
-        kv_all.groupBy("post_id", "day_idx")
-        .pivot("k", SEGMENT_KEYS)
-        .agg(F.max_by("v", "seg_idx"))
+    # makes that deterministic under shuffle, where first() would not be.
+    # pivot_wide is the one codified explicit-values pivot (r13: this was
+    # an inline re-spelling of it)
+    wide = pivot_wide(
+        kv_all, ["post_id", "day_idx"], "k", SEGMENT_KEYS, F.max_by("v", "seg_idx")
     )
     # week spine (OP12+OP13): Sunday before slug/title range start, else post_date
     rng_start, _ = extract_date_range(F.col("slug"), F.col("title"))
@@ -135,6 +135,19 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
 
 def wod_pipeline(posts: DataFrame) -> DataFrame:
     """Full reference-parity pipeline: posts(html) → cleaned day records."""
+    from ..operators.dedup import exact_dedup
+
+    # ONE post per post_id (r13): the sessionization windows partition by
+    # post and order by line_idx alone, so two posts sharing an id would
+    # interleave their lines with TIED order keys — day/segment assignment
+    # then depends on shuffle order (the q21 duplicate-PK class). The
+    # reference fetches each post once by id; a duplicate id is malformed
+    # input, resolved deterministically by keeping the lexicographically
+    # smallest html (NULLS LAST). Partitioned on post_id — the same key
+    # every downstream window uses, so the exchange is reused.
+    posts = exact_dedup(
+        posts, key_cols=["post_id"], order_cols=[F.col("html").asc_nulls_last()]
+    )
     stripped = strip_posts(posts)
     segmented = sessionize_post_text(stripped)
     records = segments_to_records(segmented, stripped)

@@ -6,13 +6,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..plans.flagship import sessionize_events
+from ..plans.flagship import GAP_SECONDS, sessionize_events
 from ..queries_registry import register
 
 
 @register(
     "q_sessionize_events",
-    oracle="""
+    # gap INTERPOLATED from plans/flagship.GAP_SECONDS (r13: the oracle
+    # hardcoded 1800, so editing the flagship gap would desynchronize it
+    # silently — the interpolate-shared-constants drift class). event_id
+    # tiebreak pinned NULLS LAST explicitly (r13): the Spark side pins
+    # asc_nulls_last, and DuckDB's default_null_order is a CONNECTION
+    # setting — relying on it leaves the tie order one config flip from
+    # divergence.
+    oracle=f"""
     WITH marked AS (
         SELECT user_id, value, ts, event_id,
                -- row_number = 1, not lag IS NULL: the row AFTER a
@@ -20,14 +27,15 @@ from ..queries_registry import register
                -- phantom singleton session (review r11); a NULL delta
                -- (undated row) falls to ELSE 0 = joins the last session
                CASE WHEN row_number() OVER w = 1
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_SECONDS} * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts NULLS LAST, event_id NULLS LAST)
     ), sess AS (
         SELECT user_id, value, ts,
                sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts NULLS LAST, event_id
+                                 ORDER BY ts NULLS LAST, event_id NULLS LAST
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )
@@ -66,8 +74,11 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source
     FROM documents
     -- NULLS LAST pinned both sides: a NULL doc_id sorts FIRST in Spark
-    -- and LAST in DuckDB, shifting the whole offset window (review r11)
-    ORDER BY doc_id NULLS LAST
+    -- and LAST in DuckDB, shifting the whole offset window (review r11).
+    -- source tiebreak (r13): doc_id alone is not a TOTAL order once a
+    -- duplicate id exists — the engines could each keep a different
+    -- tied row inside the offset window
+    ORDER BY doc_id NULLS LAST, source NULLS LAST
     LIMIT 5 OFFSET 10
     """,
 )
@@ -77,7 +88,9 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source")
-        .orderBy(F.col("doc_id").asc_nulls_last())
+        .orderBy(
+            F.col("doc_id").asc_nulls_last(), F.col("source").asc_nulls_last()
+        )
         .offset(10)
         .limit(5)
     )

@@ -7,17 +7,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.dates import date_spine, extract_date_range, week_start_sunday
+from ..operators.dates import (
+    MONTHS,
+    date_spine,
+    extract_date_range,
+    week_start_sunday,
+)
 from ..queries_registry import register
 
-# Reverse month map shared by Spark and oracle (CASE chain in SQL).
+# Reverse month map shared by Spark and oracle (CASE chain in SQL) —
+# derived from the SAME list month_number() is built from (r13: a
+# retyped copy could drift one-sidedly, the interpolate-shared-constants
+# rule).
 _MONTH_CASE = " ".join(
-    f"WHEN '{m}' THEN {i}"
-    for i, m in enumerate(
-        ["january", "february", "march", "april", "may", "june", "july",
-         "august", "september", "october", "november", "december"],
-        start=1,
-    )
+    f"WHEN '{m}' THEN {i}" for i, m in enumerate(MONTHS, start=1)
 )
 
 

@@ -138,21 +138,28 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_trigram_entropy",
     oracle="""
-    WITH g AS (
-        -- doc_id IS NOT NULL (r12): the final GROUP BY doc_id merges all
+    WITH d AS (
+        -- doc_id IS NOT NULL (r12): the final grouping merges all
         -- NULL-PK rows into ONE oracle row while the per-row Spark side
-        -- emits one row each — same guard q_tfidf_topk carries
-        SELECT doc_id, text,
-               unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        -- emits one row each — same guard q_tfidf_topk carries.
+        -- rid = physical-row identity (r13): grouping by doc_id alone
+        -- also merged DUPLICATE-PK docs, computing entropy over the
+        -- union of both texts where the per-row Spark plan emits one
+        -- row per physical document
+        SELECT doc_id, text, row_number() OVER () AS rid
         FROM documents WHERE doc_id IS NOT NULL
+    ), g AS (
+        SELECT rid, doc_id, text,
+               unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        FROM d
     ), cnt AS (
-        SELECT doc_id, substr(text, i, 3) AS gram, count(*)::BIGINT AS c
-        FROM g GROUP BY 1, 2
+        SELECT rid, doc_id, substr(text, i, 3) AS gram, count(*)::BIGINT AS c
+        FROM g GROUP BY 1, 2, 3
     )
     SELECT doc_id,
            sum(c)::BIGINT AS n_grams,
            round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
-    FROM cnt GROUP BY 1
+    FROM cnt GROUP BY rid, doc_id
     """,
 )
 def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,20 @@ def _exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + marker sessionization — the ONE definition shared by
+    q_sessionize_text and q_group_concat (r13: the two call sites
+    duplicated the pattern/partition/order/line arguments verbatim, so a
+    one-sided tweak would silently desynchronize their grouping)."""
+    return sessionize_by_marker(
+        _exploded_words(spark, sf_dir),
+        pattern=MARKER_PAT,
+        partition_cols=["doc_id"],
+        order_col="word_idx",
+        line_col="word",
+    )
+
+
 @register(
     "q_explode_lines",
     oracle=f"WITH {_EXPLODE_CTE} SELECT doc_id, word_idx::BIGINT AS word_idx, word FROM exploded",
@@ -81,14 +95,7 @@ def q_explode_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP6-OP9 — marker-boundary sessionization with preamble dropped
     (reference group_source_by, transforms.py:115-128)."""
-    words = _exploded_words(spark, sf_dir)
-    grouped = sessionize_by_marker(
-        words,
-        pattern=MARKER_PAT,
-        partition_cols=["doc_id"],
-        order_col="word_idx",
-        line_col="word",
-    )
+    grouped = _grouped_words(spark, sf_dir)
     return grouped.groupBy("doc_id", "group_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.min("word_idx").cast("bigint").alias("start_idx"),
@@ -110,14 +117,7 @@ def q_sessionize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP14 — ORDERED group-concat (the §2.3-6 determinism trap: collect
     struct(order, value), array_sort, then join)."""
-    words = _exploded_words(spark, sf_dir)
-    grouped = sessionize_by_marker(
-        words,
-        pattern=MARKER_PAT,
-        partition_cols=["doc_id"],
-        order_col="word_idx",
-        line_col="word",
-    )
+    grouped = _grouped_words(spark, sf_dir)
     return grouped.groupBy("doc_id", "group_id").agg(
         ordered_concat_expr("word_idx", "word", " ").alias("joined")
     )
