@@ -73,6 +73,13 @@ _DIRTY_ROWS = {
                 -- distinct-count
                 (NULL, TIMESTAMP '2024-03-06 12:00:00',
                  49, 'click', 7.00, NULL),
+                -- r13: SECOND NULL-event_id row at the SAME (user, ts) —
+                -- (ts, event_id) ties completely, so every lag/lead
+                -- chain needs a further tiebreak (event_type / cents /
+                -- value) to stay a total order; different type AND value
+                -- so an unpinned chain actually diverges
+                (NULL, TIMESTAMP '2024-03-06 12:00:00',
+                 49, 'view', 1.50, NULL),
                 (NULL, NULL, 49, 'click', 8.00, NULL)
             ) t(event_id, ts, user_id, event_type, value, props)
     """,

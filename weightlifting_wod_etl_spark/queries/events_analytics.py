@@ -25,10 +25,13 @@ from ..queries_registry import register
     "q_funnel_conversion",
     oracle="""
     WITH v AS (
+        -- user_id IS NOT NULL (r13): the pooled anonymous bucket counted
+        -- as ONE user and let one actor's view qualify another actor's
+        -- click as a phantom conversion — a NULL key is not an entity
         SELECT user_id, event_type, ts,
                min(CASE WHEN event_type = 'view' THEN ts END)
                    OVER (PARTITION BY user_id) AS t_view
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ), c AS (
         SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
                       OVER (PARTITION BY user_id) AS t_click
@@ -58,8 +61,16 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so Catalyst plans one Exchange on user_id and stacks three
     Window operators on it — per-user state never re-shuffles. The final
     global count is a single-row aggregate (partial counts combine
-    map-side)."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    map-side).
+
+    user_id IS NOT NULL (r13): anonymous events pooled into one
+    pseudo-user, fabricating cross-actor conversions (mirrored in the
+    oracle)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
     w = Window.partitionBy("user_id")
     t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     staged = e.withColumn("t_view", t_view)
@@ -97,8 +108,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- an undated event is not activity: a NULL ts would mint a
         -- (cohort, NULL offset) bucket, and a NULL-ts-only user a
         -- (NULL, NULL) cohort of size 1 (review r11)
+        -- user_id IS NOT NULL (r13): the pooled anonymous bucket read
+        -- as one eternally-retained user — a NULL key is not an entity
         SELECT user_id, date_trunc('week', ts) AS wk
-        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
     ), w2 AS (
         SELECT user_id, wk,
                min(wk) OVER (PARTITION BY user_id) AS cohort_wk
@@ -122,7 +136,10 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     after date_trunc), so no float rounding can split a cohort."""
     e = load_table(spark, sf_dir, "events")
     weeks = (
-        e.filter(F.col("ts").isNotNull())  # undated events are not activity
+        # undated events are not activity; anonymous (NULL-user) events
+        # are not an entity — the pooled bucket cohorted as one
+        # eternally-retained user (r13, mirrored in the oracle)
+        e.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", F.date_trunc("week", "ts").alias("wk"))
         .distinct()
     )
@@ -173,8 +190,6 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose ties would be resolved by arrival order. Packing bound: |id| <
     1e8 and |value| < 9e8, asserted nowhere because the synthetic domain
     is ~1e6/1e3; a production deployment would widen to a struct key."""
-    from ..functions.money import to_fixed
-
     e = load_table(spark, sf_dir, "events")
     # to_fixed, not a raw round().cast: NaN became cents 0 (competing as
     # 0.00 in min_by), and +/-Inf or a huge finite value clamped to
@@ -194,10 +209,14 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_event_gap_stats",
     oracle="""
     WITH g AS (
+        -- user_id IS NOT NULL (r13): a NULL key is not an entity — the
+        -- pooled anonymous bucket lag-chained UNRELATED actors' events
+        -- into fabricated inter-event gaps (oracle-mirrored; the r11
+        -- NULL-ts rule applied to the partition key)
         SELECT user_id,
                epoch_us(ts) - lag(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST) AS gap_us
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     )
     SELECT user_id,
            count(gap_us)::BIGINT AS n_gaps,
@@ -214,9 +233,19 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One Exchange on user_id serves both the lag window and the groupBy
     (same key — Catalyst reuses the partitioning). Gaps are exact integer
     µs; the average's two divisions are performed in the same order as
-    the oracle so the double is bit-identical."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+    the oracle so the double is bit-identical.
+
+    user_id IS NOT NULL (r13): anonymous events share one NULL bucket,
+    which lag-chained unrelated actors into fake gaps — a NULL key is
+    not an entity (mirrored in the oracle)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # event_type tiebreak (r13, mirrored in the oracle): (ts, event_id)
+    # is not total when two NULL event_ids share a timestamp
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
+    )
     us = F.unix_micros("ts")
     gaps = e.select(
         "user_id", (us - F.lag(us).over(w)).alias("gap_us")
@@ -239,8 +268,11 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- NULL' — the row AFTER a NULL-type event always re-emitted its
         -- unchanged state as a phantom A->A interval (review r11)
         SELECT user_id, event_type, ts, event_id,
+               -- event_type tiebreak (r13): NULL-eid ts ties made the
+               -- state chain shuffle-order-dependent
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_type
+                                     ORDER BY ts NULLS LAST, event_id NULLS LAST,
+                                              event_type NULLS LAST) AS prev_type
         FROM events WHERE event_type IS NOT NULL
     ), changes AS (
         SELECT user_id, event_type, ts, event_id
@@ -250,7 +282,8 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS state,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
            strftime(lead(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts NULLS LAST, event_id NULLS LAST),
+                                   ORDER BY ts NULLS LAST, event_id NULLS LAST,
+                                            event_type NULLS LAST),
                     '%Y-%m-%d %H:%M:%S') AS valid_to
     FROM changes
     """,
@@ -269,7 +302,13 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()  # a NULL type is not a state
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+    # event_type tiebreak (r13, mirrored in the oracle): (ts, event_id)
+    # is not total when two NULL event_ids share a timestamp
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
+    )
     changes = (
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev_type", F.lag("event_type").over(w))
@@ -300,9 +339,12 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                stddev_samp(value) AS sd_v
         FROM events GROUP BY 1
     )
+    -- IS NOT DISTINCT FROM (r13): the equality join silently dropped
+    -- every NULL-type event (and the NULL group's stats) — the same
+    -- null-unsafe-join class r11 fixed in q_chi_square
     SELECT e.event_id, e.event_type,
            round((e.value - s.mean_v) / nullif(s.sd_v, 0), 4) AS z
-    FROM events e JOIN stats s USING (event_type)
+    FROM events e JOIN stats s ON e.event_type IS NOT DISTINCT FROM s.event_type
     """,
 )
 def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,8 +373,12 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.stddev_samp("value").alias("sd_v"),
     )
+    # eqNullSafe (r13, mirrored in the oracle): the bare equality join
+    # dropped every NULL-type event from a feature-scaling pass whose
+    # contract is row-aligned output — the q_chi_square r11 class
+    stats = stats.withColumnRenamed("event_type", "__st")
     return (
-        e.join(F.broadcast(stats), "event_type")
+        e.join(F.broadcast(stats), F.col("event_type").eqNullSafe(F.col("__st")))
         .select(
             "event_id",
             "event_type",
@@ -350,8 +396,10 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT user_id, event_type,
+               -- event_type tiebreak (r13): NULL-eid ts ties
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev_type
+                                     ORDER BY ts NULLS LAST, event_id NULLS LAST,
+                                              event_type NULLS LAST) AS prev_type
         FROM events
     )
     SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n,
@@ -372,7 +420,13 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-row AGGREGATE, not the fact table. p_next's division is one IEEE
     op on exact BIGINTs, ordered identically in the oracle."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+    # event_type tiebreak (r13, mirrored in the oracle): (ts, event_id)
+    # is not total when two NULL event_ids share a timestamp
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
+    )
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
@@ -397,7 +451,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- a NULL timestamp has no activity day: the NULL-day spine row
         -- would ride the global running-sum window, whose NULL placement
         -- differs per engine (and is unstable inside DuckDB's window)
-        SELECT * FROM events WHERE ts IS NOT NULL
+        -- user_id IS NOT NULL too (r13): the pooled anonymous bucket
+        -- minted one phantom 'new user' — a NULL key is not an entity
+        SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), days AS (
         SELECT DISTINCT date_trunc('day', ts) AS day FROM e
     ), u AS (
@@ -436,7 +492,9 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys on the entity id (uniform); ints throughout."""
     e = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        # NULL-user events are not an entity (r13) — the pooled bucket
+        # counted as one phantom new user on its first day
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select(F.date_trunc("day", "ts").alias("day"), "user_id", "event_type")
     )
     days = e.select("day").distinct()
@@ -483,8 +541,11 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), med AS (
         SELECT event_type, quantile_cont(cents, 0.5) AS m50 FROM e GROUP BY 1
     ), dev AS (
+        -- IS NOT DISTINCT FROM (r13): the equality joins silently
+        -- dropped the NULL-type group — its median/MAD were computed
+        -- then discarded, leaving untyped events with no fence at all
         SELECT e.event_type, abs(e.cents - m.m50) AS dev
-        FROM e JOIN med m USING (event_type)
+        FROM e JOIN med m ON e.event_type IS NOT DISTINCT FROM m.event_type
     ), mad AS (
         SELECT event_type, quantile_cont(dev, 0.5) AS d50 FROM dev GROUP BY 1
     )
@@ -494,7 +555,9 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_events,
            sum(CASE WHEN dv.dev > 3 * a.d50 THEN 1 ELSE 0 END)::BIGINT
                AS n_anomalies
-    FROM dev dv JOIN mad a USING (event_type) JOIN med m USING (event_type)
+    FROM dev dv
+    JOIN mad a ON dv.event_type IS NOT DISTINCT FROM a.event_type
+    JOIN med m ON dv.event_type IS NOT DISTINCT FROM m.event_type
     GROUP BY 1, m.m50, a.d50
     """,
 )
@@ -526,18 +589,22 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_percentiles(e, ["event_type"], "cents", [0.5], out_prefix="m").select(
         "event_type", F.col("m50")
     )
+    # eqNullSafe joins (r13, mirrored in the oracle): equality joins
+    # dropped the NULL-type group whose median/MAD were just computed —
+    # untyped events (the population most likely malformed) had no fence
+    med = med.withColumnRenamed("event_type", "__mt")
     dev = (
-        e.join(F.broadcast(med), "event_type")
+        e.join(F.broadcast(med), F.col("event_type").eqNullSafe(F.col("__mt")))
         .select(
             "event_type", "m50", F.abs(F.col("cents") - F.col("m50")).alias("dev")
         )
         .localCheckpoint(eager=False)
     )
     mad = exact_percentiles(dev, ["event_type"], "dev", [0.5], out_prefix="d").select(
-        "event_type", F.col("d50")
+        F.col("event_type").alias("__at"), F.col("d50")
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.join(F.broadcast(mad), F.col("event_type").eqNullSafe(F.col("__at")))
         .groupBy("event_type", "m50", "d50")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -560,8 +627,10 @@ def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT event_type AS next,
+               -- event_type tiebreak (r13): NULL-eid ts ties
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id NULLS LAST) AS prev
+                                     ORDER BY ts NULLS LAST, event_id NULLS LAST,
+                                              event_type NULLS LAST) AS prev
         FROM events
     ), edges AS (
         SELECT prev AS src, next AS dst, count(*)::DOUBLE AS w
@@ -622,7 +691,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+    # event_type tiebreak (r13, mirrored in the oracle): (ts, event_id)
+    # is not total when two NULL event_ids share a timestamp
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
+    )
     edges = (
         e.select(
             F.col("event_type").alias("dst_t"),
@@ -664,8 +739,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT round(sum(pow(o - r * c / CAST(n AS DOUBLE), 2)
                      / (r * c / CAST(n AS DOUBLE))), 4) AS chi2,
-           ((count(DISTINCT event_type) - 1)
-            * (count(DISTINCT segment) - 1))::BIGINT AS dof,
+           -- dof counts the NULL categories too (r13): count(DISTINCT)
+           -- skips NULL in both engines, but the chi2 sum above
+           -- deliberately includes the NULL rows/columns (r11 grid fix)
+           -- — excluding them from dof made the (chi2, dof) pair
+           -- statistically inconsistent
+           ((count(DISTINCT event_type)
+             + max(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) - 1)
+            * (count(DISTINCT segment)
+               + max(CASE WHEN segment IS NULL THEN 1 ELSE 0 END) - 1)
+           )::BIGINT AS dof,
            max(n)::BIGINT AS n
     FROM grid
     """,
@@ -715,11 +798,18 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__ot", "__os")
     )
     exp = F.col("r") * F.col("c") / F.col("n").cast("double")
+    # dof counts NULL categories (r13, mirrored in the oracle): the chi2
+    # sum includes the NULL rows/columns, so dof must count them —
+    # countDistinct skips NULLs in both engines
+    n_types = F.countDistinct("event_type") + F.max(
+        F.when(F.col("event_type").isNull(), 1).otherwise(0)
+    )
+    n_segs = F.countDistinct("segment") + F.max(
+        F.when(F.col("segment").isNull(), 1).otherwise(0)
+    )
     return grid.agg(
         F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
-        (
-            (F.countDistinct("event_type") - 1) * (F.countDistinct("segment") - 1)
-        ).cast("long").alias("dof"),
+        ((n_types - 1) * (n_segs - 1)).cast("long").alias("dof"),
         F.max("n").cast("long").alias("n"),
     )
 
@@ -829,8 +919,10 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE e AS (
         SELECT DISTINCT src, dst FROM (
             SELECT event_type AS src,
+                   -- event_type tiebreak (r13): NULL-eid ts ties
                    lead(event_type) OVER (PARTITION BY user_id
-                                          ORDER BY ts NULLS LAST, event_id NULLS LAST) AS dst
+                                          ORDER BY ts NULLS LAST, event_id NULLS LAST,
+                                                   event_type NULLS LAST) AS dst
             FROM events
         ) WHERE dst IS NOT NULL AND src <> dst
     ),
@@ -859,7 +951,13 @@ def q_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs — min(hops) afterwards recovers BFS depth from the walk
     expansion."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+    # event_type tiebreak (r13, mirrored in the oracle): (ts, event_id)
+    # is not total when two NULL event_ids share a timestamp
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
+    )
     edges = (
         e.select(
             F.col("event_type").alias("src"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.money import sum_fixed, to_fixed
 from ..io import load_table
+from ..plans.flagship import GAP_SECONDS
 from ..queries_registry import register
 
 
@@ -44,8 +45,13 @@ def _daily_revenue(e: DataFrame) -> DataFrame:
     WITH daily AS (
         SELECT user_id, date_trunc('day', ts) AS day, value
         FROM events
+        -- value tiebreak (r13): (ts, event_id) is not total when two
+        -- NULL event_ids share a timestamp — 'last value of the day'
+        -- then depended on shuffle arrival order
         QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
-                                   ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+                                   ORDER BY ts DESC NULLS LAST,
+                                            event_id DESC NULLS LAST,
+                                            value DESC NULLS LAST) = 1
     ), bounds AS (
         SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
     ), spine AS (
@@ -74,7 +80,9 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     day" is row_number over (ts, event_id) DESC — a total order."""
     e = load_table(spark, sf_dir, "events")
     wday = Window.partitionBy("user_id", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc(), F.col("event_id").desc(),
+        # value tiebreak (r13, mirrored in the oracle) — NULL-eid ts ties
+        F.col("value").desc_nulls_last(),
     )
     # daily feeds both the per-user bounds aggregate (spine) and the grid
     # join: checkpoint the small one-row-per-(user, day) frame so the
@@ -158,17 +166,24 @@ def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_session_concurrency",
-    oracle="""
+    # gap interpolated from plans/flagship.GAP_SECONDS (r13 — hardcoded
+    # 1800 was the oracle-constant drift class)
+    oracle=f"""
     WITH marked AS (
+        -- user_id IS NOT NULL (r13): ALL anonymous events sessionized as
+        -- ONE pseudo-user (unrelated actors chained into single
+        -- sessions), and count(DISTINCT user_id) then skipped the NULL —
+        -- emitting impossible hours with active_sessions >= 1 and
+        -- active_users = 0. A NULL key is not an entity.
         SELECT user_id, ts, event_id,
                -- row_number = 1, not lag IS NULL (same r11 rule as
                -- q_sessionize_events: trailing NULL-ts rows join the
                -- last session instead of each opening a phantom one)
                CASE WHEN row_number() OVER w = 1
                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                            > 1800 * 1000000
+                            > {GAP_SECONDS} * 1000000
                     THEN 1 ELSE 0 END AS is_new
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
     ), sess AS (
         SELECT user_id,
@@ -203,14 +218,17 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the hour expansion is a map-side ``sequence`` explode over
     each session's [first, last] hour; the final agg keys on the hour
     bucket — time-uniform by construction."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-user events are not an entity (r13, mirrored in the oracle):
+    # the pooled bucket chained unrelated anonymous actors into single
+    # sessions that count_distinct then ignored (active_users = 0 rows)
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     marked = e.select("user_id", "ts", "event_id").withColumn(
         # row_number = 1, not lag IS NULL — the r11 trailing-NULL rule
         "is_new",
         F.when(
-            (F.row_number().over(w) == 1) | (gap_us > 1800 * 1_000_000), 1
+            (F.row_number().over(w) == 1) | (gap_us > GAP_SECONDS * 1_000_000), 1
         ).otherwise(0),
     )
     sess = marked.withColumn(
@@ -266,7 +284,11 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
              + CASE WHEN lag(cents, 7) OVER w IS NULL THEN 0 ELSE 0.0078125 END)
              * 100.0) AS ewma
     FROM e
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id NULLS LAST)
+    -- cents tiebreak (r13): (ts, event_id) is not total when two NULL
+    -- event_ids share a timestamp — the lag chain then depends on
+    -- shuffle arrival order
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts NULLS LAST, event_id NULLS LAST, cents NULLS LAST)
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +308,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", to_fixed("value").alias("cents")
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+    # cents tiebreak (r13, mirrored in the oracle): two NULL-event_id
+    # rows at one ts made the lag chain shuffle-order-dependent
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("cents").asc_nulls_last(),
+    )
     num = F.col("cents") * F.lit(1.0)
     den = F.lit(1.0)
     for d in range(1, 8):
