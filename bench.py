@@ -298,13 +298,19 @@ def _best_prior_timings(sf_val: float | str) -> dict[str, float]:
     return best
 
 
-def _sentinel_normalize(timings: dict[str, float]) -> tuple[float, dict[str, float]]:
-    """(sentinel_sum, per-query seconds / sentinel_sum). The sum uses only
-    sentinels present in `timings`, so a partial artifact (errors, older
-    rounds) still normalizes consistently as long as the same sentinel
-    subset exists on both sides of a comparison — `_vs_prev_normalized`
-    enforces that by recomputing the prior side from the same formula."""
-    ssum = sum(timings[s] for s in SENTINELS if timings.get(s, 0) > 0)
+def _sentinel_normalize(
+    timings: dict[str, float], sentinels: list[str] | None = None
+) -> tuple[float, dict[str, float]]:
+    """(sentinel_sum, per-query seconds / sentinel_sum).
+
+    ``sentinels`` defaults to the full SENTINELS set; the vs_prev channel
+    passes the INTERSECTION of sentinels present in BOTH runs (round-diff
+    review r13): normalizing each side by whatever subset it happened to
+    have would inflate every ratio by a missing sentinel's share — a
+    uniform phantom regression, the exact misclassification this channel
+    exists to prevent."""
+    sset = SENTINELS if sentinels is None else sentinels
+    ssum = sum(timings[s] for s in sset if timings.get(s, 0) > 0)
     if ssum <= 0:
         return 0.0, {}
     return ssum, {
@@ -475,10 +481,24 @@ def main() -> None:
         for k, v in (prior_detail.get("queries") or {}).items()
         if isinstance(v, (int, float)) and v > 0
     }
-    _, prior_normalized = _sentinel_normalize(prior_timings)
+    # SAME sentinel subset on both sides (round-diff review r13): a
+    # sentinel erroring in one run would otherwise shift every ratio by
+    # its share of the sum
+    common = [
+        s for s in SENTINELS
+        if timings.get(s, 0) > 0 and prior_timings.get(s, 0) > 0
+    ]
+    if prior_timings and len(common) < len(SENTINELS):
+        print(
+            f"[bench] sentinel subset mismatch: normalizing both runs by "
+            f"{common} only",
+            file=sys.stderr,
+        )
+    _, cur_norm_common = _sentinel_normalize(timings, common)
+    _, prior_normalized = _sentinel_normalize(prior_timings, common)
     vs_prev_normalized = {
         name: round(nval / prior_normalized[name], 3)
-        for name, nval in normalized.items()
+        for name, nval in cur_norm_common.items()
         if prior_normalized.get(name, 0) > 0
         and round(nval / prior_normalized[name], 3) > 0
     }

@@ -116,7 +116,7 @@ def compact_parquet(
 
         n_part_dirs = len({os.path.dirname(f) for f in list_data_files(data_dir)})
         ideal = n_part_dirs
-        if want > n_part_dirs * 2:
+        if want > n_part_dirs * 2 and not sort_by:
             # intra-partition splitting is out of scope for the default
             # hash-on-pkeys path, so oversized partition files can never
             # be split by plain maintenance — say so instead of silently

@@ -222,7 +222,14 @@ def clustered_scratch_copy(
         st = os.stat(src_path)
         stat_parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
     fp = hashlib.md5(";".join(stat_parts).encode()).hexdigest()[:12]
-    base = prefix + "_" + re.sub(r"\W+", "_", sf_dir).strip("_") + "_"
+    # table belongs in the GC namespace (round-diff review r13): keyed on
+    # (prefix, sf_dir) alone, a second table's LIVE published copy from
+    # the same sf_dir read as a "stale generation" of the first and the
+    # defer-by-one GC below would reclaim it mid-scan
+    base = (
+        prefix + "_" + re.sub(r"\W+", "_", sf_dir).strip("_")
+        + "_" + re.sub(r"\W+", "_", table) + "_"
+    )
     scratch = os.path.join(tempfile.gettempdir(), base + fp)
 
     marker = os.path.join(scratch, "_BUILT")

@@ -128,9 +128,24 @@ def write_jsonl_idempotent(
                     ).cast("long")
                 )
             content_key = F.xxhash64(F.to_json(F.struct(*payload)))
+            # lossy-cast guard (round-diff review r13): a non-numeric key
+            # (string column against an integral ledger) becomes NULL
+            # under the ANSI-off cast — every such row would then collapse
+            # onto ONE NULL ledger key and dedup to a single survivor
+            # (silent data loss). Raise loudly instead, like the overflow
+            # guard above.
+            real_cast = F.when(
+                real.isNotNull() & real.cast(ltype).isNull(),
+                F.raise_error(
+                    F.lit(
+                        "write_jsonl_idempotent: key value does not parse "
+                        "as the existing ledger's integral key type"
+                    )
+                ).cast(ltype),
+            ).otherwise(real.cast(ltype))
             df = df.withColumn(
                 key_col,
-                F.coalesce(real, content_key).cast(ltype),
+                F.coalesce(real_cast, content_key.cast(ltype)),
             )
         else:
             # no content-hash fallback can be expressed in this key type;

@@ -59,7 +59,12 @@ def make_cdc_apply(
         for k in on:
             c = F.col(k).isNotNull()
             key_ok = c if key_ok is None else (key_ok & c)
-        batch_df = batch_df.persist()
+        # keep the PERSISTED handle separate (round-diff review r13):
+        # rebinding batch_df to the filter and unpersisting THAT leaked
+        # one cached batch per micro-batch — unpersist() on a derived
+        # plan does not uncache its parent
+        cached = batch_df.persist()
+        batch_df = cached
         n_null_key = batch_df.filter(~key_ok).count()
         if n_null_key:
             import sys
@@ -106,6 +111,6 @@ def make_cdc_apply(
                 merge_into(spark, target_path, upserts, on)
         finally:
             latest.unpersist()
-            batch_df.unpersist()
+            cached.unpersist()
 
     return apply_batch
