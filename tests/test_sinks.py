@@ -362,3 +362,31 @@ def test_jsonl_idempotent_casts_wider_keys_to_ledger_type(spark, tmp):
     )
     with pytest.raises(Exception, match="exceeds the existing ledger"):
         write_jsonl_idempotent(over, path, ledger)
+
+
+def test_jsonl_idempotent_raises_on_unparseable_key_for_integral_ledger(spark, tmp):
+    """Round-diff review r13: a string key that does not parse as the
+    ledger's integral type became NULL under the ANSI-off cast — every
+    such row collapsed onto one NULL ledger key and deduped to a single
+    survivor (silent data loss). It must fail loudly instead; numeric
+    strings still parse and write."""
+    import os
+
+    import pytest
+
+    from weightlifting_wod_etl_spark.sinks import write_jsonl_idempotent
+
+    path = os.path.join(tmp, "strkey_out")
+    ledger = os.path.join(tmp, "strkey_ledger")
+    spark.createDataFrame([(7,)], "idem_key long").write.parquet(ledger)
+
+    ok = spark.createDataFrame(
+        [("123", "a"), (None, "n1")], "idem_key string, payload string"
+    )
+    assert write_jsonl_idempotent(ok, path, ledger) == 2  # numeric parses
+
+    bad = spark.createDataFrame(
+        [("abc", "x"), ("def", "y")], "idem_key string, payload string"
+    )
+    with pytest.raises(Exception, match="does not parse"):
+        write_jsonl_idempotent(bad, path, ledger)

@@ -1133,3 +1133,28 @@ def test_dedup_stream_batch_fallback_tolerates_map_column(spark):
     rows = {r.event_id: r.image for r in out.collect()}
     assert set(rows) == {1, 2}
     assert rows[1] == {"a": "x"}  # deterministic: JSON-text order, not arrival
+
+
+def test_cdc_apply_batch_leaves_no_cached_frames(spark, tmp_path):
+    """Round-diff review r13: the NULL-key observability change rebound
+    batch_df to its filtered derivative, so the finally-block unpersist
+    ran on an uncached plan and leaked one persisted batch per
+    micro-batch. After apply_batch, nothing may remain cached."""
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    spark.catalog.clearCache()
+    target = str(tmp_path / "cdc_leak")
+    spark.createDataFrame([(1, 10, 1)], "k long, v long, seq long").write.parquet(
+        target
+    )
+    batch = spark.createDataFrame(
+        [(1, 11, 2, "U"), (None, 99, 3, "U"), (2, 20, 4, "U")],
+        "k long, v long, seq long, op long" .replace("op long", "op string"),
+    )
+    make_cdc_apply(target, on=["k"], seq_col="seq")(batch, 7)
+    # the DataFrame cacheManager, not getPersistentRDDs: localCheckpoint
+    # RDDs (merge_into's key-stats frame) legitimately appear in the
+    # latter until GC'd; only df.persist() registrations live here
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "cached batch leaked"
+    )
