@@ -316,3 +316,48 @@ def test_to_fixed_guards_the_scaled_product_not_the_input(spark):
             # a double and cast faithfully, unlike the positive clamp)
             if r.f is not None:
                 assert r.f != lmax and -(2**63) <= r.f <= lmax
+
+
+def test_connected_components_raises_on_null_node_ids(spark):
+    """Review r13 (reproduced): [(NULL,'a'), (NULL,'b')] converged with
+    'a' and 'b' in two clusters although they are one component through
+    the NULL node — the null-unsafe neighbor join never propagates across
+    NULL and the != probe masks the split. Loud failure instead."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="NULL node ids"):
+        connected_components(edges)
+
+
+def test_pagerank_raises_on_nonpositive_out_weight_sum(spark):
+    """Review r13: a zero out-weight sum made w/wout NULL (ANSI off), the
+    NULL contributions were skipped by sum, and the node's out-mass
+    silently vanished (a SQL oracle would propagate NaN instead)."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="sum to <= 0"):
+        pagerank(edges)
+
+
+def test_bloom_semi_join_rejects_nonpositive_num_bits(spark):
+    """Review r13 (reproduced): pmod(hash, 0) is NULL under ANSI-off, so
+    num_bits=0 silently returned an EMPTY result where the docstring
+    promises semi-join equivalence."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.bloomjoin import bloom_semi_join
+
+    fact = spark.createDataFrame([(1,), (2,)], "k long")
+    dim = spark.createDataFrame([(1,)], "k2 long")
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_semi_join(fact, dim, "k", "k2", num_bits=0)

@@ -104,6 +104,13 @@ def bloom_semi_join(
     num_bits) against broadcast size (num_bits / 8 bytes packed); the
     default 4 Mbit costs 512 KB. Results never depend on the rate — the
     exact semi join removes every false positive."""
+    if num_bits < 1:
+        # loud, not empty (review r13, reproduced): pmod(hash, 0) is NULL
+        # under the engine's ANSI-off sessions, every fact row gets a
+        # NULL __bf_word, and the null-unsafe bitmap join silently
+        # returns ZERO rows — violating this docstring's identical-to-
+        # semi-join promise
+        raise ValueError(f"bloom_semi_join: num_bits must be >= 1, got {num_bits}")
     cast_to = _hash_cast(fact, dim, fact_key, dim_key)
     bitmap = (
         _with_slot(dim.select(dim_key), dim_key, num_bits, cast_to)

@@ -52,6 +52,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # NULL node ids break the closure SILENTLY (review r13, reproduced):
+    # the null-unsafe neighbor join never propagates labels across a NULL
+    # node — [(NULL,'a'), (NULL,'b')] converges with 'a' and 'b' in two
+    # different clusters although they are one component through the NULL
+    # node, and the null-unsafe != convergence probe masks the split.
+    # Wrong answers must be loud: one cheap action on the checkpointed
+    # frame before the loop.
+    if not und.filter(F.col("u").isNull() | F.col("v").isNull()).isEmpty():
+        raise ValueError(
+            "connected_components: edge list contains NULL node ids — a "
+            "NULL cannot join to itself, so components linked through it "
+            "would silently split; filter or key NULL-id rows first"
+        )
     labels = und.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -122,6 +135,19 @@ def pagerank(
     if n == 0:  # empty edge frame: no nodes, no ranks (not a 1/n crash)
         return nodes.withColumn("r", F.lit(0.0))
     out_w = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # non-positive out-weight sums corrupt ranks SILENTLY (review r13):
+    # under ANSI-off, w/0 is NULL, the NULL p nulls every contribution
+    # through that source, and F.sum skips them — the node's entire
+    # out-mass quietly vanishes (and a SQL oracle computing 0.0/0.0
+    # propagates NaN instead, splitting engine parity). Weights are
+    # transition counts in every current caller; anything else is a
+    # caller bug worth a loud stop.
+    if not out_w.filter(F.col("wout") <= 0).isEmpty():
+        raise ValueError(
+            "pagerank: a source node's out-edge weights sum to <= 0 — "
+            "its contributions would silently vanish; use positive "
+            "weights (e.g. counts)"
+        )
     norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("p")
     ).localCheckpoint(eager=False)
