@@ -228,6 +228,8 @@ COLD_ADJUDICATED = {
     "q_recursive_reachability",
     "q_resample_ffill",
     "q_data_quality",
+    # r13: wod_pipeline checkpoints the deduped posts frame
+    "q_wod_pipeline",
 } | EAGER
 
 

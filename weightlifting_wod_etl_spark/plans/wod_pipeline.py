@@ -145,9 +145,14 @@ def wod_pipeline(posts: DataFrame) -> DataFrame:
     # input, resolved deterministically by keeping the lexicographically
     # smallest html (NULLS LAST). Partitioned on post_id — the same key
     # every downstream window uses, so the exchange is reused.
+    # lazy localCheckpoint (r13 bench adjudication): stripped feeds BOTH
+    # the sessionizer and the week-start join, and without the checkpoint
+    # each consumer re-executed the dedup window's exchange+sort over the
+    # full-html posts — measured 1.55 s vs 0.99 s at sf0.1 (no-dedup
+    # baseline 0.95 s); the checkpoint makes the dedup effectively free.
     posts = exact_dedup(
         posts, key_cols=["post_id"], order_cols=[F.col("html").asc_nulls_last()]
-    )
+    ).localCheckpoint(eager=False)
     stripped = strip_posts(posts)
     segmented = sessionize_post_text(stripped)
     records = segments_to_records(segmented, stripped)
