@@ -361,3 +361,92 @@ def test_bloom_semi_join_rejects_nonpositive_num_bits(spark):
     dim = spark.createDataFrame([(1,)], "k2 long")
     with pytest.raises(ValueError, match="num_bits"):
         bloom_semi_join(fact, dim, "k", "k2", num_bits=0)
+
+
+def test_multimodal_ids_survive_null_in_batch_above_2_53(spark):
+    """Review r13: a batch containing one NULL media_id arrived in pandas
+    as float64, so astype('Int64') silently corrupted ids >= 2^53 (the
+    float mantissa limit). Ids now travel as strings through the Arrow
+    boundary and parse back exactly."""
+    from weightlifting_wod_etl_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    big = (1 << 53) + 1  # not representable as float64
+    media = spark.createDataFrame(
+        [(big, "image", bytearray(b"x" * 130), {"s": "a"}),
+         (None, "image", bytearray(b"y"), {"s": "b"})],
+        "media_id long, media_type string, payload binary, meta map<string,string>",
+    )
+    feats = {r.media_id for r in extract_features(media).collect()}
+    assert big in feats and None in feats
+    resized = {r.media_id for r in resize_media(media, 4, 4).collect()}
+    assert big in resized and None in resized
+    frames = sample_frames(media, every_n=1).collect()
+    assert {r.media_id for r in frames} == {big, None}
+
+
+def test_extract_features_matches_reference_implementation(spark):
+    """deterministic_fake_features is the SPEC for the self-contained
+    worker closure (which cannot import it) — this equality pin is what
+    keeps the two copies from drifting (review r13: the exported function
+    was otherwise dead code with a misleading docstring)."""
+    from weightlifting_wod_etl_spark.operators.multimodal import (
+        deterministic_fake_features,
+        extract_features,
+    )
+
+    payload = b"reference payload bytes"
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = extract_features(media).collect()[0]
+    want = deterministic_fake_features(payload)
+    import math
+    assert all(
+        math.isclose(a, b, rel_tol=1e-6) for a, b in zip(row.features, want)
+    )
+
+
+def test_sample_frames_digest_matches_concat_form(spark):
+    """Review r13: the O(frames x payload) per-frame re-hash was replaced
+    by an O(1) hashlib state copy — this pins that the digests are still
+    byte-identical to the documented sha256(payload + ':{i}') concat form
+    an external oracle reconstructs."""
+    import hashlib
+
+    from weightlifting_wod_etl_spark.operators.multimodal import sample_frames
+
+    payload = b"f" * 200  # 3 fake frames at 64 bytes/frame
+    media = spark.createDataFrame(
+        [(5, bytearray(payload))], "media_id long, payload binary"
+    )
+    frames = {r.frame_idx: bytes(r.frame_payload)
+              for r in sample_frames(media, every_n=1).collect()}
+    assert frames == {
+        i: hashlib.sha256(payload + f":{i}".encode()).digest() for i in range(3)
+    }
+
+
+def test_avg_fixed_knife_edge_rounding_matches_duckdb_exact(spark):
+    """Review r13 (verified): Spark's round() on a double rounds the
+    SHORTEST decimal repr (round(0.285, 2) = 0.29) while DuckDB rounds
+    the exact binary value (0.28) — 57 cents over 200 rows hit exactly
+    that seam at round_to=4. avg_fixed now decides half-away-from-zero
+    on the exact rational, so both engines agree by construction."""
+    import duckdb
+
+    from weightlifting_wod_etl_spark.functions.money import avg_fixed
+
+    # 200 rows summing to 57 fixed units: 57/200/100 = 0.00285 exactly
+    # (as a rational) -> half-up at round_to=4 gives 0.0029
+    rows = [(0.01,)] * 57 + [(0.0,)] * 143
+    df = spark.createDataFrame(rows, "v double")
+    got = df.agg(avg_fixed("v", round_to=4).alias("a")).collect()[0].a
+    assert got == 0.0029, got
+    # negative mirror: -57/200/100 -> -0.0029 (ties away from zero)
+    neg = spark.createDataFrame([(-v[0],) for v in rows], "v double")
+    got_n = neg.agg(avg_fixed("v", round_to=4).alias("a")).collect()[0].a
+    assert got_n == -0.0029, got_n

@@ -27,10 +27,12 @@ from pyspark.sql import functions as F
 
 # minimal entity table — the ones WordPress titles/content actually emit
 # (reference replaces &#8211; explicitly, transforms.py:57)
-# ORDER MATTERS: '&amp;' must decode LAST. Sequential replacement with amp
-# first double-decodes escaped literals — '&amp;lt;' (an author writing
-# '&lt;' as text) became '<' instead of '&lt;', diverging from the
-# single-pass decode a real parser (and the fidelity mode) performs.
+# ORDER MATTERS: the amp spellings decode LAST (and, since r13, in one
+# simultaneous regex pass — see _AMP_ENTITIES below). Sequential
+# replacement with amp first double-decodes escaped literals —
+# '&amp;lt;' (an author writing '&lt;' as text) became '<' instead of
+# '&lt;', diverging from the single-pass decode a real parser (and the
+# fidelity mode) performs.
 _ENTITIES = {
     "&#8211;": "–",
     "&#8212;": "—",
@@ -50,19 +52,39 @@ _ENTITIES = {
     "&amp;": "&",
 }
 
+# the two amp spellings decode in ONE simultaneous regex pass, not
+# sequential replaces (review r13): any order double-decodes one of
+# '&#038;amp;' / '&amp;#038;' — the '&' minted by the first replace
+# recombines with the trailing 'amp;'/'#038;' and the second replace
+# fires on text it minted itself; a single regexp_replace never rescans
+# its own output. Both loops below SKIP these keys and apply _AMP_RE
+# last; wod_e2e's oracle mirror interpolates the same pattern.
+_AMP_ENTITIES = ("&#038;", "&amp;")
+AMP_RE = "&(amp;|#038;)"
+
 
 def strip_html(html: Column) -> Column:
     """Visible text of an HTML fragment: <br>/<p> → newline, tags dropped,
     entities decoded, blank-run collapse."""
-    # \b after 'br': an attributed break (<br class="wp" />) must still
-    # mint its newline — the old attribute-less pattern let it fall to the
-    # generic tag-delete and two lines silently merged (review r11);
-    # <broken> stays a generic tag (\b fails before a word char)
-    c = F.regexp_replace(html, r"(?i)<br\b[^>]*>", "\n")
-    c = F.regexp_replace(c, r"(?i)</p\s*>", "\n")
+    # attributed breaks (<br class="wp" />) must still mint their
+    # newline while <broken> stays a generic tag (review r11) — hence
+    # the optional non-word-then-anything group.
+    # explicit word-class guard, not \b (r13): Java's \b is
+    # Unicode-aware while RE2's (the oracle engine's) is ASCII-only, so
+    # '<br' followed by an accented letter matched only on one side; the
+    # optional [^>word] group expresses the same boundary in BOTH
+    # engines (RE2 has no lookarounds)
+    c = F.regexp_replace(html, r"(?i)<br([^>a-zA-Z0-9_][^>]*)?>", "\n")
+    # explicit class, not \s (r13, the trim-class fix extended): Java \s
+    # matches \x0B where RE2's does not — '</p\x0B>' minted a newline
+    # here but fell to the generic tag-delete in the oracle
+    c = F.regexp_replace(c, r"(?i)</p[ \t\n\x0B\f\r]*>", "\n")
     c = F.regexp_replace(c, r"<[^>]+>", "")
     for ent, ch in _ENTITIES.items():
+        if ent in _AMP_ENTITIES:
+            continue
         c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, AMP_RE, "&")  # both amp spellings, one pass
     c = F.regexp_replace(c, r"[ \t]*\n[ \t]*", "\n")  # trim around breaks
     c = F.regexp_replace(c, r"\n{2,}", "\n")  # collapse blank lines
     # full whitespace trim — F.trim alone strips spaces but would leave the
@@ -78,8 +100,10 @@ def decode_entities(text: Column) -> Column:
     """Entity decode alone (titles are entity-encoded but tag-free)."""
     c = text
     for ent, ch in _ENTITIES.items():
+        if ent in _AMP_ENTITIES:
+            continue
         c = F.replace(c, F.lit(ent), F.lit(ch))
-    return c
+    return F.regexp_replace(c, AMP_RE, "&")  # one simultaneous amp pass
 
 
 # --- fidelity mode: real parser, Python path ------------------------------
@@ -147,7 +171,12 @@ def strip_html_fidelity(html: Column) -> Column:
             p = _Text()
             p.feed(html_text)
             p.close()
-            text = "".join(p.parts)
+            # convert_charrefs decodes &nbsp; to U+00A0 where the regex
+            # path's entity table emits a plain space — normalize so the
+            # two modes keep their byte-equality contract on WP content
+            # (review r13); the strip() also removes \xa0 consistently
+            # once it is a plain space
+            text = "".join(p.parts).replace("\xa0", " ")
             return nl_runs.sub("\n", ws_around_nl.sub("\n", text)).strip()
 
         return batch.map(lambda v: one(v) if v is not None else None)

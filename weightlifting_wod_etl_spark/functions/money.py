@@ -52,14 +52,27 @@ def sum_fixed(col: Column | str, scale: int = 2) -> Column:
 
 
 def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
-    """Order-free average: exact integer sum / count, then one rounding.
+    """Order-free average: exact integer sum / count, rounded EXACTLY.
 
     The denominator counts the rows ``to_fixed`` actually kept — dividing
     by ``F.count(col)`` counted NaN/Inf/overflow rows that the numerator
     nulls out (review r11: [1.0, NaN] averaged to 0.5), and ``count(*)``
-    would additionally disagree on plain NULLs."""
+    would additionally disagree on plain NULLs.
+
+    The rounding is integer arithmetic, never ``F.round`` on the double
+    quotient (review r13): Spark's round() operates on the SHORTEST
+    decimal representation of the double (round(0.285, 2) = 0.29) while
+    DuckDB rounds the exact binary value (0.28) — a knife-edge quotient
+    like 57/200/100 would hash-split the engines. Here the half-away-
+    from-zero decision is made on the exact rational sum/(count·10^s):
+    floor-divide via pmod, then +1 when the remainder strictly exceeds
+    half the denominator (or ties away from zero). The final division by
+    10^round_to is one exact-int-to-double IEEE op."""
     c = F.col(col) if isinstance(col, str) else col
     fixed = to_fixed(c, scale)
-    return F.round(
-        F.sum(fixed) / F.count(fixed) / F.lit(float(10**scale)), round_to
-    )
+    num = F.sum(fixed) * F.lit(10**round_to)
+    den = F.count(fixed) * F.lit(10**scale)
+    r = F.pmod(num, den)  # 0 <= r < den, exact
+    fdiv = (num - r) / den  # exactly divisible -> exact floor quotient
+    half_up = F.when((2 * r > den) | ((2 * r == den) & (num >= 0)), 1).otherwise(0)
+    return (fdiv + half_up) / F.lit(float(10**round_to))

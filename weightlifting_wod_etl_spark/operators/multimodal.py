@@ -4,9 +4,11 @@ Images/audio/video are opaque ``binary`` columns with typed metadata; the
 Spark-side machinery (schema, Arrow batching, partition-parallel decode) is
 real and tested. The codec step itself is STUBBED: the decode libraries
 (Pillow/ffmpeg/librosa) are not in this container, so ``decode_media``
-raises ``NotImplementedError`` and tests/queries use
-``deterministic_fake_features`` — a sha256-derived feature vector with the
-same shape the real decoder would produce.
+raises ``NotImplementedError``. ``deterministic_fake_features`` — a
+sha256-derived feature vector with the same shape the real decoder would
+produce — is the SPEC for the worker closure inside ``extract_features``
+(which must stay self-contained and cannot import it); a test pins the
+two byte-for-byte so they cannot drift.
 
 Scale notes: feature extraction is ``mapInPandas`` — per-partition Arrow
 batches, so a 1000-executor cluster decodes partitions independently; the
@@ -125,10 +127,17 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
                 u32s.append(int.from_bytes(digest[:4], "big"))
             yield pd.DataFrame(
                 {
-                    # nullable Int64: a NULL media_id arrives as NaN in a
-                    # float64 series, and astype('int64') would kill the
-                    # stage with a non-finite conversion error
-                    "media_id": pdf[id_col].astype("Int64"),
+                    # ids travel as STRINGS through the Arrow boundary
+                    # (review r13): a batch with one NULL id used to
+                    # arrive as float64 and astype('Int64') silently
+                    # corrupted ids >= 2^53; int(str) is exact int64
+                    "media_id": pd.array(
+                        [
+                            None if v is None or pd.isna(v) else int(v)
+                            for v in pdf[id_col]
+                        ],
+                        dtype="Int64",
+                    ),
                     "n_bytes": pd.array(n_bytes, dtype="Int64"),
                     "features": pd.Series(features, dtype="object"),
                     "feature0_u32": pd.array(u32s, dtype="Int64"),
@@ -136,7 +145,8 @@ def extract_features(df: DataFrame, id_col: str = "media_id", payload_col: str =
             )
 
     return df.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(payload_col).alias(payload_col),
     ).mapInPandas(batches, FEATURE_SCHEMA)
 
 
@@ -183,16 +193,25 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             )
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].astype("Int64"),  # nullable: NaN-safe
+                    # string-routed ids (review r13): the float64 NULL-in-
+                    # batch round-trip corrupted ids >= 2^53
+                    "media_id": pd.array(
+                        [
+                            None if v is None or pd.isna(v) else int(v)
+                            for v in pdf["media_id"]
+                        ],
+                        dtype="Int64",
+                    ),
                     "media_type": pdf["media_type"],
                     "payload": pdf["payload"].map(_resize),
                     "meta": meta,
                 }
             )
 
-    return df.select("media_id", "media_type", "payload", "meta").mapInPandas(
-        batches, RESIZED_SCHEMA
-    )
+    return df.select(
+        F.col("media_id").cast("string").alias("media_id"),
+        "media_type", "payload", "meta",
+    ).mapInPandas(batches, RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -241,26 +260,37 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             return out
 
         for pdf in it:
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid_s, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:  # no payload → no frames, not a crash
                     continue
                 raw = bytes(payload)
                 n_frames = max(1, len(raw) // 64)
-                # a NULL media_id (NaN here) yields NULL-keyed frames, not
-                # an int(NaN) stage crash
-                mid = None if pd.isna(media_id) else int(media_id)
+                # ids travel as STRINGS through the Arrow/pandas boundary
+                # (review r13): a batch containing one NULL id arrives as
+                # float64, silently corrupting ids >= 2^53; int(str) is
+                # exact for any int64
+                mid = None if mid_s is None or pd.isna(mid_s) else int(mid_s)
+                # ONE payload hash per row, frames via .copy() (review
+                # r13): sha256(raw + tag) per frame re-hashed the ENTIRE
+                # payload and re-allocated a payload-sized concat per
+                # frame — O(n_frames × payload_bytes), so the docstring's
+                # 10-hour-video row never finished. hashlib state copies
+                # are O(1) and digest-identical to the concat form (the
+                # ':{i}' text tag still lets an external oracle rebuild
+                # each digest by string concat).
+                base = _hashlib.sha256(raw)
                 for i in range(0, n_frames, step):
                     ids.append(mid)
                     idxs.append(i)
-                    # ":{i}" text tag (not raw bytes) so an engine-external
-                    # oracle can reconstruct the digest with string concat
-                    payloads.append(
-                        _hashlib.sha256(raw + f":{i}".encode()).digest()
-                    )
+                    d = base.copy()
+                    d.update(f":{i}".encode())
+                    payloads.append(d.digest())
                     sizes.append(len(raw))
                     if len(ids) >= chunk_rows:
                         yield flush()
         if ids:
             yield flush()
 
-    return df.select("media_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+    return df.select(
+        F.col("media_id").cast("string").alias("media_id"), "payload"
+    ).mapInPandas(batches, FRAME_SCHEMA)
