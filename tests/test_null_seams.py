@@ -131,7 +131,14 @@ _DIRTY_ROWS = {
                 -- while the per-row Spark plan emits one row per physical
                 -- doc, and pins wod_pipeline's duplicate-post dedup
                 (9000003, 'dup pk different text scan join scan', 'en',
-                 'dirty', 37)
+                 'dirty', 37),
+                -- r13: adjacent amp spellings — '&#038;amp;' double-
+                -- decoded to '&' under sequential entity replaces (the
+                -- first replace minted an '&' that recombined with the
+                -- trailing 'amp;'); both engines now decode both amp
+                -- forms in ONE simultaneous regex pass
+                (9000014, 'amp seam &#038;amp; and &amp;#038; tokens',
+                 'en', 'dirty', 41)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """
