@@ -243,7 +243,17 @@ _DIRTY_ROWS = {
                 (8000002, 8, 0, 2, 3.0, 20.00, 0.0, 0.0,
                  'N', 'O', TIMESTAMP '1996-06-02 00:00:00'),
                 (8000002, 8, NULL, 3, 2.0, 10.00, 0.0, 0.0,
-                 'N', 'O', TIMESTAMP '1996-06-03 00:00:00')
+                 'N', 'O', TIMESTAMP '1996-06-03 00:00:00'),
+                -- r13: KNIFE-EDGE average — a 2-row ('Z','Z') group with
+                -- discounts summing to 3 fixed units: 3/2/10^4 = 0.00015,
+                -- whose nearest double's SHORTEST repr is the midpoint.
+                -- Spark round() said 0.0002, DuckDB 0.0001 — the q1
+                -- avg_disc hash split until both sides moved to exact-
+                -- rational rounding (round_ratio_exact)
+                (8000003, 1, 1, 1, 1.0, 10.00, 0.0001, 0.0,
+                 'Z', 'Z', TIMESTAMP '1996-07-01 00:00:00'),
+                (8000003, 1, 1, 2, 1.0, 10.00, 0.0002, 0.0,
+                 'Z', 'Z', TIMESTAMP '1996-07-02 00:00:00')
             ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
                 l_quantity, l_extendedprice, l_discount, l_tax,
                 l_returnflag, l_linestatus, l_shipdate)

@@ -51,6 +51,42 @@ def sum_fixed(col: Column | str, scale: int = 2) -> Column:
     return F.sum(to_fixed(col, scale)) / F.lit(float(10**scale))
 
 
+def round_ratio_exact(num: Column, den: Column, round_to: int) -> Column:
+    """Half-away-from-zero rounding of the INTEGER ratio num/den to
+    ``round_to`` digits, decided on the exact rational — never on the
+    double quotient (r13, reproduced): Spark's round() operates on the
+    SHORTEST decimal representation of a double (round(0.00015, 4) =
+    0.0002) while DuckDB rounds the exact binary value (0.0001), so the
+    two engines split on knife-edge quotients even when the quotient
+    double is bit-identical. decimal(38,0) arithmetic keeps the scaled
+    numerator exact far past int64 (a 100 TB cents sum × 10^4 overflows
+    long). The oracle twin is :func:`oracle_round_ratio_sql`."""
+    t = num.cast("decimal(38,0)") * F.lit(10**round_to)
+    # nullif: a zero denominator must yield NULL (the engines' double
+    # x/0 conventions differ, and DuckDB's integer % 0 RAISES)
+    d = F.nullif(den.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
+    r = F.pmod(t, d)  # 0 <= r < d, exact
+    f = (t - r) / d  # exactly divisible -> exact floor quotient
+    half = F.when((2 * r > d) | ((2 * r == d) & (t >= 0)), 1).otherwise(0)
+    return ((f + half) / F.lit(float(10**round_to))).cast("double")
+
+
+def oracle_round_ratio_sql(num: str, den: str, round_to: int) -> str:
+    """DuckDB SQL mirror of :func:`round_ratio_exact` — generated, never
+    hand-copied (the interpolate-shared-constants rule). HUGEINT keeps
+    the scaled numerator exact; ``//`` on the exactly-divisible operands
+    is an exact floor; validated value-identical to the Spark form on
+    positive/negative/huge ratios."""
+    t = f"(({num})::HUGEINT * {10**round_to})"
+    d = f"(nullif(({den})::HUGEINT, 0))"
+    r = f"((({t} % {d}) + {d}) % {d})"
+    return (
+        f"((({t} - {r}) // {d}"
+        f" + CASE WHEN 2*{r} > {d} OR (2*{r} = {d} AND {t} >= 0)"
+        f" THEN 1 ELSE 0 END) / {float(10**round_to)})::DOUBLE"
+    )
+
+
 def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
     """Order-free average: exact integer sum / count, rounded EXACTLY.
 
@@ -70,9 +106,6 @@ def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
     10^round_to is one exact-int-to-double IEEE op."""
     c = F.col(col) if isinstance(col, str) else col
     fixed = to_fixed(c, scale)
-    num = F.sum(fixed) * F.lit(10**round_to)
-    den = F.count(fixed) * F.lit(10**scale)
-    r = F.pmod(num, den)  # 0 <= r < den, exact
-    fdiv = (num - r) / den  # exactly divisible -> exact floor quotient
-    half_up = F.when((2 * r > den) | ((2 * r == den) & (num >= 0)), 1).otherwise(0)
-    return (fdiv + half_up) / F.lit(float(10**round_to))
+    return round_ratio_exact(
+        F.sum(fixed), F.count(fixed) * F.lit(10**scale), round_to
+    )
