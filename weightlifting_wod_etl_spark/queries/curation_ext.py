@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..functions.money import oracle_round_ratio_sql, round_ratio_exact
 from ..operators.sampling import hash_bucket
 from ..queries_registry import register
 
@@ -137,9 +138,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang, n_tokens, n_distinct,
-           round(1.0 - n_distinct::DOUBLE / n_tokens, 4) AS rep_ratio
+           -- exact-rational rounding (r13, generated): 1 - d/t is the
+           -- integer ratio (t - d)/t, so the round-on-double engine
+           -- split is avoidable
+           __REP_RATIO__ AS rep_ratio
     FROM t WHERE n_tokens > 0
-    """,
+    """.replace(
+        "__REP_RATIO__",
+        oracle_round_ratio_sql("n_tokens - n_distinct", "n_tokens", 4),
+    ),
 )
 def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition score (Gopher-style quality signal):
@@ -175,7 +182,10 @@ def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
-        F.round(1.0 - n_distinct.cast("double") / n_tokens, 4).alias("rep_ratio"),
+        # exact-rational rounding of (t - d)/t (r13, mirrored in the
+        # oracle) — the 1.0 - d/t double form rounds shortest-repr in
+        # Spark but exact-binary in DuckDB at knife edges
+        round_ratio_exact(n_tokens - n_distinct, n_tokens, 4).alias("rep_ratio"),
     )
 
 

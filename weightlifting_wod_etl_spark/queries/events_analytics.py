@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import to_fixed
+from ..functions.money import (
+    oracle_round_ratio_sql,
+    round_ratio_exact,
+    to_fixed,
+)
 from ..io import load_table
 from ..queries_registry import register
 
@@ -220,11 +224,16 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(gap_us)::BIGINT AS n_gaps,
-           round(sum(gap_us) / count(gap_us) / 1000000.0, 6) AS avg_gap_s,
+           -- exact-rational rounding (r13, generated): round() on the
+           -- double quotient splits the engines at knife edges
+           __AVG_GAP__ AS avg_gap_s,
            max(gap_us)::BIGINT AS max_gap_us
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY 1
-    """,
+    """.replace(
+        "__AVG_GAP__",
+        oracle_round_ratio_sql("sum(gap_us)", "count(gap_us) * 1000000", 6),
+    ),
 )
 def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap statistics per user (lag over a total order) — the
@@ -252,9 +261,10 @@ def q_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count("gap_us").alias("n_gaps"),
-        F.round(F.sum("gap_us") / F.count("gap_us") / F.lit(1000000.0), 6).alias(
-            "avg_gap_s"
-        ),
+        # exact-rational rounding (r13, mirrored in the oracle)
+        round_ratio_exact(
+            F.sum("gap_us"), F.count("gap_us") * F.lit(1_000_000), 6
+        ).alias("avg_gap_s"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
 
@@ -403,11 +413,16 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n,
-           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev_type), 6)
-               AS p_next
+           -- exact-rational rounding (r13, generated)
+           __P_NEXT__ AS p_next
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY 1, 2
-    """,
+    """.replace(
+        "__P_NEXT__",
+        oracle_round_ratio_sql(
+            "count(*)", "sum(count(*)) OVER (PARTITION BY prev_type)", 6
+        ),
+    ),
 )
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences
@@ -438,7 +453,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wrow), 6).alias(
+        # exact-rational rounding (r13, mirrored in the oracle)
+        round_ratio_exact(F.col("n"), F.sum("n").over(wrow), 6).alias(
             "p_next"
         ),
     )

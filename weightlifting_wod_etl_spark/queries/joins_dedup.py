@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import to_fixed
+from ..functions.money import oracle_round_ratio_sql, round_ratio_exact, to_fixed
 from ..io import load_table
 from ..operators.asof import asof_join
 from ..operators.bloomjoin import bloom_semi_join
@@ -429,13 +429,17 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(k)::BIGINT AS n_with_k,
-           round(avg(k), 4) AS avg_k,
+           -- exact-rational rounding (r13, generated): avg() rounds a
+           -- double quotient, which splits the engines at knife edges
+           __AVG_K__ AS avg_k,
            max(k)::BIGINT AS max_k
     FROM (
         SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
     )
     GROUP BY event_type
-    """,
+    """.replace(
+        "__AVG_K__", oracle_round_ratio_sql("sum(k)", "count(k)", 4)
+    ),
 )
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics through Spark 4's VARIANT type: parse the
@@ -454,7 +458,8 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n_with_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # exact-rational rounding (r13, mirrored in the oracle)
+            round_ratio_exact(F.sum("k"), F.count("k"), 4).alias("avg_k"),
             F.max("k").cast("long").alias("max_k"),
         )
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import oracle_round_ratio_sql, round_ratio_exact
 from ..io import load_table
 from ..operators.minhash import lsh_candidate_pairs, ngram_jaccard_pairs, simhash_fingerprint
 from ..operators.multimodal import (
@@ -323,19 +324,33 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*)::BIGINT AS n_docs,
-           round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 4) AS avg_tokens,
-           round(sum(length(text))::DOUBLE / count(*), 4) AS avg_chars
+           -- exact-rational rounding (r13, generated)
+           __AVG_TOKENS__ AS avg_tokens,
+           __AVG_CHARS__ AS avg_chars
     FROM documents
     GROUP BY lang
-    """,
+    """.replace(
+        "__AVG_TOKENS__",
+        oracle_round_ratio_sql(
+            "sum(len(string_split(text, ' ')))", "count(*)", 4
+        ),
+    ).replace(
+        "__AVG_CHARS__",
+        oracle_round_ratio_sql("sum(length(text))", "count(*)", 4),
+    ),
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats (exact integer sums / count — order-free)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum(ws_token_count(F.col("text"))) / F.count(F.lit(1)), 4).alias("avg_tokens"),
-        F.round(F.sum(F.length("text")) / F.count(F.lit(1)), 4).alias("avg_chars"),
+        # exact-rational rounding (r13, mirrored in the oracle)
+        round_ratio_exact(
+            F.sum(ws_token_count(F.col("text"))), F.count(F.lit(1)), 4
+        ).alias("avg_tokens"),
+        round_ratio_exact(
+            F.sum(F.length("text")), F.count(F.lit(1)), 4
+        ).alias("avg_chars"),
     )
 
 

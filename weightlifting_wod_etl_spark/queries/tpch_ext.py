@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import to_fixed
+from ..functions.money import oracle_round_ratio_sql, round_ratio_exact, to_fixed
 from ..io import load_table
 from ..queries_registry import register
 
@@ -37,12 +37,10 @@ from ..queries_registry import register
     "q_tpch_q8",
     oracle="""
     SELECT extract(year FROM o.o_orderdate)::BIGINT AS o_year,
-           round(
-             sum(CASE WHEN sn.n_name = 'NATION_7'
-                      THEN round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT
-                      ELSE 0 END)
-             / sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT),
-             6) AS mkt_share
+           -- exact-rational rounding (r13, generated): the share is an
+           -- integer/integer ratio, so the round-on-double engine split
+           -- is avoidable
+           __MKT_SHARE__ AS mkt_share
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
     JOIN customer c  ON o.o_custkey = c.c_custkey
@@ -56,7 +54,16 @@ from ..queries_registry import register
       AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY 1
-    """,
+    """.replace(
+        "__MKT_SHARE__",
+        oracle_round_ratio_sql(
+            "sum(CASE WHEN sn.n_name = 'NATION_7' "
+            "THEN round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT "
+            "ELSE 0 END)",
+            "sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)",
+            6,
+        ),
+    ),
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style national market share: of the revenue on 'LARGE'
@@ -105,7 +112,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(F.sum("nation_fp") / F.sum("rev_fp"), 6).alias("mkt_share")
+            # exact-rational rounding (r13, mirrored in the oracle)
+            round_ratio_exact(
+                F.sum("nation_fp"), F.sum("rev_fp"), 6
+            ).alias("mkt_share")
         )
     )
 
