@@ -98,84 +98,77 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-13 window (tools/rotate_window.py): the r9 straggler
-# q_window_frames (the other r9 straggler, q_window_rank, was RETIRED
-# r13 — duplicate WindowGroupLimit shape vs q_domain_cap /
-# q_lateral_topk) fronts the window, followed by 49 of the 50-query r10
-# tranche. Over-capacity note: 51 candidates for 50 slots, so
-# q_zscore_normalize (the r10 query that sorts last alphabetically)
-# spills one round past the N-2 cutoff and MUST head the r14 window —
-# tools/rotate_window.py ranks it first automatically once
-# CORRECTNESS_r13 lands. CADENCE RULE (r10 verdict #2): under
-# over-capacity the invariant is "stalest-first": the window always
-# fronts never-checked then least-recently-green queries, and the
-# staleness test's over-capacity branch
-# (test_driver_contract_process.py) accepts the bounded overflow as long
-# as the overflow queries are exactly the ones the next rotation fronts.
-# r13 trims the registry to 150 (r12 verdict #5: q_unpivot folded into
-# q_unpivot_measures, q_window_rank retired) — at 150 registered /
-# 50-slot window the revisit cycle is exactly 3 rounds, which fits the
+# Round-14 window (tools/rotate_window.py): q_zscore_normalize (the
+# documented r13 over-capacity spill, last green r10) heads the window,
+# followed by the 49-query r11 tranche. For the first time since the
+# registry reached 150 the overdue set fits the 50-slot window EXACTLY —
+# the over-capacity era ends this round. At 150 registered / 50-slot
+# window the revisit cycle is exactly 3 rounds, which satisfies the
 # 2-round staleness bound at steady state (everything OUTSIDE the window
-# is at most 2 rounds old), so the over-capacity spill ends after the
-# r14 rotation drains q_zscore_normalize. Net-new registrations stay
-# ~0; if a new operator needs driver evidence, retire or merge an
-# existing query in the same commit.
+# is at most 2 rounds old). CADENCE RULE (r10 verdict #2): the window
+# always fronts never-checked then least-recently-green queries
+# (stalest-first); the staleness test
+# (test_driver_contract_process.py) enforces the bound. Net-new
+# registrations stay ~0; if a new operator needs driver evidence, retire
+# or merge an existing query in the same commit (r13 models: q_unpivot
+# folded into q_unpivot_measures, q_window_rank retired as a duplicate
+# WindowGroupLimit shape).
 # the external driver verifies only the FIRST this-many registered
 # queries each round; the rotation tooling and the window-invariant
 # tests all share this single constant
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_window_frames",  # last green r09
-    "q_bigram_lm_score",  # last green r10
-    "q_cms_estimate",  # last green r10
-    "q_cosine_topk",  # last green r10
-    "q_cumulative_distinct",  # last green r10
-    "q_data_quality",  # last green r10
-    "q_date_extract",  # last green r10
-    "q_date_spine",  # last green r10
-    "q_embed_centroid",  # last green r10
-    "q_event_transitions",  # last green r10
-    "q_ewma",  # last green r10
-    "q_explode_lines",  # last green r10
-    "q_fuzzy_dedup",  # last green r10
-    "q_global_topn",  # last green r10
-    "q_group_concat",  # last green r10
-    "q_hll_bound",  # last green r10
-    "q_hll_union",  # last green r10
-    "q_json_fns",  # last green r10
-    "q_lateral_topk",  # last green r10
-    "q_mad_anomaly",  # last green r10
-    "q_map_fns",  # last green r10
-    "q_minhash_lsh",  # last green r10
-    "q_ngram_jaccard",  # last green r10
-    "q_pagerank",  # last green r10
-    "q_quantile_bound",  # last green r10
-    "q_resample_ffill",  # last green r10
-    "q_rolling_range",  # last green r10
-    "q_session_concurrency",  # last green r10
-    "q_sessionize_events",  # last green r10
-    "q_sessionize_text",  # last green r10
-    "q_set_ops",  # last green r10
-    "q_simhash",  # last green r10
-    "q_sliding_window",  # last green r10
-    "q_snapshot_diff",  # last green r10
-    "q_string_fns",  # last green r10
-    "q_tdigest_quantile",  # last green r10
-    "q_tpch_q11",  # last green r10
-    "q_tpch_q12",  # last green r10
-    "q_tpch_q13",  # last green r10
-    "q_tpch_q15",  # last green r10
-    "q_tpch_q16",  # last green r10
-    "q_tpch_q17",  # last green r10
-    "q_tpch_q20",  # last green r10
-    "q_tpch_q21",  # last green r10
-    "q_tpch_q8",  # last green r10
-    "q_tumbling_window",  # last green r10
-    "q_weekly_rollup",  # last green r10
-    "q_weighted_sample",  # last green r10
-    "q_window_dedup",  # last green r10
-    "q_wod_pipeline",  # last green r10 (slot freed by the q_window_rank retirement)
+    "q_zscore_normalize",  # last green r10
+    "q_ann_ivf",  # last green r11
+    "q_ann_lsh_bucket",  # last green r11
+    "q_anti_scalar_sub",  # last green r11
+    "q_asof_join",  # last green r11
+    "q_autocorr",  # last green r11
+    "q_binary_meta",  # last green r11
+    "q_bloom_semi_join",  # last green r11
+    "q_cdc_apply",  # last green r11
+    "q_chi_square",  # last green r11
+    "q_chunk_bounds",  # last green r11
+    "q_collation_group",  # last green r11
+    "q_corpus_mixture",  # last green r11
+    "q_count_distinct",  # last green r11
+    "q_curation_pipeline",  # last green r11
+    "q_dataset_split",  # last green r11
+    "q_date_fns",  # last green r11
+    "q_decimal_agg",  # last green r11
+    "q_decontaminate",  # last green r11
+    "q_doc_fingerprint",  # last green r11
+    "q_domain_cap",  # last green r11
+    "q_dup_clusters",  # last green r11
+    "q_embed_neardup",  # last green r11
+    "q_frame_sample",  # last green r11
+    "q_full_outer",  # last green r11
+    "q_gini",  # last green r11
+    "q_hash_sample",  # last green r11
+    "q_interval_join",  # last green r11
+    "q_intradoc_repetition",  # last green r11
+    "q_linreg_trend",  # last green r11
+    "q_media_resize",  # last green r11
+    "q_mode_per_group",  # last green r11
+    "q_null_semantics",  # last green r11
+    "q_nullsafe_join",  # last green r11
+    "q_pii_redact",  # last green r11
+    "q_pruned_scan",  # last green r11
+    "q_range_join",  # last green r11
+    "q_recursive_reachability",  # last green r11
+    "q_rolling_hash",  # last green r11
+    "q_rollup_time",  # last green r11
+    "q_semi_join",  # last green r11
+    "q_sequence_pack",  # last green r11
+    "q_set_ops_all",  # last green r11
+    "q_skyline",  # last green r11
+    "q_stratified_sample",  # last green r11
+    "q_streaks",  # last green r11
+    "q_token_chunks",  # last green r11
+    "q_token_topk",  # last green r11
+    "q_union_by_name",  # last green r11
+    "q_unpivot_measures",  # last green r11
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
