@@ -179,6 +179,30 @@ def test_compact_partitioned_converges_and_no_ops_thereafter(spark, tmp_path):
     assert out.count() == 500 and out.filter("date IS NULL").count() == 0
 
 
+def test_compact_partitioned_oversize_warns_instead_of_silent_noop(
+    spark, tmp_path, capfd
+):
+    """r13 advice (regression pin): a partitioned table without sort_by
+    can only converge to one-file-per-partition-dir — when files are far
+    over target the default path can never split them, so it must SAY so
+    (the remedy is the sort_by path) instead of silently no-opping on
+    every maintenance run forever."""
+    from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+
+    path = str(tmp_path / "oversize")
+    spark.createDataFrame(
+        [(k, f"d{k % 2}", k * 1.0) for k in range(200)],
+        "k long, date string, v double",
+    ).coalesce(1).write.partitionBy("date").parquet(path)
+    # 2 partition dirs; a 1-byte target makes want >> n_part_dirs * 2
+    compact_parquet(spark, path, target_file_bytes=1)
+    err = capfd.readouterr().err
+    assert "cannot" in err and "sort_by" in err
+    # the sort_by path IS the remedy — same request must not warn
+    compact_parquet(spark, path, target_file_bytes=1, sort_by=["k"])
+    assert "cannot" not in capfd.readouterr().err
+
+
 def test_compact_explicit_sort_request_always_runs(spark, tmp_path):
     """Review r12: the early no-op guard returned before an explicitly
     requested sort_by clustering pass / stats_cols index publication —

@@ -1109,6 +1109,34 @@ def test_cdc_apply_null_key_changes_are_replay_idempotent(spark, tmp_path):
     assert rows == [(1, "base"), (2, "ins")]  # no NULL-key duplicates ever
 
 
+def test_cdc_apply_null_key_drop_is_counted_on_stderr(spark, tmp_path, capfd):
+    """r13 advice (regression pin): NULL-key change rows are dropped as
+    unaddressable, but a corrupted feed silently shrinking is hard to
+    detect downstream — the drop must be COUNTED and logged per batch.
+    Asserts the stderr line carries the batch id and the exact count."""
+    import os
+
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    target = os.path.join(str(tmp_path), "cdc_nullkey_count")
+    spark.createDataFrame([(1, "base")], "k long, v string").write.parquet(target)
+    batch = spark.createDataFrame(
+        [(None, "U", 1, "a"), (None, "D", 2, "b"), (2, "U", 1, "ins")],
+        "k long, op string, seq long, v string",
+    )
+    apply_batch = make_cdc_apply(target, on=["k"], seq_col="seq", op_col="op")
+    apply_batch(batch, 7)
+    err = capfd.readouterr().err
+    assert "batch 7 dropped 2 NULL-key change row(s)" in err
+    # a clean batch must NOT log — the counter is a corruption signal,
+    # not per-batch noise
+    clean = spark.createDataFrame(
+        [(3, "U", 1, "c")], "k long, op string, seq long, v string"
+    )
+    apply_batch(clean, 8)
+    assert "batch 8" not in capfd.readouterr().err
+
+
 def test_dedup_stream_batch_fallback_tolerates_map_column(spark):
     """Review r12 (reproduced): the batch fallback ordered by every
     non-key column bare — a MapType column made the window ORDER BY
