@@ -138,7 +138,35 @@ _DIRTY_ROWS = {
                 -- trailing 'amp;'); both engines now decode both amp
                 -- forms in ONE simultaneous regex pass
                 (9000014, 'amp seam &#038;amp; and &amp;#038; tokens',
-                 'en', 'dirty', 41)
+                 'en', 'dirty', 41),
+                -- r14 knife-edge jaccard group: two docs engineered so
+                -- exact 4-gram Jaccard = 5257/20000 = 0.26285, whose
+                -- double sits strictly below the displayed midpoint —
+                -- Spark's shortest-repr round half-ups to 0.2629 while
+                -- DuckDB's multiply-then-round lands 0.2628, so any
+                -- round()-on-double jaccard hash-splits the engines.
+                -- round_ratio_exact decides the tie on the exact
+                -- rational (away from zero -> 0.2629 both sides).
+                -- Construction: 5260 shared prefix tokens = 5257 shared
+                -- shingles; 7372/7371 unique tail tokens make the union
+                -- exactly 20000. All tokens unique, so shingle counts
+                -- are exact and no other doc pairs with these. Negative
+                -- ids keep the pair inside q_ngram_jaccard's doc_id < 150
+                -- candidate window (and re-probe the negative-modulo pin).
+                (-15,
+                 array_to_string(list_transform(range(1, 5261),
+                                                i -> 'kc' || i), ' ')
+                 || ' ' ||
+                 array_to_string(list_transform(range(1, 7373),
+                                                i -> 'ka' || i), ' '),
+                 'en', 'dirty', 80000),
+                (-16,
+                 array_to_string(list_transform(range(1, 5261),
+                                                i -> 'kc' || i), ' ')
+                 || ' ' ||
+                 array_to_string(list_transform(range(1, 7372),
+                                                i -> 'kb' || i), ' '),
+                 'en', 'dirty', 80000)
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """

@@ -179,9 +179,24 @@ def _pairs_within(ids_col: str) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays."""
+    """Exact Jaccard over two distinct-element arrays (unrounded double)."""
     inter = F.size(F.array_intersect(a, b))
     return inter / (F.size(a) + F.size(b) - inter)
+
+
+def jaccard_rounded(a: Column, b: Column, round_to: int = 4) -> Column:
+    """Jaccard rounded half-away-from-zero on the EXACT rational (r14,
+    the r13 round()-on-double hazard class): |∩| and |∪| are integers,
+    so a knife-edge quotient like 3/20000 = 0.00015 rounds differently
+    per engine when decided on the double — Spark half-ups the shortest
+    decimal repr (0.0002), DuckDB rounds the exact binary (0.0001).
+    ``round_ratio_exact`` decides on integer arithmetic; oracles mirror
+    via ``oracle_round_ratio_sql`` over the same len()/list_intersect
+    operands."""
+    from ..functions.money import round_ratio_exact
+
+    inter = F.size(F.array_intersect(a, b))
+    return round_ratio_exact(inter, F.size(a) + F.size(b) - inter, round_to)
 
 
 def _capped_bucket_pairs(
@@ -280,7 +295,7 @@ def lsh_candidate_pairs(
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jaccard_rounded(F.col("sh_a"), F.col("sh_b"), 4).alias("jaccard"))
     )
 
 
@@ -319,7 +334,7 @@ def ngram_jaccard_pairs(
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jaccard_rounded(F.col("sh_a"), F.col("sh_b"), 4).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 

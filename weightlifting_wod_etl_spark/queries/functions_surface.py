@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.expr import let
+from ..functions.money import oracle_round_ratio_sql, round_ratio_exact
 from ..io import load_table
 from ..queries_registry import register
 
@@ -224,16 +225,30 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            dense_rank() OVER w::BIGINT AS drnk,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
+           -- percent_rank/cume_dist are INTEGER ratios ((rank-1)/(n-1),
+           -- peers≤/n): rebuilt from rank + partition counts and rounded
+           -- on the exact rational (r14, the round()-on-double class) —
+           -- count(*) OVER w uses the default RANGE frame, which
+           -- includes all peers of the current row, exactly cume_dist's
+           -- numerator
+           CASE WHEN count(*) OVER wp > 1
+                THEN __PCT_RANK__ ELSE 0.0 END AS pct_rank,
+           __CUME__ AS cume,
            nth_value(o_orderkey, 10) OVER w::BIGINT AS tenth_key
     FROM orders
     -- NULLS LAST pinned both sides: a NULL price inside a real
     -- priority partition otherwise ranks FIRST in Spark and LAST in
     -- DuckDB, shifting every rank (caught by the r11 dirty rows)
     WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST)
-    """,
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST),
+           wp AS (PARTITION BY o_orderpriority)
+    """.replace(
+        "__PCT_RANK__",
+        oracle_round_ratio_sql("rank() OVER w - 1", "count(*) OVER wp - 1", 6),
+    ).replace(
+        "__CUME__",
+        oracle_round_ratio_sql("count(*) OVER w", "count(*) OVER wp", 6),
+    ),
 )
 def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface: dense_rank / percent_rank / cume_dist /
@@ -243,10 +258,17 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone query, q_window_rank, was retired r13 as a duplicate
     WindowGroupLimit shape).
 
-    All four share a single WINDOW clause — one Exchange + one sort serve
-    every function. The orderkey tiebreak makes the order total, so the
-    RANGE-framed nth_value/cume_dist see identical peer groups in both
-    engines; percent_rank's (rank−1)/(n−1) is one exact IEEE division."""
+    All functions share a single WINDOW partitioning — one Exchange + one
+    sort serve every ordered function, plus an unordered partition count
+    over the same Exchange.
+
+    percent_rank/cume_dist are INTEGER ratios ((rank−1)/(n−1), peers≤/n)
+    rounded to 6 digits — the r13 round()-on-double hazard class — so
+    they are rebuilt from rank + partition counts and rounded on the
+    exact rational via ``round_ratio_exact`` (r14). ``count(*)`` over the
+    ordered window uses the default RANGE frame, which includes every
+    peer of the current row: exactly cume_dist's numerator. A single-row
+    partition pins pct_rank to 0.0, matching both engines' built-in."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -254,11 +276,17 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").asc_nulls_last(),
         F.col("o_orderkey").asc_nulls_last(),
     )
+    wp = Window.partitionBy("o_orderpriority")
+    n = F.count(F.lit(1)).over(wp)
+    rnk = F.rank().over(w)
+    peers_le = F.count(F.lit(1)).over(w)
     return o.select(
         "o_orderkey",
         "o_orderpriority",
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.when(n > 1, round_ratio_exact(rnk - 1, n - 1, 6))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        round_ratio_exact(peers_le, n, 6).alias("cume"),
         F.nth_value("o_orderkey", 10).over(w).cast("bigint").alias("tenth_key"),
     )

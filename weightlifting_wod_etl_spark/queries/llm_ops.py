@@ -111,13 +111,23 @@ def _valid_embeddings(emb: DataFrame) -> DataFrame:
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-                 (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+           __JACCARD_EXACT__ AS jaccard
     FROM cand c
     JOIN shingled sa ON sa.doc_id = c.doc_a
     JOIN shingled sb ON sb.doc_id = c.doc_b
-    """,
+    """.replace(
+        # exact-rational jaccard rounding (r14, the r13 round()-on-double
+        # class): |∩| and |∪| are integers, so the quotient can sit on a
+        # knife edge (3/20000 = 0.00015) where the engines' double
+        # rounding splits — generated, never hand-copied
+        "__JACCARD_EXACT__",
+        oracle_round_ratio_sql(
+            "len(list_intersect(sa.shingles, sb.shingles))",
+            "len(sa.shingles) + len(sb.shingles)"
+            " - len(list_intersect(sa.shingles, sb.shingles))",
+            4,
+        ),
+    ),
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands×2) candidate pairs with exact-Jaccard verify.
@@ -189,14 +199,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, jaccard FROM (
         SELECT c.doc_a, c.doc_b,
-               round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-                     (len(sa.shingles) + len(sb.shingles)
-                      - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+               __JACCARD_EXACT__ AS jaccard
         FROM cand c
         JOIN shingled sa ON sa.doc_id = c.doc_a
         JOIN shingled sb ON sb.doc_id = c.doc_b
     ) WHERE jaccard >= 0.2
-    """,
+    """.replace(
+        # same exact-rational jaccard rounding as q_minhash_lsh (r14)
+        "__JACCARD_EXACT__",
+        oracle_round_ratio_sql(
+            "len(list_intersect(sa.shingles, sb.shingles))",
+            "len(sa.shingles) + len(sb.shingles)"
+            " - len(list_intersect(sa.shingles, sb.shingles))",
+            4,
+        ),
+    ),
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 4-gram Jaccard pairs (no LSH) on a doc subset — the baseline
@@ -613,12 +630,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label::BIGINT AS label, (i - 1)::BIGINT AS pos,
-           round(sum(round(e[i] * 1000000)::BIGINT)
-                 / count(*) / 1000000.0, 6) AS c,
+           -- micros/(count·10⁶): an integer ratio whose count factor
+           -- makes the rational repeat — exact-rational rounding (r14)
+           __CENTROID__ AS c,
            count(*)::BIGINT AS n_vecs
     FROM x
     GROUP BY 1, 2
-    """,
+    """.replace(
+        "__CENTROID__",
+        oracle_round_ratio_sql(
+            "sum(round(e[i] * 1000000)::BIGINT)", "count(*) * 1000000", 6
+        ),
+    ),
 )
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid in long format — the class prototype
@@ -643,12 +666,13 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pos.groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(
-            F.round(
-                # cast BEFORE the multiply: float32 × int would stay single
-                # precision in Spark while the oracle multiplies doubles
-                F.sum(F.round(F.col("val").cast("double") * 1000000).cast("long"))
-                / F.count(F.lit(1))
-                / F.lit(1000000.0),
+            # cast BEFORE the multiply: float32 × int would stay single
+            # precision in Spark while the oracle multiplies doubles.
+            # micros/(count·10⁶) repeats whenever count has a factor
+            # other than 2/5 — exact-rational rounding (r14)
+            round_ratio_exact(
+                F.sum(F.round(F.col("val").cast("double") * 1000000).cast("long")),
+                F.count(F.lit(1)) * F.lit(1000000),
                 6,
             ).alias("c"),
             F.count(F.lit(1)).alias("n_vecs"),

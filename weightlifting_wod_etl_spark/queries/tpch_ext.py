@@ -343,13 +343,18 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- count(l_quantity), NOT count(*): the numerator sum skips NULL
     -- quantities, so a count(*) divisor deflated the per-part average
     -- (the r11 avg_fixed defect class, oracle-mirrored here — r12)
-    SELECT round(
-             sum(round(l.l_extendedprice * 100)::BIGINT) / 100.0 / 7.0,
-             2) AS avg_yearly
+    -- cents/700 carries a factor 7, so unlike the exact cents/100 class
+    -- the quotient is a repeating decimal — exact-rational rounding (r14)
+    SELECT __AVG_YEARLY__ AS avg_yearly
     FROM lineitem l
     JOIN part_avg a ON l.l_partkey = a.l_partkey
     WHERE round(l.l_quantity * 100)::BIGINT * 5 * a.n < a.qty_cents_sum
-    """,
+    """.replace(
+        "__AVG_YEARLY__",
+        oracle_round_ratio_sql(
+            "sum(round(l.l_extendedprice * 100)::BIGINT)", "700", 2
+        ),
+    ),
 )
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-style small-quantity-order revenue: yearly-averaged
@@ -393,8 +398,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_fixed("l_quantity") * F.lit(5) * F.col("n") < F.col("qty_cents_sum")
         )
         .agg(
-            F.round(
-                F.sum(to_fixed("l_extendedprice")) / F.lit(100.0) / F.lit(7.0), 2
+            # cents/700 is NOT the exact cents/100 class (the factor 7
+            # makes the rational repeat): decide the half-away rounding
+            # on the exact integer ratio, mirrored in the oracle (r14)
+            round_ratio_exact(
+                F.sum(to_fixed("l_extendedprice")), F.lit(700), 2
             ).alias("avg_yearly")
         )
     )
