@@ -1,0 +1,82 @@
+"""Boundary behavior of the exact-rational rounding helper (r14).
+
+VERDICT r13 #5 named the decimal(38,0) boundary as a hostile class:
+Spark types decimal(38,0)/decimal(38,0) as decimal(38,6) — only 32
+integral digits — so the exact floor quotient silently NULLed once
+|num·10^s/den| reached 10^32 (reproduced at num = 10^33, den = 3,
+round_to = 4), while the DuckDB twin kept returning values up to
+HUGEINT's ~1.7e38. A silent NULL in a money path is the
+silent-wrong-answer class the engine guards loudly everywhere else.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weightlifting_wod_etl_spark.functions.money import (
+    oracle_round_ratio_sql,
+    round_ratio_exact,
+)
+
+
+def _ratio(spark, num: int, den: int, round_to: int = 4):
+    df = spark.createDataFrame([(str(num), str(den))], "n string, d string")
+    return df.select(
+        round_ratio_exact(
+            F.col("n").cast("decimal(38,0)"),
+            F.col("d").cast("decimal(38,0)"),
+            round_to,
+        ).alias("r")
+    ).collect()[0].r
+
+
+def test_round_ratio_exact_matches_oracle_through_1e27(spark):
+    """Values across the realistic domain (a 100 TB cents sum is ~1e18;
+    1e27 is nine orders beyond it) must match the DuckDB twin exactly."""
+    import duckdb
+
+    for num, den in [
+        (3, 20000),            # the r13 knife-edge midpoint
+        (5257, 20000),         # the r14 jaccard dirty-group midpoint
+        (-5257, 20000),        # negative tie goes away from zero
+        (10**18, 7),           # long-scale cents sum
+        (10**27, 999999937),   # far past int64, huge prime denominator
+    ]:
+        got = _ratio(spark, num, den)
+        want = duckdb.sql(
+            "SELECT " + oracle_round_ratio_sql(str(num), str(den), 4)
+        ).fetchone()[0]
+        assert got == want, (num, den, got, want)
+
+
+def test_round_ratio_exact_raises_loudly_past_decimal_domain(spark):
+    """Past ~10^32 on the scaled quotient the decimal division overflows;
+    the helper must RAISE, never return the silent NULL it used to."""
+    with pytest.raises(Exception, match="round_ratio_exact"):
+        _ratio(spark, 10**33, 3)
+
+
+def test_round_ratio_exact_huge_denominator_tie_is_exact(spark):
+    """The tie test is r vs d−r, not 2·r vs d: 2·r overflows
+    decimal(38,0) for den > 5·10^37 and the NULL comparison silently
+    picked half = 0. num/den = 1/2 at a denominator near the cap must
+    still round away from zero."""
+    den = 2 * 10**37
+    num = 10**27  # quotient 5e-11 -> scaled 5e-7 ... pick a true tie:
+    # num·10^4/den = 1/2 exactly: num = den/(2·10^4) = 10^33
+    got = _ratio(spark, 10**33, den)
+    assert got == 0.0001  # 0.00005 ties away from zero at 4 digits
+
+
+def test_round_ratio_exact_zero_and_null_denominator_stay_null(spark):
+    assert _ratio(spark, 123, 0) is None
+    df = spark.createDataFrame([(None, None)], "n string, d string")
+    r = df.select(
+        round_ratio_exact(
+            F.col("n").cast("decimal(38,0)"),
+            F.col("d").cast("decimal(38,0)"),
+            4,
+        ).alias("r")
+    ).collect()[0].r
+    assert r is None

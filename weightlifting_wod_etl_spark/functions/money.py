@@ -66,9 +66,27 @@ def round_ratio_exact(num: Column, den: Column, round_to: int) -> Column:
     # x/0 conventions differ, and DuckDB's integer % 0 RAISES)
     d = F.nullif(den.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
     r = F.pmod(t, d)  # 0 <= r < d, exact
+    # Spark types decimal(38,0)/decimal(38,0) as decimal(38,6) — only 32
+    # integral digits — so the exact floor quotient silently NULLs once
+    # |num·10^s/den| ≥ 10^32 (r14 boundary probe, reproduced at num =
+    # 10^33, den = 3). Guarded loudly below; the tie test is written as
+    # r vs d−r (both already in [0, d)) because 2·r itself can overflow
+    # decimal(38,0) for den > 5·10^37 and a NULL comparison would
+    # silently pick half = 0.
     f = (t - r) / d  # exactly divisible -> exact floor quotient
-    half = F.when((2 * r > d) | ((2 * r == d) & (t >= 0)), 1).otherwise(0)
-    return ((f + half) / F.lit(float(10**round_to))).cast("double")
+    half = F.when((r > d - r) | ((r == d - r) & (t >= 0)), 1).otherwise(0)
+    out = ((f + half) / F.lit(float(10**round_to))).cast("double")
+    return F.when(
+        num.isNotNull() & d.isNotNull() & out.isNull(),
+        F.raise_error(
+            F.lit(
+                "round_ratio_exact: scaled ratio exceeds the decimal(38) "
+                "domain (|num*10^s/den| must stay below 10^32) — a "
+                "quotient that large has no meaningful 10^-s rounding "
+                "in a double anyway; widen or rescale the inputs"
+            )
+        ).cast("double"),
+    ).otherwise(out)
 
 
 def oracle_round_ratio_sql(num: str, den: str, round_to: int) -> str:
