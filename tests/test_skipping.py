@@ -349,3 +349,60 @@ def test_clustered_scratch_copy_builds_once_and_gcs_stale_generations(
         assert os.path.exists(d2)
     finally:
         tempfile.tempdir = None
+
+
+def test_source_fingerprint_is_order_invariant_and_path_keyed(tmp_path):
+    """Review r14: the fingerprint must hash a SORTED walk of relative
+    paths — the inline predecessor used os.walk's unsorted dir order and
+    basenames only, so (a) the same bytes could fingerprint differently
+    between runs (spawning a spurious generation each time), and (b) two
+    same-named files in different subdirs were indistinguishable, so
+    swapping their contents kept the fingerprint and served a stale
+    clustered copy."""
+    import os
+    import shutil
+
+    from weightlifting_wod_etl_spark.operators.skipping import (
+        _source_fingerprint,
+    )
+
+    src = tmp_path / "t.parquet"
+    (src / "a=1").mkdir(parents=True)
+    (src / "a=2").mkdir()
+    (src / "a=1" / "part-0.parquet").write_bytes(b"xx")
+    (src / "a=2" / "part-0.parquet").write_bytes(b"yyy")
+    fp1 = _source_fingerprint(str(src))
+    assert fp1 == _source_fingerprint(str(src))  # deterministic
+
+    # same basenames, same sizes, same mtimes — but files live in
+    # SWAPPED subdirs: a basename-keyed fingerprint cannot tell these
+    # apart; the relpath-keyed one must
+    swapped = tmp_path / "s.parquet"
+    shutil.copytree(src, swapped)
+    a1 = swapped / "a=1" / "part-0.parquet"
+    a2 = swapped / "a=2" / "part-0.parquet"
+    tmp = swapped / "hold"
+    a1.rename(tmp)
+    a2.rename(a1)
+    tmp.rename(a2)
+    # equalize mtimes so only the path→size mapping differs
+    st = os.stat(src / "a=1" / "part-0.parquet")
+    for p in [src / "a=1" / "part-0.parquet", src / "a=2" / "part-0.parquet",
+              a1, a2]:
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert _source_fingerprint(str(src)) != _source_fingerprint(str(swapped))
+
+
+def test_compact_empty_table_is_a_noop(spark, tmp_path):
+    """Review r14: compact on a table with zero data files used to fall
+    through to spark.read.parquet, which fails schema inference on an
+    empty dir — maintenance over an empty table must no-op, not raise."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.compact import compact_parquet
+
+    path = str(tmp_path / "empty")
+    os.makedirs(path)
+    assert compact_parquet(spark, path) == (0, 0)
+    # an explicit clustering request over nothing is equally a no-op
+    assert compact_parquet(spark, path, sort_by=["k"]) == (0, 0)

@@ -93,6 +93,11 @@ def compact_parquet(
     ``sort_by``: the clustered columns are exactly the prunable ones)."""
     data_dir = resolve(path)
     before, total = dir_stats(data_dir)
+    if before == 0:
+        # empty table (review r14): there is nothing to rewrite, and
+        # spark.read.parquet on a data-file-less dir fails schema
+        # inference — so the old path raised instead of no-opping
+        return 0, 0
     want = max(1, math.ceil(total / target_file_bytes))
     pkeys = _partition_keys(data_dir)
     # No-op rules (review r12 — the old `before <= want + 1` guard was

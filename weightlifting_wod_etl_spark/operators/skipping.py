@@ -181,6 +181,31 @@ def load_stats_index(data_dir: str) -> list[dict] | None:
     ]
 
 
+def _source_fingerprint(src_path: str, fallback_name: str = "src") -> str:
+    """Content-generation fingerprint of a source file or directory:
+    md5 over every file's (relative path, size, mtime_ns), walked in a
+    SORTED order. Review r14: the inline predecessor iterated os.walk's
+    unsorted directory order and keyed on basenames alone — on a
+    filesystem that lists dirs differently between runs the same bytes
+    hashed to a different fingerprint, spawning a spurious "generation"
+    per run (each deferring the last one's GC), and two same-named files
+    in different subdirs were indistinguishable."""
+    import hashlib
+
+    stat_parts = []
+    for root, dirs, files in os.walk(src_path):
+        dirs.sort()
+        for fn in sorted(files):
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            rel = os.path.relpath(full, src_path)
+            stat_parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    if not stat_parts and os.path.exists(src_path):
+        st = os.stat(src_path)
+        stat_parts.append(f"{fallback_name}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5(";".join(stat_parts).encode()).hexdigest()[:12]
+
+
 def clustered_scratch_copy(
     spark,
     sf_dir: str,
@@ -207,21 +232,12 @@ def clustered_scratch_copy(
         copy in tempdir forever — and so are crashed builders' leftover
         ``.tmp.<pid>`` staging dirs.
     """
-    import hashlib
     import re
     import shutil
     import tempfile
 
     src_path = os.path.join(sf_dir, f"{table}.parquet")
-    stat_parts = []
-    for root, _dirs, files in os.walk(src_path):
-        for fn in sorted(files):
-            st = os.stat(os.path.join(root, fn))
-            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
-    if not stat_parts and os.path.exists(src_path):
-        st = os.stat(src_path)
-        stat_parts.append(f"{table}:{st.st_size}:{st.st_mtime_ns}")
-    fp = hashlib.md5(";".join(stat_parts).encode()).hexdigest()[:12]
+    fp = _source_fingerprint(src_path, fallback_name=table)
     # table belongs in the GC namespace (round-diff review r13): keyed on
     # (prefix, sf_dir) alone, a second table's LIVE published copy from
     # the same sf_dir read as a "stale generation" of the first and the

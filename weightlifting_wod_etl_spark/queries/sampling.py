@@ -233,9 +233,15 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_toks").desc(), F.col("doc_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = d.withColumn(
-        "bin_id", ((F.sum("n_toks").over(w) - F.col("n_toks")) / F.lit(2048)).cast("bigint")
-    )
+    # `div`, not `/ ... cast(bigint)` (review r14): the running token sum
+    # is an exact long, but `/` is DOUBLE division — past 2^53 the rounded
+    # quotient can land a hair above an integer and truncate into the
+    # NEXT bin, while the oracle's `//` divides the exact integer. The
+    # per-(lang, bucket) token total at advertised scale is the same
+    # silently-inexact-at-scale class as q_gini's int64 wrap (r13).
+    packed = d.withColumn("run", F.sum("n_toks").over(w)).withColumn(
+        "bin_id", F.expr("(run - n_toks) div 2048")
+    ).drop("run")
     return packed.groupBy("lang", "pack_bucket", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("sum_tokens"),
