@@ -1186,3 +1186,15 @@ def test_cdc_apply_batch_leaves_no_cached_frames(spark, tmp_path):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "cached batch leaked"
     )
+
+
+def test_cdc_apply_empty_key_list_is_refused_at_build_time():
+    """Review r14: an empty `on` used to die mid-stream inside the first
+    micro-batch with an opaque TypeError from the NULL-key filter — the
+    precondition must be named when the sink is BUILT."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    with pytest.raises(ValueError, match="at least one key column"):
+        make_cdc_apply("/tmp/nowhere", on=[], seq_col="seq")

@@ -43,6 +43,12 @@ def make_cdc_apply(
     ``target_path``. Rows keep every column except ``op_col``/``seq_col``
     when written."""
 
+    if not on:
+        # fail at build time with the actual precondition (review r14):
+        # an empty key list otherwise dies mid-stream inside the first
+        # micro-batch with an opaque TypeError from the key filter below
+        raise ValueError("make_cdc_apply: `on` must name at least one key column")
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # NULL-key changes are UNADDRESSABLE and break replay idempotence
