@@ -80,3 +80,32 @@ def test_round_ratio_exact_zero_and_null_denominator_stay_null(spark):
         ).alias("r")
     ).collect()[0].r
     assert r is None
+
+
+def test_round_ratio_exact_negative_denominator_is_sign_normalized(spark):
+    """Review r14 (reproduced): every step of the helper assumes d > 0 —
+    with a negative denominator Spark's pmod and the oracle's
+    ((t%d)+d)%d return DIFFERENT residue conventions, and both rounded
+    wrongly (7/-3 at 4 digits: Spark -2.3332, DuckDB -2.3334, true
+    -2.3333; 1/-2 gave -0.4999 in both). The fix multiplies num and den
+    by sign(den) — exact — so both engines now agree with the true
+    half-away-from-zero rounding of the exact rational."""
+    import decimal
+
+    import duckdb
+
+    for num, den in [
+        (7, -3),
+        (-7, -3),
+        (1, -2),
+        (3, -20000),           # knife-edge midpoint, negative side
+        (5257, -20000),        # the jaccard dirty midpoint, negative den
+        (10**18, -7),          # long-scale magnitude
+    ]:
+        got = _ratio(spark, num, den)
+        want = duckdb.sql(
+            "SELECT " + oracle_round_ratio_sql(str(num), str(den), 4)
+        ).fetchone()[0]
+        q = decimal.Decimal(num) * 10**4 / decimal.Decimal(den)
+        true = float(q.to_integral_value(rounding=decimal.ROUND_HALF_UP)) / 10**4
+        assert got == want == true, (num, den, got, want, true)

@@ -61,10 +61,20 @@ def round_ratio_exact(num: Column, den: Column, round_to: int) -> Column:
     double is bit-identical. decimal(38,0) arithmetic keeps the scaled
     numerator exact far past int64 (a 100 TB cents sum × 10^4 overflows
     long). The oracle twin is :func:`oracle_round_ratio_sql`."""
-    t = num.cast("decimal(38,0)") * F.lit(10**round_to)
+    # Sign-normalize FIRST (review r14, reproduced): every step below
+    # assumes d > 0 — with a negative denominator Spark's pmod and the
+    # oracle's ((t%d)+d)%d return DIFFERENT residue conventions, and both
+    # rounded wrongly (7/-3 at 4 digits: Spark -2.3332, DuckDB -2.3334,
+    # true -2.3333; 1/-2 gave -0.4999 in both). num/den == (-num)/(-den)
+    # exactly, so flip both when den < 0; negation on decimal(38,0) is
+    # exact.
+    n0 = num.cast("decimal(38,0)")
+    d0 = den.cast("decimal(38,0)")
+    n1 = F.when(d0 < 0, -n0).otherwise(n0)
+    t = n1 * F.lit(10**round_to)
     # nullif: a zero denominator must yield NULL (the engines' double
     # x/0 conventions differ, and DuckDB's integer % 0 RAISES)
-    d = F.nullif(den.cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
+    d = F.nullif(F.abs(d0), F.lit(0).cast("decimal(38,0)"))
     r = F.pmod(t, d)  # 0 <= r < d, exact
     # Spark types decimal(38,0)/decimal(38,0) as decimal(38,6) — only 32
     # integral digits — so the exact floor quotient silently NULLs once
@@ -95,8 +105,13 @@ def oracle_round_ratio_sql(num: str, den: str, round_to: int) -> str:
     the scaled numerator exact; ``//`` on the exactly-divisible operands
     is an exact floor; validated value-identical to the Spark form on
     positive/negative/huge ratios."""
-    t = f"(({num})::HUGEINT * {10**round_to})"
-    d = f"(nullif(({den})::HUGEINT, 0))"
+    # sign-normalized like the Spark twin (review r14): the % + tie logic
+    # below assumes d > 0; see round_ratio_exact
+    t = (
+        f"((CASE WHEN ({den}) < 0 THEN -(({num})::HUGEINT) "
+        f"ELSE ({num})::HUGEINT END) * {10**round_to})"
+    )
+    d = f"(nullif(abs(({den})::HUGEINT), 0))"
     r = f"((({t} % {d}) + {d}) % {d})"
     return (
         f"((({t} - {r}) // {d}"
