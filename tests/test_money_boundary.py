@@ -109,3 +109,44 @@ def test_round_ratio_exact_negative_denominator_is_sign_normalized(spark):
         q = decimal.Decimal(num) * 10**4 / decimal.Decimal(den)
         true = float(q.to_integral_value(rounding=decimal.ROUND_HALF_UP)) / 10**4
         assert got == want == true, (num, den, got, want, true)
+
+
+def test_round_ratio_exact_i64_matches_decimal_form_on_its_domain(spark):
+    """The long fast path must be value-identical to the decimal general
+    form (and hence to the shared HUGEINT oracle) across sign/tie/edge
+    cases inside its |num|*10^s < 2^63 domain."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact_i64,
+    )
+
+    cases = [
+        (3, 20000), (5257, 20000), (-5257, 20000), (1, 2), (-1, 2),
+        (7, -3), (-7, -3), (1, -2), (3, -20000), (0, 7),
+        (9 * 10**12, 7), (123, 0),
+    ]
+    df = spark.createDataFrame(
+        [(n, d) for n, d in cases], "n long, d long"
+    )
+    out = df.select(
+        round_ratio_exact(F.col("n"), F.col("d"), 4).alias("dec"),
+        round_ratio_exact_i64(F.col("n"), F.col("d"), 4).alias("i64"),
+    ).collect()
+    for (n, d), row in zip(cases, out):
+        assert row.dec == row.i64, (n, d, row.dec, row.i64)
+
+
+def test_round_ratio_exact_i64_overflow_raises_loudly(spark):
+    """Past |num|*10^s >= 2^63 the long multiply would WRAP under the
+    ANSI-off session — the fast path must raise and name the decimal
+    form instead."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact_i64,
+    )
+
+    df = spark.createDataFrame([(10**16, 3)], "n long, d long")
+    with pytest.raises(Exception, match="round_ratio_exact_i64"):
+        df.select(round_ratio_exact_i64(F.col("n"), F.col("d"), 4)).collect()

@@ -99,6 +99,40 @@ def round_ratio_exact(num: Column, den: Column, round_to: int) -> Column:
     ).otherwise(out)
 
 
+def round_ratio_exact_i64(num: Column, den: Column, round_to: int) -> Column:
+    """int64 fast path of :func:`round_ratio_exact` for ratios whose
+    SCALED numerator provably fits a long (|num|·10^round_to < 2^63) —
+    pure long arithmetic inside whole-stage codegen, where the
+    decimal(38,0) general form costs ~5x per row (r14 adjudication:
+    q_rank_fns 0.39 s → 3.59 s after the decimal migration; this form
+    measures 0.62 s, faster than even the SizeBasedWindowFunction
+    builtins it replaced). Same half-away-from-zero-on-the-exact-rational
+    semantics and the same :func:`oracle_round_ratio_sql` twin (HUGEINT
+    arithmetic is value-identical on this domain). The domain is guarded
+    LOUDLY — an out-of-range numerator raises instead of wrapping under
+    the ANSI-off long multiply (use the decimal form for cents-sum-scale
+    numerators). Sign-normalizes den like the general form."""
+    scale = 10**round_to
+    bound = (2**63 - 1) // scale
+    d0 = den.cast("long")
+    n_sign = F.when(d0 < 0, -num.cast("long")).otherwise(num.cast("long"))
+    guarded = F.when(
+        F.abs(n_sign) > F.lit(bound),
+        F.raise_error(
+            F.lit(
+                "round_ratio_exact_i64: |num|*10^s overflows int64 — "
+                "use round_ratio_exact (decimal) for this domain"
+            )
+        ).cast("long"),
+    ).otherwise(n_sign)
+    t = guarded * F.lit(scale)
+    d = F.nullif(F.abs(d0), F.lit(0).cast("long"))
+    r = F.pmod(t, d)  # 0 <= r < d, exact on longs
+    f = F.call_function("div", t - r, d)  # exactly divisible -> exact floor
+    half = F.when((r > d - r) | ((r == d - r) & (t >= 0)), 1).otherwise(0)
+    return ((f + half) / F.lit(float(scale))).cast("double")
+
+
 def oracle_round_ratio_sql(num: str, den: str, round_to: int) -> str:
     """DuckDB SQL mirror of :func:`round_ratio_exact` — generated, never
     hand-copied (the interpolate-shared-constants rule). HUGEINT keeps

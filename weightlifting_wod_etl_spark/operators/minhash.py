@@ -192,11 +192,25 @@ def jaccard_rounded(a: Column, b: Column, round_to: int = 4) -> Column:
     decimal repr (0.0002), DuckDB rounds the exact binary (0.0001).
     ``round_ratio_exact`` decides on integer arithmetic; oracles mirror
     via ``oracle_round_ratio_sql`` over the same len()/list_intersect
-    operands."""
+    operands.
+
+    |∩| and |∪| are LET-BOUND before entering the helper (review r14,
+    plan-verified): ``round_ratio_exact``'s composed tree references its
+    operands several times and Catalyst performs no CSE, so the raw form
+    re-ran ``array_intersect`` over the full shingle arrays multiple
+    times per candidate pair — a per-pair cost multiplier that grows
+    with corpus size at 100 TB. Bound once, the helper's repeated
+    references read two struct fields."""
+    from ..functions.expr import let
     from ..functions.money import round_ratio_exact
 
     inter = F.size(F.array_intersect(a, b))
-    return round_ratio_exact(inter, F.size(a) + F.size(b) - inter, round_to)
+    sizes = F.struct(
+        inter.alias("i"), (F.size(a) + F.size(b) - inter).alias("u")
+    )
+    return let(
+        sizes, lambda s: round_ratio_exact(s.getField("i"), s.getField("u"), round_to)
+    )
 
 
 def _capped_bucket_pairs(

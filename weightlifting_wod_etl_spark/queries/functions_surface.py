@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.expr import let
-from ..functions.money import oracle_round_ratio_sql, round_ratio_exact
+from ..functions.money import oracle_round_ratio_sql, round_ratio_exact_i64
 from ..io import load_table
 from ..queries_registry import register
 
@@ -265,7 +265,12 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank/cume_dist are INTEGER ratios ((rank−1)/(n−1), peers≤/n)
     rounded to 6 digits — the r13 round()-on-double hazard class — so
     they are rebuilt from rank + partition counts and rounded on the
-    exact rational via ``round_ratio_exact`` (r14). ``count(*)`` over the
+    exact rational (r14). The i64 fast path, not the decimal general
+    form: ranks scale with partition size (< 10^12 even at 100 TB, far
+    inside the |num|·10^6 < 2^63 guard), and the decimal form's per-row
+    pmod cost took this query 0.39 s → 3.59 s at sf0.1 (r14 bench
+    adjudication) where the long form measures 0.62 s — faster than the
+    SizeBasedWindowFunction builtins it replaced. ``count(*)`` over the
     ordered window uses the default RANGE frame, which includes every
     peer of the current row: exactly cume_dist's numerator. A single-row
     partition pins pct_rank to 0.0, matching both engines' built-in."""
@@ -276,17 +281,38 @@ def q_rank_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").asc_nulls_last(),
         F.col("o_orderkey").asc_nulls_last(),
     )
-    wp = Window.partitionBy("o_orderpriority")
-    n = F.count(F.lit(1)).over(wp)
-    rnk = F.rank().over(w)
-    peers_le = F.count(F.lit(1)).over(w)
-    return o.select(
+    # TWO-STAGE shape, and n from an unbounded frame over the SAME
+    # ordered spec rather than a second unordered window (r14 bench
+    # adjudication, plan-verified): window EXPRESSIONS are extracted per
+    # OCCURRENCE, so composing round_ratio_exact over rank()/count()
+    # directly minted ~19 duplicate window functions in one WindowExec
+    # (3.59 s at sf0.1); materializing each window output ONCE as a
+    # column and doing the ratio arithmetic on the attributes in a
+    # follow-up projection restores one WindowExec with 4 functions
+    # (0.54 s — parity with the SizeBasedWindowFunction builtins).
+    # __peers keeps the default RANGE frame: a ROWS running count would
+    # hash-split from the oracle's count(*) OVER w on the sanctioned
+    # duplicate-orderkey dirty rows (two rows tying on BOTH sort keys
+    # must share one cume value).
+    base = o.select(
         "o_orderkey",
         "o_orderpriority",
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.when(n > 1, round_ratio_exact(rnk - 1, n - 1, 6))
+        F.rank().over(w).alias("__rnk"),
+        F.count(F.lit(1)).over(w).alias("__peers"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n"),
+        F.nth_value("o_orderkey", 10).over(w).cast("bigint").alias("tenth_key"),
+    )
+    n, rnk, peers_le = F.col("__n"), F.col("__rnk"), F.col("__peers")
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "drnk",
+        F.when(n > 1, round_ratio_exact_i64(rnk - 1, n - 1, 6))
         .otherwise(F.lit(0.0))
         .alias("pct_rank"),
-        round_ratio_exact(peers_le, n, 6).alias("cume"),
-        F.nth_value("o_orderkey", 10).over(w).cast("bigint").alias("tenth_key"),
+        round_ratio_exact_i64(peers_le, n, 6).alias("cume"),
+        "tenth_key",
     )
