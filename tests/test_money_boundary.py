@@ -212,3 +212,36 @@ def test_round_ratio_exact_randomized_against_fraction_ground_truth(spark):
             "SELECT " + oracle_round_ratio_sql(str(n), str(d), 4)
         ).fetchone()[0]
         assert row.dec == row.i64 == want == truth, (n, d, row.dec, row.i64, want, truth)
+
+
+def test_round_ratio_exact_i64_domain_edge_no_wrap(spark):
+    """Review r14 (self-review of the r14 helper): the first i64 cut
+    computed floor as div(t - r, d), and |t - r| reaches |t| + d ≈ 2^64
+    when num and den both sit near the long edge — a silent ANSI-off
+    wrap. floor is now trunc-div with a negative-inexact adjustment
+    (div(t, d) cannot overflow). Pin the exact edge: round_to=0,
+    num = -(2^63-1), den = 2^63-2 → true quotient ≈ -1.0000000002,
+    half-away rounds to -1.0 (the wrapped form returned a garbage
+    magnitude ~1.8e19/d)."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact_i64,
+    )
+
+    cases = [
+        (-(2**63 - 1), 2**63 - 2),
+        (2**63 - 1, -(2**63 - 2)),
+        (-(2**63 - 1), 2**63 - 1),   # exactly -1
+        (2**63 - 1, 2**63 - 1),      # exactly 1
+    ]
+    df = spark.createDataFrame(cases, "n long, d long")
+    out = df.select(
+        "n", "d", round_ratio_exact_i64(F.col("n"), F.col("d"), 0).alias("r")
+    ).collect()
+    for row in out:
+        q = decimal.Decimal(row.n) / decimal.Decimal(row.d)
+        true = float(q.to_integral_value(rounding=decimal.ROUND_HALF_UP))
+        assert row.r == true, (row.n, row.d, row.r, true)

@@ -128,7 +128,14 @@ def round_ratio_exact_i64(num: Column, den: Column, round_to: int) -> Column:
     t = guarded * F.lit(scale)
     d = F.nullif(F.abs(d0), F.lit(0).cast("long"))
     r = F.pmod(t, d)  # 0 <= r < d, exact on longs
-    f = F.call_function("div", t - r, d)  # exactly divisible -> exact floor
+    # floor = trunc-div, minus 1 for inexact negative quotients — NEVER
+    # via div(t - r, d): |t - r| can reach |t| + d ≈ 2^64 when both
+    # operands sit near the long domain edge (round_to=0, num near
+    # -(2^63-1), den near 2^63) and the subtraction would WRAP silently
+    # under the ANSI-off session; div(t, d) itself cannot overflow
+    f = F.call_function("div", t, d) - F.when(
+        (t < 0) & (r != 0), F.lit(1)
+    ).otherwise(F.lit(0))
     half = F.when((r > d - r) | ((r == d - r) & (t >= 0)), 1).otherwise(0)
     return ((f + half) / F.lit(float(scale))).cast("double")
 
