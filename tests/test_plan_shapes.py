@@ -718,3 +718,21 @@ def test_partitioned_layout_prunes_partitions_at_plan_time(spark, tmp_path):
     # evaluation, the directories simply aren't listed
     assert one_day.count() > 0
     assert one_day.count() < full.count() / 3
+
+
+def test_rank_fns_one_window_node_no_duplicated_functions(spark, sf_dir):
+    """r14 regression pin: composing round_ratio_exact directly over
+    rank()/count() window functions minted ~19 duplicate window
+    expressions inside one WindowExec (window expressions extract per
+    OCCURRENCE, no CSE) — 0.39 s → 3.59 s at sf0.1. The two-stage shape
+    must keep ONE Window node over ONE exchange with each window
+    function computed once (a handful of _we aliases, never ~19)."""
+    import re
+
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    plan = _plan(QUERIES["q_rank_fns"](spark, sf_dir))
+    assert plan.count("Window ") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    n_we = len(set(re.findall(r"_we\d+", plan)))
+    assert n_we <= 6, f"window expressions duplicated again: {n_we} _we aliases"
