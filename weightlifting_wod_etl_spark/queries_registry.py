@@ -98,15 +98,17 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-14 window (tools/rotate_window.py): q_zscore_normalize (the
-# documented r13 over-capacity spill, last green r10) heads the window,
-# followed by the 49-query r11 tranche. For the first time since the
-# registry reached 150 the overdue set fits the 50-slot window EXACTLY —
-# the over-capacity era ends this round. At 150 registered / 50-slot
-# window the revisit cycle is exactly 3 rounds, which satisfies the
-# 2-round staleness bound at steady state (everything OUTSIDE the window
-# is at most 2 rounds old). CADENCE RULE (r10 verdict #2): the window
-# always fronts never-checked then least-recently-green queries
+# Round-15 window (tools/rotate_window.py): the 49-query r12 tranche —
+# everything last driver-green in r12, now at the 2-round staleness
+# cutoff (the exact set the r14 staleness-test failure message printed:
+# q_pivot_wide, q_tpch_q1 ... q_canonical_rep) — plus q_bigram_lm_score
+# (the alphabetically-first of the r13 tranche, stalest-first rule) in
+# the 50th slot. This window also re-oracles q_rank_fns end-to-end after
+# its r14 two-stage-window rewrite (ADVICE r14 #2). At 150 registered /
+# 50-slot window the revisit cycle is exactly 3 rounds, which satisfies
+# the 2-round staleness bound at steady state (everything OUTSIDE the
+# window is at most 2 rounds old). CADENCE RULE (r10 verdict #2): the
+# window always fronts never-checked then least-recently-green queries
 # (stalest-first); the staleness test
 # (test_driver_contract_process.py) enforces the bound. Net-new
 # registrations stay ~0; if a new operator needs driver evidence, retire
@@ -119,56 +121,56 @@ from .queries import (  # noqa: E402,F401
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_zscore_normalize",  # last green r10
-    "q_ann_ivf",  # last green r11
-    "q_ann_lsh_bucket",  # last green r11
-    "q_anti_scalar_sub",  # last green r11
-    "q_asof_join",  # last green r11
-    "q_autocorr",  # last green r11
-    "q_binary_meta",  # last green r11
-    "q_bloom_semi_join",  # last green r11
-    "q_cdc_apply",  # last green r11
-    "q_chi_square",  # last green r11
-    "q_chunk_bounds",  # last green r11
-    "q_collation_group",  # last green r11
-    "q_corpus_mixture",  # last green r11
-    "q_count_distinct",  # last green r11
-    "q_curation_pipeline",  # last green r11
-    "q_dataset_split",  # last green r11
-    "q_date_fns",  # last green r11
-    "q_decimal_agg",  # last green r11
-    "q_decontaminate",  # last green r11
-    "q_doc_fingerprint",  # last green r11
-    "q_domain_cap",  # last green r11
-    "q_dup_clusters",  # last green r11
-    "q_embed_neardup",  # last green r11
-    "q_frame_sample",  # last green r11
-    "q_full_outer",  # last green r11
-    "q_gini",  # last green r11
-    "q_hash_sample",  # last green r11
-    "q_interval_join",  # last green r11
-    "q_intradoc_repetition",  # last green r11
-    "q_linreg_trend",  # last green r11
-    "q_media_resize",  # last green r11
-    "q_mode_per_group",  # last green r11
-    "q_null_semantics",  # last green r11
-    "q_nullsafe_join",  # last green r11
-    "q_pii_redact",  # last green r11
-    "q_pruned_scan",  # last green r11
-    "q_range_join",  # last green r11
-    "q_recursive_reachability",  # last green r11
-    "q_rolling_hash",  # last green r11
-    "q_rollup_time",  # last green r11
-    "q_semi_join",  # last green r11
-    "q_sequence_pack",  # last green r11
-    "q_set_ops_all",  # last green r11
-    "q_skyline",  # last green r11
-    "q_stratified_sample",  # last green r11
-    "q_streaks",  # last green r11
-    "q_token_chunks",  # last green r11
-    "q_token_topk",  # last green r11
-    "q_union_by_name",  # last green r11
-    "q_unpivot_measures",  # last green r11
+    "q_argmax_events",  # last green r12
+    "q_array_fns",  # last green r12
+    "q_bigram_topk",  # last green r12
+    "q_canonical_rep",  # last green r12
+    "q_clean_normalize",  # last green r12
+    "q_corr_stats",  # last green r12
+    "q_cube",  # last green r12
+    "q_dedup_antijoin",  # last green r12
+    "q_dedup_exact",  # last green r12
+    "q_event_gap_stats",  # last green r12
+    "q_funnel_conversion",  # last green r12
+    "q_grouping_sets",  # last green r12
+    "q_histogram",  # last green r12
+    "q_kv_upsert_dedup",  # last green r12
+    "q_lang_id",  # last green r12
+    "q_limit_offset",  # last green r12
+    "q_min_cost_supplier",  # last green r12
+    "q_multimodal_features",  # last green r12
+    "q_ntile_bucket",  # last green r12
+    "q_passage_dedup",  # last green r12
+    "q_percentile",  # last green r12
+    "q_pivot_wide",  # last green r12
+    "q_quality_score",  # last green r12
+    "q_rank_fns",  # last green r12; rewritten r14 -> re-oracle (ADVICE r14 #2)
+    "q_regex_filter",  # last green r12
+    "q_retention_cohort",  # last green r12
+    "q_rollup",  # last green r12
+    "q_scalar_subquery",  # last green r12
+    "q_scan_project",  # last green r12
+    "q_scd2_snapshot",  # last green r12
+    "q_skew_agg",  # last green r12
+    "q_skew_join",  # last green r12
+    "q_text_stats",  # last green r12
+    "q_tfidf_topk",  # last green r12
+    "q_token_count",  # last green r12
+    "q_tpch_q1",  # last green r12
+    "q_tpch_q10",  # last green r12
+    "q_tpch_q14",  # last green r12
+    "q_tpch_q18",  # last green r12
+    "q_tpch_q19",  # last green r12
+    "q_tpch_q3",  # last green r12
+    "q_tpch_q4",  # last green r12
+    "q_tpch_q5",  # last green r12
+    "q_tpch_q6",  # last green r12
+    "q_tpch_q7",  # last green r12
+    "q_tpch_q9",  # last green r12
+    "q_trigram_entropy",  # last green r12
+    "q_variant_json",  # last green r12
+    "q_weighted_median",  # last green r12
+    "q_bigram_lm_score",  # last green r13 (spare slot, stalest-first)
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
