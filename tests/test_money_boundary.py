@@ -198,15 +198,13 @@ def test_round_ratio_exact_randomized_against_fraction_ground_truth(spark):
         half = Fraction(1, 2)
         fl = q.numerator // q.denominator
         frac = q - fl
-        if frac > half or (frac == half and q >= 0):
+        # half-away-from-zero on the exact rational, floats never touched
+        if frac > half:
             k = fl + 1
-        elif frac == half and q < 0:
-            k = fl  # away from zero for negatives = more negative... 
+        elif frac == half:
+            k = fl + 1 if q >= 0 else fl
         else:
             k = fl
-        # half-away-from-zero on the exact rational, floats never touched
-        if frac == half:
-            k = fl + 1 if q >= 0 else fl
         truth = float(k) / 10**4
         want = duck.sql(
             "SELECT " + oracle_round_ratio_sql(str(n), str(d), 4)
@@ -245,3 +243,23 @@ def test_round_ratio_exact_i64_domain_edge_no_wrap(spark):
         q = decimal.Decimal(row.n) / decimal.Decimal(row.d)
         true = float(q.to_integral_value(rounding=decimal.ROUND_HALF_UP))
         assert row.r == true, (row.n, row.d, row.r, true)
+
+
+def test_round_ratio_exact_i64_long_min_operands_raise(spark):
+    """Advisory r14: Long.MIN is its own negation under the ANSI-off
+    session, so abs(-2^63) wraps back to -2^63 and the magnitude guard
+    FAILED OPEN — num=-2^63 silently returned 0.0 (MIN/3) and den=-2^63
+    a wrong residue (MIN/MIN -> 0.0001) instead of raising. The guard
+    now tests the RAW operands for the edge before any negation."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact_i64,
+    )
+
+    for n, d in [(-(2**63), 3), (5, -(2**63)), (-(2**63), -(2**63))]:
+        df = spark.createDataFrame([(n, d)], "n long, d long")
+        with pytest.raises(Exception, match="round_ratio_exact_i64"):
+            df.select(
+                round_ratio_exact_i64(F.col("n"), F.col("d"), 4)
+            ).collect()

@@ -114,13 +114,21 @@ def round_ratio_exact_i64(num: Column, den: Column, round_to: int) -> Column:
     numerators). Sign-normalizes den like the general form."""
     scale = 10**round_to
     bound = (2**63 - 1) // scale
+    n0 = num.cast("long")
     d0 = den.cast("long")
-    n_sign = F.when(d0 < 0, -num.cast("long")).otherwise(num.cast("long"))
+    # Long.MIN is its own negation under the ANSI-off session: both
+    # -(-2^63) and abs(-2^63) wrap back to -2^63, so the magnitude guard
+    # below FAILS OPEN for either operand at exactly -2^63 (advisory
+    # r14: MIN/3 silently returned 0.0, MIN/MIN a wrong residue). Test
+    # the RAW operands for the edge before any negation can wrap.
+    long_min = F.lit(-(2**63)).cast("long")
+    n_sign = F.when(d0 < 0, -n0).otherwise(n0)
     guarded = F.when(
-        F.abs(n_sign) > F.lit(bound),
+        (F.abs(n_sign) > F.lit(bound)) | (n0 == long_min) | (d0 == long_min),
         F.raise_error(
             F.lit(
-                "round_ratio_exact_i64: |num|*10^s overflows int64 — "
+                "round_ratio_exact_i64: |num|*10^s overflows int64 (or "
+                "an operand is -2^63, whose abs/negation wraps) — "
                 "use round_ratio_exact (decimal) for this domain"
             )
         ).cast("long"),
