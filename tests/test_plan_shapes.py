@@ -736,3 +736,43 @@ def test_rank_fns_one_window_node_no_duplicated_functions(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     n_we = len(set(re.findall(r"_we\d+", plan)))
     assert n_we <= 6, f"window expressions duplicated again: {n_we} _we aliases"
+
+
+def test_no_query_duplicates_window_expressions_engine_wide(spark, sf_dir):
+    """r15 (VERDICT r14 #2): generalize the q_rank_fns pin into a sweep.
+    Catalyst extracts window expressions per OCCURRENCE with no CSE, so
+    composing a multi-reference helper (round_ratio_exact, coalesce+
+    isNull pairs, ...) directly over a window function silently mints
+    duplicate _we chains inside WindowExec — the class behind the r14
+    q_rank_fns 4.35x regression and q_ewma's 14-for-7 lag extraction
+    (fixed r15 by two-staging). Build every registered query's physical
+    plan and bound the distinct _we count so the NEXT
+    helper-over-window-function migration fails THIS test, not a bench.
+
+    Allowlist: q_event_transitions composes directly over lead() by
+    sanction — its window runs on a <=36-row event_type x event_type
+    aggregate (r14 audit), where duplication costs nanoseconds and the
+    two-stage rewrite would cost more in code than it saves.
+    """
+    import re
+
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    SANCTIONED = {
+        # windows a <=36-row aggregate; duplication is free there
+        "q_event_transitions": 40,
+    }
+    BOUND = 8
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        if "Window" not in plan:
+            continue
+        n_we = len(set(re.findall(r"_we\d+", plan)))
+        if n_we > SANCTIONED.get(name, BOUND):
+            offenders[name] = n_we
+    assert not offenders, (
+        f"window expressions duplicated (> {BOUND} distinct _we aliases; "
+        f"per-occurrence extraction, no CSE — two-stage the projection "
+        f"or let-bind the operand): {offenders}"
+    )

@@ -315,13 +315,27 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").asc_nulls_last(),
         F.col("cents").asc_nulls_last(),
     )
+    # Two-stage (r15 window-duplication sweep): each lag is referenced
+    # TWICE below (num term + den presence test), and window expressions
+    # extract per OCCURRENCE with no CSE — composed directly, the plan
+    # carried 14 _we chains for 7 lags. Stage 1 materializes each lag
+    # once as a Window output attribute; stage 2's arithmetic then reads
+    # plain attributes (a Project above a Window node cannot be inlined
+    # back into the extraction).
+    staged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        *[F.lag("cents", d).over(w).alias(f"lag_{d}") for d in range(1, 8)],
+    )
     num = F.col("cents") * F.lit(1.0)
     den = F.lit(1.0)
     for d in range(1, 8):
-        lagged = F.lag("cents", d).over(w)
+        lagged = F.col(f"lag_{d}")
         num = num + F.coalesce(lagged * F.lit(0.5**d), F.lit(0))
         den = den + F.when(lagged.isNull(), F.lit(0)).otherwise(F.lit(0.5**d))
-    return e.select(
+    return staged.select(
         "user_id",
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
