@@ -190,6 +190,23 @@ def test_ordered_concat_null_order_last_and_ties_deterministic(spark):
     assert row.joined == "a b c z"
 
 
+def test_ordered_concat_all_null_values_yield_null_like_string_agg(spark):
+    """Review r15 (pivot.py subsystem pass, confirmed against DuckDB):
+    array_join over an array of null elements yields '' while SQL
+    string_agg over only NULLs yields NULL — an all-NULL-value group must
+    return NULL, and NULL values inside a MIXED group are skipped by
+    both engines."""
+    from weightlifting_wod_etl_spark.operators.pivot import ordered_group_concat
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, None), (2, 1, "a"), (2, 2, None), (2, 3, "b")],
+        "g long, o long, v string",
+    )
+    rows = {r.g: r.joined for r in ordered_group_concat(df, ["g"], "o", "v").collect()}
+    assert rows[1] is None          # all-NULL group: string_agg semantics
+    assert rows[2] == "a b"         # mixed group: NULLs skipped, not ''
+
+
 def test_exact_percentiles_rejects_out_of_range_cuts(spark):
     import pytest as _pytest
 

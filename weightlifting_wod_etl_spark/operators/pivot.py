@@ -25,7 +25,16 @@ def ordered_concat_expr(order_col: str, value_col: str, sep: str = " ") -> Colum
     null field as SMALLEST, while SQL ``string_agg(... ORDER BY o)``
     defaults to NULLS LAST — the engine's recurring asc-null divergence
     class), and the trailing value makes ties on the order key
-    deterministic rather than shuffle-order-dependent."""
+    deterministic rather than shuffle-order-dependent.
+
+    All-NULL-value groups return NULL, matching SQL ``string_agg``
+    (review r15, confirmed against DuckDB): ``array_join`` over an array
+    of null elements yields ``''`` while ``string_agg`` over only NULLs
+    yields NULL — unreachable from the current call sites (split/explode
+    never emit NULL elements) but a silent '' vs NULL seam for any
+    future caller aggregating a nullable column. NULL values WITHIN a
+    mixed group are skipped by both engines (array_join skips null
+    elements; string_agg skips NULL inputs)."""
     pairs = F.collect_list(
         F.struct(
             F.col(order_col).isNull().alias("z"),
@@ -33,7 +42,10 @@ def ordered_concat_expr(order_col: str, value_col: str, sep: str = " ") -> Colum
             F.col(value_col).alias("v"),
         )
     )
-    return F.array_join(F.transform(F.array_sort(pairs), lambda s: s.getField("v")), sep)
+    joined = F.array_join(
+        F.transform(F.array_sort(pairs), lambda s: s.getField("v")), sep
+    )
+    return F.when(F.count(F.col(value_col)) > 0, joined)
 
 
 def ordered_group_concat(

@@ -37,6 +37,17 @@ from ..operators.sessionize import explode_lines, sessionize_by_marker
 
 DAY_MARKER = "(?i)(Monday)|(Tuesday)|(Wednesday)|(Thursday)|(Friday)|(Saturday)|(Sunday)"
 SEGMENT_MARKER = "(?i)(Session)|(Suggested Warm-Up)|^[A-F].$"
+# Explicit pivot values = the pipeline's DECLARED schema (review r15
+# adjudication): the reference builds ragged per-day dicts keyed by the
+# marker line VERBATIM (transforms.py:240-250), so a post with an 'F.'
+# segment (the marker regex admits A-F; the rename map stops at E.) or a
+# later 'Session ...' marker line carries that extra key through to its
+# JSON record. A typed DataFrame cannot carry ragged keys — that is the
+# OP23 envelope elimination — and restricted to the nine declared output
+# columns the two engines agree exactly (an unknown key never feeds a
+# declared column in the reference either; its lines are equally
+# excluded from neighboring segments here because the marker still opens
+# a group). The golden weekly fixture exercises none beyond these seven.
 SEGMENT_KEYS = ["session", "Suggested Warm-Up", "A.", "B.", "C.", "D.", "E."]
 
 
