@@ -221,7 +221,27 @@ _DIRTY_ROWS = {
                 (8000001, 1, 'F', 100.00,
                  TIMESTAMP '2030-01-10 00:00:00', '1-URGENT'),
                 (8000001, 1, 'O', 100.00,
-                 TIMESTAMP '2030-01-01 00:00:00', '1-URGENT')
+                 TIMESTAMP '2030-01-01 00:00:00', '1-URGENT'),
+                -- r15 (VERDICT r14 #5): SINGLE-ROW partition — a unique
+                -- priority value, so q_rank_fns' rebuilt pct_rank must
+                -- take its n>1 guard branch (0.0, matching both
+                -- engines' builtin convention) and every
+                -- rank/ntile/cume path sees a 1-row window
+                (8000002, NULL, 'O', 42.00,
+                 TIMESTAMP '2030-03-01 00:00:00', '9-SOLO'),
+                -- r15: ALL-TIES partition — three rows tying on BOTH
+                -- window sort keys (o_totalprice AND o_orderkey), so
+                -- rank/dense_rank/cume/percent_rank have no order to
+                -- hide behind: rank must be 1,1,1, the RANGE-frame peer
+                -- count 3, cume exactly 1.0 through the i64 exact
+                -- rational — any ROWS-frame or row_number-based rebuild
+                -- on either side splits the hash here
+                (8000003, NULL, 'O', 555.55,
+                 TIMESTAMP '2030-03-02 00:00:00', '8-TIES'),
+                (8000003, NULL, 'O', 555.55,
+                 TIMESTAMP '2030-03-02 00:00:00', '8-TIES'),
+                (8000003, NULL, 'O', 555.55,
+                 TIMESTAMP '2030-03-02 00:00:00', '8-TIES')
             ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority)
     """,
