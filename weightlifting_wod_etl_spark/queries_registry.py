@@ -170,7 +170,14 @@ _WINDOW_PRIORITY = [
     "q_trigram_entropy",  # last green r12
     "q_variant_json",  # last green r12
     "q_weighted_median",  # last green r12
-    "q_bigram_lm_score",  # last green r13 (spare slot, stalest-first)
+    # spare slot: rewritten-this-round beats stalest-first (ADVICE r14
+    # #2's rule) — q_ewma's lag extraction was two-staged r15, so its new
+    # plan shape gets end-to-end driver oracle evidence THIS round; the
+    # other r15 rewrite sites (q_minhash_lsh / q_ngram_jaccard, the
+    # jaccard i64 swap) are r13-tranche and rotate in naturally at r16,
+    # with the swap meanwhile pinned by the 300-ratio Fraction property
+    # test and the i64-vs-decimal identity test on their exact domain.
+    "q_ewma",  # last green r13, two-stage rewrite r15
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
