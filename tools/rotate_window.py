@@ -7,8 +7,18 @@ registry and prints a priority list that puts (1) never-verified queries,
 until every query has been green at least once, then keeps cycling by
 staleness.
 
-Usage:  python tools/rotate_window.py [--window 50]
+Usage:  python tools/rotate_window.py [--window 50] [--front a,b,...]
 Paste the output over _WINDOW_PRIORITY before a round's first commit.
+
+``--front``: comma-separated queries forced into the window ahead of the
+staleness ranking (after the overdue set, which always comes first).
+STANDING RULE (ADVICE r14 #2, applied r15): any query MATERIALLY
+REWRITTEN in the current round — a new plan shape, a changed helper in
+its value path — must occupy a spare slot in that round's window so the
+new shape gets end-to-end driver oracle evidence immediately, instead
+of coasting on the last rotation's green for its OLD shape. Spare slots
+= window minus overdue count; when rewrites exceed spare slots, prefer
+plan-shape rewrites over proven value-identical helper swaps.
 """
 
 from __future__ import annotations
@@ -33,6 +43,12 @@ def main() -> None:
     )
 
     ap.add_argument("--window", type=int, default=DRIVER_WINDOW_SIZE)
+    ap.add_argument(
+        "--front", default="",
+        help="comma-separated queries rewritten this round: forced into "
+        "the window right after the overdue set (standing rule, see "
+        "module docstring)",
+    )
     args = ap.parse_args()
 
     # last round each query was verified green (rows+schema+hash all true)
@@ -81,6 +97,17 @@ def main() -> None:
         print(f"# WARNING: {overdue} overdue queries exceed the "
               f"{args.window}-slot window — staleness bound not satisfiable "
               "this round; front the stalest and expect the test to flag it")
+    forced = [q for q in args.front.split(",") if q]
+    unknown = [q for q in forced if q not in QUERIES or q in _WINDOW_TAIL]
+    if unknown:
+        raise SystemExit(f"--front names not in the (oracled) registry: {unknown}")
+    if forced:
+        # overdue (<= max-2) keep absolute priority — the staleness test
+        # is a hard bound; forced rewrites take the spare slots after them
+        cutoff = max(seen_rounds) - 2 if seen_rounds else 0
+        overdue_set = [q for q in ranked if last_green.get(q, 0) <= cutoff]
+        rest = [q for q in ranked if q not in overdue_set and q not in forced]
+        ranked = overdue_set + [q for q in forced if q not in overdue_set] + rest
     print("_WINDOW_PRIORITY = [")
     for q in ranked[: args.window]:
         tag = "never" if q not in last_green else f"last green r{last_green[q]:02d}"
