@@ -467,3 +467,41 @@ def test_avg_fixed_knife_edge_rounding_matches_duckdb_exact(spark):
     neg = spark.createDataFrame([(-v[0],) for v in rows], "v double")
     got_n = neg.agg(avg_fixed("v", round_to=4).alias("a")).collect()[0].a
     assert got_n == -0.0029, got_n
+
+
+def test_quality_score_knife_edge_is_exact_rational(spark):
+    """r15 (found by the sf0.1-scale parity sweep, sf0.1 doc 1828): the
+    quality composite is a rational of integer counts, and deciding the
+    4-digit rounding on the DOUBLE split the engines on a true tie —
+    feats (n_toks=96, n_punct=0, n_chars=512, n_stop=10) give exactly
+    3361/4000 = 0.84025, whose double is 0.84024999..., which Spark's
+    shortest-repr round() took DOWN to 0.8402 while the true
+    half-away-from-zero rounding is 0.8403. Both the Spark form and the
+    generated HUGEINT oracle must now agree on 0.8403."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.text import (
+        ORACLE_QUALITY_FORMULA_SQL,
+        oracle_quality_feats_sql,
+        quality_score,
+    )
+
+    # 96 space-separated tokens, 512 chars, 10 'the' stopwords, no punct
+    toks = ["the"] * 10 + ["xxxx"] * 85 + ["x" * 47]
+    text = " ".join(toks)
+    assert len(text) == 512 and len(toks) == 96
+
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(quality_score(F.col("text")).alias("q"))
+        .collect()[0]
+        .q
+    )
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t AS SELECT ? AS text", [text])
+    want = duck.sql(
+        f"SELECT {ORACLE_QUALITY_FORMULA_SQL} FROM "
+        f"(SELECT {oracle_quality_feats_sql('en')} FROM t)"
+    ).fetchone()[0]
+    assert got == want == 0.8403, (got, want)

@@ -81,18 +81,50 @@ def quality_score(text: Column) -> Column:
 
     The three regex/split features are let-bound (functions/expr.py) so
     each scans the text once regardless of how often the formula references
-    them — CollapseProject would otherwise re-inline per reference."""
+    them — CollapseProject would otherwise re-inline per reference.
+
+    Rounded on the EXACT RATIONAL, never the double composite (r15,
+    found by the sf0.1-scale parity sweep: doc 1828 read 0.8402 in Spark
+    vs 0.8403 in DuckDB — the r13 round()-on-double class; the score is
+    a rational of the integer counts, so the knife edge is avoidable
+    entirely). With m = min(n_toks, 100), L = max(n_chars, 1),
+    T = max(n_toks, 1), q = min(5·n_punct, L), r = min(5·n_stop, T):
+
+        0.4·m/100 + 0.3·(L−q)/L + 0.3·r/T
+          = (4·m·L·T + 300·(L−q)·T + 300·r·L) / (1000·L·T)
+
+    decided by :func:`functions.money.round_ratio_exact` (decimal form,
+    not i64: L·T can pass 2^63/1000 for gigabyte-scale documents; the
+    quotient is ≤ 1 so the decimal domain guard can never fire). The
+    oracle twin is ``ORACLE_QUALITY_FORMULA_SQL`` below — HUGEINT
+    arithmetic, value-identical on this domain."""
+    from ..functions.money import round_ratio_exact
+
     feats = F.struct(
         ws_token_count(text).alias("n_toks"),
-        punct_ratio(text).alias("punct"),
+        F.size(F.regexp_extract_all(text, F.lit(PUNCT_CLASS), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.length(text).cast("bigint").alias("n_chars"),
         stopword_count(text).alias("stop"),
     )
 
     def body(f: Column) -> Column:
-        len_sig = F.least(f.n_toks / F.lit(100.0), F.lit(1.0))
-        punct_sig = F.lit(1.0) - F.least(f.punct * 5, F.lit(1.0))
-        stop_sig = F.least(f.stop / F.greatest(f.n_toks, F.lit(1)) * 5, F.lit(1.0))
-        return F.round(0.4 * len_sig + 0.3 * punct_sig + 0.3 * stop_sig, 4)
+        def dec(c: Column) -> Column:
+            return c.cast("decimal(38,0)")
+
+        m = F.least(f.n_toks, F.lit(100))
+        big_l = F.greatest(f.n_chars, F.lit(1))
+        big_t = F.greatest(f.n_toks, F.lit(1))
+        q = F.least(5 * f.n_punct, big_l)
+        r = F.least(5 * f.stop, big_t)
+        num = (
+            F.lit(4) * dec(m) * dec(big_l) * dec(big_t)
+            + F.lit(300) * (dec(big_l) - dec(q)) * dec(big_t)
+            + F.lit(300) * dec(r) * dec(big_l)
+        )
+        den = F.lit(1000) * dec(big_l) * dec(big_t)
+        return round_ratio_exact(num, den, 4)
 
     # explicit NULL guard: least()/greatest() SKIP nulls (Spark and DuckDB
     # alike), so null features would quietly blend into a bogus in-range
@@ -171,21 +203,38 @@ def oracle_quality_feats_sql(lang: str = "en") -> str:
     Spark score it filters on — the r12 interpolate-shared-constants
     rule)."""
     return (
-        "len(string_split(text, ' ')) AS n_toks,\n"
-        f"               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::DOUBLE\n"
-        "                   / greatest(length(text), 1) AS punct_ratio,\n"
+        "len(string_split(text, ' '))::BIGINT AS n_toks,\n"
+        f"               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT"
+        " AS n_punct,\n"
+        "               length(text)::BIGINT AS n_chars,\n"
         "               len(regexp_extract_all(lower(text), "
-        f"'{oracle_stopword_regex(lang)}')) AS n_stop"
+        f"'{oracle_stopword_regex(lang)}'))::BIGINT AS n_stop"
     )
 
 
-# the weighted composite over the oracle_quality_feats_sql columns —
-# MUST mirror quality_score()'s body above, weight for weight
-ORACLE_QUALITY_FORMULA_SQL = (
-    "round(0.4 * least(n_toks / 100.0, 1.0)\n"
-    "                 + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))\n"
-    "                 + 0.3 * least(n_stop::DOUBLE / greatest(n_toks, 1) * 5, 1.0), 4)"
-)
+def _oracle_quality_formula_sql() -> str:
+    """The exact-rational composite over the oracle_quality_feats_sql
+    columns — GENERATED through the same oracle_round_ratio_sql twin the
+    Spark side's round_ratio_exact mirrors (r15; the previous
+    round()-on-double form split the engines on knife-edge scores at
+    sf0.1). Factors cast ::HUGEINT up front so gigabyte-scale documents
+    cannot trip DuckDB's loud BIGINT-overflow before the helper's own
+    HUGEINT cast."""
+    from ..functions.money import oracle_round_ratio_sql
+
+    big_l = "greatest(n_chars, 1)::HUGEINT"
+    big_t = "greatest(n_toks, 1)::HUGEINT"
+    num = (
+        f"(4 * least(n_toks, 100)::HUGEINT * {big_l} * {big_t}"
+        f" + 300 * ({big_l} - least(5 * n_punct, greatest(n_chars, 1))::HUGEINT)"
+        f" * {big_t}"
+        f" + 300 * least(5 * n_stop, greatest(n_toks, 1))::HUGEINT * {big_l})"
+    )
+    den = f"(1000 * {big_l} * {big_t})"
+    return oracle_round_ratio_sql(num, den, 4)
+
+
+ORACLE_QUALITY_FORMULA_SQL = _oracle_quality_formula_sql()
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -171,13 +171,18 @@ _WINDOW_PRIORITY = [
     "q_variant_json",  # last green r12
     "q_weighted_median",  # last green r12
     # spare slot: rewritten-this-round beats stalest-first (ADVICE r14
-    # #2's rule) — q_ewma's lag extraction was two-staged r15, so its new
-    # plan shape gets end-to-end driver oracle evidence THIS round; the
-    # other r15 rewrite sites (q_minhash_lsh / q_ngram_jaccard, the
-    # jaccard i64 swap) are r13-tranche and rotate in naturally at r16,
-    # with the swap meanwhile pinned by the 300-ratio Fraction property
-    # test and the i64-vs-decimal identity test on their exact domain.
-    "q_ewma",  # last green r13, two-stage rewrite r15
+    # #2's rule), and among this round's rewrites the VALUE-CHANGING one
+    # wins the slot: q_curation_pipeline's quality scores moved on
+    # knife-edge docs when the composite switched to exact-rational
+    # rounding (the sf0.1 parity find), and being r14-tranche it would
+    # otherwise coast until r17 on a green for its OLD values.
+    # q_quality_score (same rewrite) is already in-window above. The
+    # value-identical r15 rewrites rotate in naturally at r16 with their
+    # r13 tranche: q_ewma (two-stage lag extraction, same expressions
+    # over materialized columns) and q_minhash_lsh / q_ngram_jaccard
+    # (jaccard i64 swap, pinned by the 300-ratio Fraction property test
+    # and the i64-vs-decimal identity test on their exact domain).
+    "q_curation_pipeline",  # last green r14, exact-rational quality r15
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
