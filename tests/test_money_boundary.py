@@ -263,3 +263,35 @@ def test_round_ratio_exact_i64_long_min_operands_raise(spark):
             df.select(
                 round_ratio_exact_i64(F.col("n"), F.col("d"), 4)
             ).collect()
+
+
+def test_round_ratio_exact_posden_matches_general_form(spark):
+    """r15: the let-bound positive-denominator variant (for per-row HOF
+    contexts, where internal re-references multiply interpreted decimal
+    work) must be value-identical to the general form on its restricted
+    domain — non-negative numerators, strictly positive denominators,
+    ties included."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact,
+        round_ratio_exact_posden,
+    )
+
+    rng = random.Random(0xBEEF)
+    cases = [(rng.randint(0, 10**15), rng.randint(1, 10**12)) for _ in range(120)]
+    cases += [(3, 20000), (1, 2), (0, 7), (10**18, 7)]
+    # engineered ties on the posden domain
+    for _ in range(30):
+        t = rng.randint(1, 10**6)
+        m = rng.randint(0, 10**6)
+        cases.append(((2 * m + 1) * t, 2 * 10**4 * t))
+    df = spark.createDataFrame(cases, "n long, d long")
+    out = df.select(
+        round_ratio_exact(F.col("n"), F.col("d"), 4).alias("gen"),
+        round_ratio_exact_posden(F.col("n"), F.col("d"), 4).alias("pos"),
+    ).collect()
+    for (n, d), row in zip(cases, out):
+        assert row.gen == row.pos, (n, d, row.gen, row.pos)

@@ -505,3 +505,35 @@ def test_quality_score_knife_edge_is_exact_rational(spark):
         f"(SELECT {oracle_quality_feats_sql('en')} FROM t)"
     ).fetchone()[0]
     assert got == want == 0.8403, (got, want)
+
+
+def test_quality_score_decimal_tier_for_huge_documents(spark):
+    """r15: the per-row i64/decimal tier split — a multi-megabyte document
+    whose L·T passes (2^63−1)/10^7 must take the decimal fallback and
+    still score EXACTLY (the i64 tier would raise there; the old
+    non-tiered decimal form was ~2x slower for every row). Ground truth
+    via Fraction on the same integer feats."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.operators.text import quality_score
+
+    text = " ".join(["x"] * 1_000_000)  # L=1999999, T=1000000 -> L*T ~ 2e12
+    n_toks = 1_000_000
+    n_chars = 2 * n_toks - 1
+    assert n_chars * n_toks > (2**63 - 1) // 10**7
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(quality_score(F.col("text")).alias("q"))
+        .collect()[0]
+        .q
+    )
+    m, big_l, big_t, q, r = 100, n_chars, n_toks, 0, 0
+    val = Fraction(4 * m * big_l * big_t + 300 * (big_l - q) * big_t + 300 * r * big_l,
+                   1000 * big_l * big_t)
+    scaled = val * 10**4
+    fl = scaled.numerator // scaled.denominator
+    frac = scaled - fl
+    k = fl + 1 if (frac > Fraction(1, 2) or frac == Fraction(1, 2)) else fl
+    assert got == k / 10**4, (got, float(val))

@@ -191,3 +191,46 @@ def avg_fixed(col: Column | str, scale: int = 2, round_to: int = 4) -> Column:
     return round_ratio_exact(
         F.sum(fixed), F.count(fixed) * F.lit(10**scale), round_to
     )
+
+
+def round_ratio_exact_posden(num: Column, den: Column, round_to: int) -> Column:
+    """Domain-restricted :func:`round_ratio_exact` for call sites that
+    PROVE ``den > 0`` and a scaled quotient inside the decimal(38)
+    domain — with every internal value LET-BOUND (functions/expr.let)
+    so the tree carries exactly one pmod / one division.
+
+    Why a variant exists (r15, measured): higher-order functions are
+    CodegenFallback, so any projection containing a ``let`` runs
+    INTERPRETED — and interpreted evaluation re-computes every duplicated
+    subtree per occurrence. The general form references its residual ~4x,
+    its denominator ~6x, and its whole result twice (the loud overflow
+    guard), which is free under whole-stage codegen's subexpression reuse
+    but multiplies real decimal work per row in HOF contexts
+    (q_curation_pipeline carried 20 pmod instances and ran 2x slow
+    before this). Sign normalization and the overflow/zero guards are
+    provably dead on the restricted domain, so they are omitted rather
+    than bound. Value-identical to the general form there — pinned by
+    tests/test_money_boundary.py — and the HUGEINT oracle twin
+    (:func:`oracle_round_ratio_sql`) is unchanged."""
+    from .expr import let
+
+    n0 = num.cast("decimal(38,0)")
+    d0 = den.cast("decimal(38,0)")
+
+    def with_tdr(s: Column) -> Column:
+        t, d, r = s.getField("t"), s.getField("d"), s.getField("r")
+        f = (t - r) / d  # exactly divisible -> exact floor quotient
+        half = F.when((r > d - r) | ((r == d - r) & (t >= 0)), 1).otherwise(0)
+        return ((f + half) / F.lit(float(10**round_to))).cast("double")
+
+    def with_td(s: Column) -> Column:
+        t, d = s.getField("t"), s.getField("d")
+        return let(
+            F.struct(t.alias("t"), d.alias("d"), F.pmod(t, d).alias("r")),
+            with_tdr,
+        )
+
+    return let(
+        F.struct((n0 * F.lit(10**round_to)).alias("t"), d0.alias("d")),
+        with_td,
+    )

@@ -93,12 +93,22 @@ def quality_score(text: Column) -> Column:
         0.4·m/100 + 0.3·(L−q)/L + 0.3·r/T
           = (4·m·L·T + 300·(L−q)·T + 300·r·L) / (1000·L·T)
 
-    decided by :func:`functions.money.round_ratio_exact` (decimal form,
-    not i64: L·T can pass 2^63/1000 for gigabyte-scale documents; the
-    quotient is ≤ 1 so the decimal domain guard can never fire). The
+    The rounding decision is tiered by a per-row domain test (r15,
+    A/B-measured): rows with L·T < (2^63−1)/10^7 — everything up to
+    multi-megabyte documents — take :func:`round_ratio_exact_i64` over
+    pure-long arithmetic, because this site is per-row inside a HOF
+    (interpreted) projection where each BigDecimal divide/remainder
+    costs ~µs and doubled q_curation_pipeline; larger documents fall
+    back to the let-bound decimal form
+    (:func:`round_ratio_exact_posden`) instead of raising, so a
+    gigabyte-scale document still scores exactly. den = 1000·L·T > 0
+    by construction, so the omitted sign/zero guards cannot act. The
     oracle twin is ``ORACLE_QUALITY_FORMULA_SQL`` below — HUGEINT
-    arithmetic, value-identical on this domain."""
-    from ..functions.money import round_ratio_exact
+    arithmetic, value-identical on both tiers' domains."""
+    from ..functions.money import (
+        round_ratio_exact_i64,
+        round_ratio_exact_posden,
+    )
 
     feats = F.struct(
         ws_token_count(text).alias("n_toks"),
@@ -110,21 +120,45 @@ def quality_score(text: Column) -> Column:
     )
 
     def body(f: Column) -> Column:
-        def dec(c: Column) -> Column:
-            return c.cast("decimal(38,0)")
-
         m = F.least(f.n_toks, F.lit(100))
         big_l = F.greatest(f.n_chars, F.lit(1))
         big_t = F.greatest(f.n_toks, F.lit(1))
         q = F.least(5 * f.n_punct, big_l)
         r = F.least(5 * f.stop, big_t)
-        num = (
-            F.lit(4) * dec(m) * dec(big_l) * dec(big_t)
-            + F.lit(300) * (dec(big_l) - dec(q)) * dec(big_t)
-            + F.lit(300) * dec(r) * dec(big_l)
-        )
-        den = F.lit(1000) * dec(big_l) * dec(big_t)
-        return round_ratio_exact(num, den, 4)
+
+        def rational(cast_to: str):
+            def c(x: Column) -> Column:
+                return x.cast(cast_to)
+
+            num = (
+                F.lit(4) * c(m) * c(big_l) * c(big_t)
+                + F.lit(300) * (c(big_l) - c(q)) * c(big_t)
+                + F.lit(300) * c(r) * c(big_l)
+            )
+            return num, F.lit(1000) * c(big_l) * c(big_t)
+
+        # i64 tier: num ≤ 1000·L·T and the helper scales by 10^4, so
+        # L·T < (2^63−1)/10^7 keeps every intermediate exactly inside a
+        # long (L·T itself cannot wrap: both factors are ≤ 2^31). All
+        # operands are let-bound (the r14 jaccard rule): the helpers
+        # reference them repeatedly and this projection runs interpreted.
+        n64, d64 = rational("long")
+        nde, dde = rational("decimal(38,0)")
+        bound = (2**63 - 1) // 10**7
+
+        def bound_call(num, den, helper):
+            # per-branch let: each tier's (num, den) pair is built once
+            # per TAKEN branch only (a shared struct would evaluate both
+            # tiers' operands eagerly for every row)
+            return _let(
+                F.struct(num.alias("n"), den.alias("d")),
+                lambda nd: helper(nd.getField("n"), nd.getField("d"), 4),
+            )
+
+        return F.when(
+            big_l * big_t < F.lit(bound),
+            bound_call(n64, d64, round_ratio_exact_i64),
+        ).otherwise(bound_call(nde, dde, round_ratio_exact_posden))
 
     # explicit NULL guard: least()/greatest() SKIP nulls (Spark and DuckDB
     # alike), so null features would quietly blend into a bogus in-range
