@@ -98,17 +98,23 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# Round-15 window (tools/rotate_window.py): the 49-query r12 tranche —
-# everything last driver-green in r12, now at the 2-round staleness
-# cutoff (the exact set the r14 staleness-test failure message printed:
-# q_pivot_wide, q_tpch_q1 ... q_canonical_rep) — plus q_bigram_lm_score
-# (the alphabetically-first of the r13 tranche, stalest-first rule) in
-# the 50th slot. This window also re-oracles q_rank_fns end-to-end after
-# its r14 two-stage-window rewrite (ADVICE r14 #2). At 150 registered /
-# 50-slot window the revisit cycle is exactly 3 rounds, which satisfies
-# the 2-round staleness bound at steady state (everything OUTSIDE the
-# window is at most 2 rounds old). CADENCE RULE (r10 verdict #2): the
-# window always fronts never-checked then least-recently-green queries
+# Round-16 window (tools/rotate_window.py): the 50-query r13 tranche —
+# everything last driver-green in r13, now at the 2-round staleness
+# cutoff (the exact set the r15 staleness-test failure message printed:
+# q_tumbling_window ... q_wod_pipeline) — exactly fills the window with
+# ZERO spare slots. This rotation also delivers first driver evidence
+# for the r15 value-identical rewrites riding in the tranche: q_ewma
+# (two-stage lag extraction), q_minhash_lsh / q_ngram_jaccard (jaccard
+# on the i64 exact-rational fast path). Historical note (ADVICE r15 #1):
+# the r15 window's spare 50th slot went to q_curation_pipeline under
+# the ADVICE r14 #2 rewritten-this-round rule — its quality values
+# CHANGED with the exact-rational composite — displacing
+# q_bigram_lm_score (value-identical candidates rotate naturally),
+# which now leads this r16 tranche. At 150 registered / 50-slot window
+# the revisit cycle is exactly 3 rounds, which satisfies the 2-round
+# staleness bound at steady state (everything OUTSIDE the window is at
+# most 2 rounds old). CADENCE RULE (r10 verdict #2): the window always
+# fronts never-checked then least-recently-green queries
 # (stalest-first); the staleness test
 # (test_driver_contract_process.py) enforces the bound. Net-new
 # registrations stay ~0; if a new operator needs driver evidence, retire
@@ -121,68 +127,56 @@ from .queries import (  # noqa: E402,F401
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_argmax_events",  # last green r12
-    "q_array_fns",  # last green r12
-    "q_bigram_topk",  # last green r12
-    "q_canonical_rep",  # last green r12
-    "q_clean_normalize",  # last green r12
-    "q_corr_stats",  # last green r12
-    "q_cube",  # last green r12
-    "q_dedup_antijoin",  # last green r12
-    "q_dedup_exact",  # last green r12
-    "q_event_gap_stats",  # last green r12
-    "q_funnel_conversion",  # last green r12
-    "q_grouping_sets",  # last green r12
-    "q_histogram",  # last green r12
-    "q_kv_upsert_dedup",  # last green r12
-    "q_lang_id",  # last green r12
-    "q_limit_offset",  # last green r12
-    "q_min_cost_supplier",  # last green r12
-    "q_multimodal_features",  # last green r12
-    "q_ntile_bucket",  # last green r12
-    "q_passage_dedup",  # last green r12
-    "q_percentile",  # last green r12
-    "q_pivot_wide",  # last green r12
-    "q_quality_score",  # last green r12
-    "q_rank_fns",  # last green r12; rewritten r14 -> re-oracle (ADVICE r14 #2)
-    "q_regex_filter",  # last green r12
-    "q_retention_cohort",  # last green r12
-    "q_rollup",  # last green r12
-    "q_scalar_subquery",  # last green r12
-    "q_scan_project",  # last green r12
-    "q_scd2_snapshot",  # last green r12
-    "q_skew_agg",  # last green r12
-    "q_skew_join",  # last green r12
-    "q_text_stats",  # last green r12
-    "q_tfidf_topk",  # last green r12
-    "q_token_count",  # last green r12
-    "q_tpch_q1",  # last green r12
-    "q_tpch_q10",  # last green r12
-    "q_tpch_q14",  # last green r12
-    "q_tpch_q18",  # last green r12
-    "q_tpch_q19",  # last green r12
-    "q_tpch_q3",  # last green r12
-    "q_tpch_q4",  # last green r12
-    "q_tpch_q5",  # last green r12
-    "q_tpch_q6",  # last green r12
-    "q_tpch_q7",  # last green r12
-    "q_tpch_q9",  # last green r12
-    "q_trigram_entropy",  # last green r12
-    "q_variant_json",  # last green r12
-    "q_weighted_median",  # last green r12
-    # spare slot: rewritten-this-round beats stalest-first (ADVICE r14
-    # #2's rule), and among this round's rewrites the VALUE-CHANGING one
-    # wins the slot: q_curation_pipeline's quality scores moved on
-    # knife-edge docs when the composite switched to exact-rational
-    # rounding (the sf0.1 parity find), and being r14-tranche it would
-    # otherwise coast until r17 on a green for its OLD values.
-    # q_quality_score (same rewrite) is already in-window above. The
-    # value-identical r15 rewrites rotate in naturally at r16 with their
-    # r13 tranche: q_ewma (two-stage lag extraction, same expressions
-    # over materialized columns) and q_minhash_lsh / q_ngram_jaccard
-    # (jaccard i64 swap, pinned by the 300-ratio Fraction property test
-    # and the i64-vs-decimal identity test on their exact domain).
-    "q_curation_pipeline",  # last green r14, exact-rational quality r15
+    "q_bigram_lm_score",  # last green r13
+    "q_cms_estimate",  # last green r13
+    "q_cosine_topk",  # last green r13
+    "q_cumulative_distinct",  # last green r13
+    "q_data_quality",  # last green r13
+    "q_date_extract",  # last green r13
+    "q_date_spine",  # last green r13
+    "q_embed_centroid",  # last green r13
+    "q_event_transitions",  # last green r13
+    "q_ewma",  # last green r13
+    "q_explode_lines",  # last green r13
+    "q_fuzzy_dedup",  # last green r13
+    "q_global_topn",  # last green r13
+    "q_group_concat",  # last green r13
+    "q_hll_bound",  # last green r13
+    "q_hll_union",  # last green r13
+    "q_json_fns",  # last green r13
+    "q_lateral_topk",  # last green r13
+    "q_mad_anomaly",  # last green r13
+    "q_map_fns",  # last green r13
+    "q_minhash_lsh",  # last green r13
+    "q_ngram_jaccard",  # last green r13
+    "q_pagerank",  # last green r13
+    "q_quantile_bound",  # last green r13
+    "q_resample_ffill",  # last green r13
+    "q_rolling_range",  # last green r13
+    "q_session_concurrency",  # last green r13
+    "q_sessionize_events",  # last green r13
+    "q_sessionize_text",  # last green r13
+    "q_set_ops",  # last green r13
+    "q_simhash",  # last green r13
+    "q_sliding_window",  # last green r13
+    "q_snapshot_diff",  # last green r13
+    "q_string_fns",  # last green r13
+    "q_tdigest_quantile",  # last green r13
+    "q_tpch_q11",  # last green r13
+    "q_tpch_q12",  # last green r13
+    "q_tpch_q13",  # last green r13
+    "q_tpch_q15",  # last green r13
+    "q_tpch_q16",  # last green r13
+    "q_tpch_q17",  # last green r13
+    "q_tpch_q20",  # last green r13
+    "q_tpch_q21",  # last green r13
+    "q_tpch_q8",  # last green r13
+    "q_tumbling_window",  # last green r13
+    "q_weekly_rollup",  # last green r13
+    "q_weighted_sample",  # last green r13
+    "q_window_dedup",  # last green r13
+    "q_window_frames",  # last green r13
+    "q_wod_pipeline",  # last green r13
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
