@@ -185,21 +185,39 @@ HEADLINE = [
     "q_interval_join",
 ]
 
-# Box-drift sentinels (VERDICT r12 #2): five stable, plan-untouched-
-# since-r1 queries whose summed wall time acts as a per-run measure of
-# the box itself (JIT state, contention, thermal). Official bench totals
-# drifted 37.2 -> 50.4 s across r11-r12 while same-code spreads spanned
-# +/-30%; dividing each query's seconds by the sentinel sum cancels the
-# uniform component, so `normalized` moves only when a query's cost
-# changes RELATIVE to the box. The adjudication rule (SCALE.md): a
-# regression claim requires the normalized ratio to move, not the raw
-# seconds. Never add a query here whose plan is still evolving.
+# Box-drift sentinels (VERDICT r12 #2): stable, plan-untouched-since-
+# early-rounds queries whose summed wall time acts as a per-run measure
+# of the box itself (JIT state, contention, thermal). Official bench
+# totals drifted 37.2 -> 50.4 s across r11-r12 while same-code spreads
+# spanned +/-30%; dividing each query's seconds by the sentinel sum
+# cancels the uniform component, so `normalized` moves only when a
+# query's cost changes RELATIVE to the box. The adjudication rule
+# (SCALE.md): a regression claim requires the normalized ratio to move,
+# not the raw seconds. Never add a query here whose plan is still
+# evolving.
+#
+# WIDENED r16 (VERDICT r15 #5): the original five summed only ~1.3-2.1 s
+# — a small, high-variance denominator that was itself compromised two
+# rounds running (r14 sentinels ran 1.6x slow; r15 heterogeneous
+# contention). The four additions are the lowest-normalized-CV queries
+# across the r11-r15 committed details (cv 0.050-0.088, measured against
+# the old sentinel sums) with plans untouched since their early-round
+# commits, roughly doubling the denominator (~3.2 s at sf0.1).
+# Cross-round comparability is preserved mechanically: vs_prev
+# normalizes BOTH runs by the intersection of sentinels present in both
+# timing sets, so ratios against pre-r16 details keep using a common
+# subset.
 SENTINELS = [
     "q_tpch_q6",
     "q_tpch_q1",
     "q_dedup_exact",
     "q_semi_join",
     "q_weekly_rollup",
+    # r16 additions (VERDICT r15 #5)
+    "q_event_gap_stats",
+    "q_scalar_subquery",
+    "q_tpch_q3",
+    "q_tpch_q5",
 ]
 
 # Queries whose WORK happens eagerly during frame build (table writes /
@@ -555,7 +573,16 @@ def main() -> None:
             "cold), never on the min-of-N vs_prev ratio. RULE (r13): "
             "normalized = seconds / sum(sentinel seconds) in the same "
             "run; a regression claim requires vs_prev_normalized to "
-            "move, not raw seconds — uniform box drift cancels out"
+            "move, not raw seconds — uniform box drift cancels out. "
+            "RULE (r16, VERDICT r15 #5): the driver's single official "
+            "run is ADVISORY for cross-round adjudication — contention "
+            "during the round-close pipeline compromised the official "
+            "basis in r14 (sentinels 1.6x slow) and r15 (heterogeneous "
+            "contention). The adjudication basis for round-over-round "
+            "claims is two uncontended calibration runs taken early in "
+            "the round on the prior round's HEAD and on current HEAD, "
+            "recorded in SCALE.md; the sentinel-normalized channel "
+            "arbitrates when the two disagree"
         ),
     }
     if errors:

@@ -295,3 +295,64 @@ def test_round_ratio_exact_posden_matches_general_form(spark):
     ).collect()
     for (n, d), row in zip(cases, out):
         assert row.gen == row.pos, (n, d, row.gen, row.pos)
+
+
+def test_round_ratio_exact_posden_guards_raise(spark):
+    """ADVICE r15 #2: the posden fast path must fail LOUDLY outside its
+    proved domain instead of silently mis-rounding (den <= 0, where the
+    residue convention breaks) or silently NULLing (scaled quotient at
+    10^32, past decimal(38,6)'s integral digits)."""
+    from decimal import Decimal
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact_posden,
+    )
+
+    for n, d in [(7, -3), (1, -2), (5, 0), (10**33, 3)]:
+        df = spark.createDataFrame(
+            [(Decimal(n), Decimal(d))], "n decimal(38,0), d decimal(38,0)"
+        )
+        with pytest.raises(Exception, match="round_ratio_exact_posden"):
+            df.select(
+                round_ratio_exact_posden(F.col("n"), F.col("d"), 4)
+            ).collect()
+    # NULL operands stay NULL (not a raise) — same as the general form
+    df = spark.createDataFrame(
+        [(None, Decimal(3)), (Decimal(5), None)],
+        "n decimal(38,0), d decimal(38,0)",
+    )
+    rows = df.select(
+        round_ratio_exact_posden(F.col("n"), F.col("d"), 4).alias("o")
+    ).collect()
+    assert [r.o for r in rows] == [None, None]
+
+
+def test_posden_plan_carries_single_pmod(spark):
+    """The whole point of the posden variant is ONE occurrence of every
+    expensive subtree in the (interpreted, HOF-context) plan. The r15
+    guard addition let-binds the result, so pmod and the decimal
+    division must still appear exactly once each."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.money import (
+        round_ratio_exact_posden,
+    )
+
+    df = spark.range(1).select(
+        F.lit(7).cast("decimal(38,0)").alias("n"),
+        F.lit(3).cast("decimal(38,0)").alias("d"),
+    )
+    plan = (
+        df.select(
+            # alias: the auto-generated column NAME would otherwise
+            # repeat the whole expression text and double the count
+            round_ratio_exact_posden(F.col("n"), F.col("d"), 4).alias("q")
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.lower().count("pmod") == 1, plan

@@ -167,6 +167,12 @@ _DIRTY_ROWS = {
                  array_to_string(list_transform(range(1, 7372),
                                                 i -> 'kb' || i), ' '),
                  'en', 'dirty', 80000)
+                -- NOTE (r16): the decimal-fallback-tier quality document
+                -- (2.1 MB) deliberately does NOT live here — a 700k-token
+                -- doc through every shingle/passage pipeline added ~3 min
+                -- PER text query to the sweep (measured: q_ngram_jaccard
+                -- 174 s alone). It gets the targeted decimal_tier_dir
+                -- fixture below, scoped to the two quality consumers.
             ) t(doc_id, text, lang, source, n_chars)
     """,
     "embeddings": """
@@ -501,3 +507,75 @@ def test_sketch_band_checks_survive_nan_measures(spark, nan_events_dir, name):
     band_cols = [c for c in spark_pdf.columns if c.endswith("_in_band")]
     for c in band_cols:
         assert spark_pdf[c].all(), f"{name}: {c} flipped False under NaN"
+
+
+# ---------------------------------------------------------------------------
+# Decimal-fallback quality tier (r16, VERDICT r15 #3). quality_score tiers
+# its exact-rational rounding per row: L·T < (2^63−1)/10^7 takes the pure-
+# long i64 path, larger documents fall back to the let-bound decimal form
+# (round_ratio_exact_posden). Every document at every test sf — and every
+# plausible dirty row — is orders of magnitude below the bound, so the
+# decimal tier had only unit-test evidence, never end-to-end Spark-vs-
+# DuckDB parity. This class injects a 2.1 MB document engineered to
+# (a) cross the tier bound: L = 2.1e6 chars × T = 7e5 tokens → L·T =
+#     1.47e12 ≥ 922 337 203 685, and
+# (b) land the composite on an EXACT ROUNDING TIE: with 699 882 'xq'
+#     tokens + 117 stopword 'a' tokens + one 'ww…w.' tail token (exactly
+#     one punct char), the score rational is 7002.5/10^4 — pmod(t, d) ==
+#     d − pmod(t, d) exactly — so both engines must decide away-from-zero
+#     on the exact rational → 0.7003. Construction solved from
+#     30000·B·L − 30000·T = M·L·T with M = 5 odd (B = 117 ≡ 47 mod 70).
+# The doc lives in its own fixture, NOT in _DIRTY_ROWS: 700k tokens
+# through every shingle/passage pipeline measured ~3 min PER text query
+# (q_ngram_jaccard alone: 174 s), and only the two quality consumers
+# can ever reach the decimal tier.
+
+_DECIMAL_TIER_DOC = (
+    "(9000015, repeat('xq ', 699882) || repeat('a ', 117)"
+    " || repeat('w', 119) || '.', 'en', 'dirty', 2100000)"
+)
+
+
+@pytest.fixture(scope="module")
+def decimal_tier_dir(tmp_path_factory):
+    import duckdb
+
+    from weightlifting_wod_etl_spark.io import table_path
+
+    d = tmp_path_factory.mktemp("decimal_tier_sf")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM read_parquet('{table_path(SF_SMOKE, "documents")}')
+            UNION ALL SELECT * FROM (VALUES {_DECIMAL_TIER_DOC}
+            ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{table_path(str(d), "documents")}' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q_quality_score", "q_curation_pipeline"])
+def test_quality_decimal_tier_matches_oracle(spark, decimal_tier_dir, name):
+    import duckdb
+
+    from weightlifting_wod_etl_spark import queries_registry as reg
+    from weightlifting_wod_etl_spark.io import table_path
+
+    spark_pdf = reg.QUERIES[name](spark, decimal_tier_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{table_path(decimal_tier_dir, 'documents')}')"
+    )
+    duck_pdf = con.execute(reg.ORACLES[name]).fetchdf()
+    con.close()
+    assert_frames_match(spark_pdf, duck_pdf, f"{name}[decimal-tier]")
+    if name == "q_quality_score":
+        # the engineered doc must actually land on the tie value — a
+        # refactor that shrinks the doc back into the i64 tier (or breaks
+        # the token mix) would silently drain this test's evidence
+        got = spark_pdf.loc[spark_pdf["doc_id"] == 9000015, "quality"]
+        assert list(got) == [0.7003], list(got)

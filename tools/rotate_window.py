@@ -108,6 +108,16 @@ def main() -> None:
         overdue_set = [q for q in ranked if last_green.get(q, 0) <= cutoff]
         rest = [q for q in ranked if q not in overdue_set and q not in forced]
         ranked = overdue_set + [q for q in forced if q not in overdue_set] + rest
+        # ADVICE r15 #3: forced rewrites that don't fit after the
+        # overdue set would be silently truncated by ranked[:window] —
+        # the standing rewritten-this-round rule would be violated
+        # without a trace. Mirror the overdue-overflow warning.
+        dropped = [q for q in forced if q not in ranked[: args.window]]
+        if dropped:
+            print(f"# WARNING: forced (--front) queries landed OUTSIDE the "
+                  f"first {args.window} slots and will NOT be driver-checked "
+                  f"this round: {', '.join(dropped)} — retire/merge a "
+                  "duplicate query to free slots (VERDICT r15 #2 models)")
     print("_WINDOW_PRIORITY = [")
     for q in ranked[: args.window]:
         tag = "never" if q not in last_green else f"last green r{last_green[q]:02d}"

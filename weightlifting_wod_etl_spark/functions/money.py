@@ -208,10 +208,19 @@ def round_ratio_exact_posden(num: Column, den: Column, round_to: int) -> Column:
     but multiplies real decimal work per row in HOF contexts
     (q_curation_pipeline carried 20 pmod instances and ran 2x slow
     before this). Sign normalization and the overflow/zero guards are
-    provably dead on the restricted domain, so they are omitted rather
-    than bound. Value-identical to the general form there — pinned by
-    tests/test_money_boundary.py — and the HUGEINT oracle twin
-    (:func:`oracle_round_ratio_sql`) is unchanged."""
+    provably dead on the restricted domain, so the SIGN NORMALIZATION is
+    omitted rather than bound. Value-identical to the general form there
+    — pinned by tests/test_money_boundary.py — and the HUGEINT oracle
+    twin (:func:`oracle_round_ratio_sql`) is unchanged.
+
+    The domain itself is still guarded LOUDLY (ADVICE r15 #2): a
+    ``den <= 0`` caller would otherwise get a silently wrong residue
+    convention, and a >= 10^32 scaled quotient would silently NULL
+    through the decimal(38,6) division. Both raise like the general
+    form. Cost: one decimal comparison plus one extra let level binding
+    the result — every expensive subtree (pmod, the division) still
+    occurs exactly once in the plan, which
+    test_posden_plan_carries_single_pmod pins."""
     from .expr import let
 
     n0 = num.cast("decimal(38,0)")
@@ -221,7 +230,28 @@ def round_ratio_exact_posden(num: Column, den: Column, round_to: int) -> Column:
         t, d, r = s.getField("t"), s.getField("d"), s.getField("r")
         f = (t - r) / d  # exactly divisible -> exact floor quotient
         half = F.when((r > d - r) | ((r == d - r) & (t >= 0)), 1).otherwise(0)
-        return ((f + half) / F.lit(float(10**round_to))).cast("double")
+        out = ((f + half) / F.lit(float(10**round_to))).cast("double")
+
+        def guarded(s2: Column) -> Column:
+            o = s2.getField("o")
+            return F.when(
+                (s2.getField("d") <= 0)
+                | (s2.getField("t").isNotNull()
+                   & s2.getField("d").isNotNull()
+                   & o.isNull()),
+                F.raise_error(
+                    F.lit(
+                        "round_ratio_exact_posden: caller broke the "
+                        "proved domain (den must be > 0 and "
+                        "|num*10^s/den| below 10^32) — use "
+                        "round_ratio_exact for this input"
+                    )
+                ).cast("double"),
+            ).otherwise(o)
+
+        return let(
+            F.struct(t.alias("t"), d.alias("d"), out.alias("o")), guarded
+        )
 
     def with_td(s: Column) -> Column:
         t, d = s.getField("t"), s.getField("d")

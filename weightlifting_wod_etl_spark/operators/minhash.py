@@ -194,7 +194,7 @@ def jaccard_rounded(a: Column, b: Column, round_to: int = 4) -> Column:
     mirror via ``oracle_round_ratio_sql`` over the same
     len()/list_intersect operands (HUGEINT arithmetic is value-identical
     on this domain). The i64 fast path is safe here BY CONSTRUCTION:
-    |∩| and |∪| are int32 array sizes, so |num|·10^4 < 2^35·10^4 ≪ 2^63
+    |∩| and |∪| are int32 array sizes, so |num|·10^4 < 2^31·10^4 < 2^45 ≪ 2^63
     — the domain guard can never fire — and it measured ~5× cheaper per
     row than the decimal(38,0) general form in the r14 q_rank_fns
     adjudication; this site runs once per LSH candidate pair.
