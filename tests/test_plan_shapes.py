@@ -738,7 +738,20 @@ def test_rank_fns_one_window_node_no_duplicated_functions(spark, sf_dir):
     assert n_we <= 6, f"window expressions duplicated again: {n_we} _we aliases"
 
 
-def test_no_query_duplicates_window_expressions_engine_wide(spark, sf_dir):
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def registered_plans(spark, sf_dir):
+    """Every registered query's physical-plan string, built ONCE per
+    module — the engine-wide _we sweep and the HOF-duplication sweep
+    both walk all ~150 plans; sharing the build halves the cost."""
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    return {name: _plan(fn(spark, sf_dir)) for name, fn in QUERIES.items()}
+
+
+def test_no_query_duplicates_window_expressions_engine_wide(registered_plans):
     """r15 (VERDICT r14 #2): generalize the q_rank_fns pin into a sweep.
     Catalyst extracts window expressions per OCCURRENCE with no CSE, so
     composing a multi-reference helper (round_ratio_exact, coalesce+
@@ -756,16 +769,13 @@ def test_no_query_duplicates_window_expressions_engine_wide(spark, sf_dir):
     """
     import re
 
-    from weightlifting_wod_etl_spark.queries_registry import QUERIES
-
     SANCTIONED = {
         # windows a <=36-row aggregate; duplication is free there
         "q_event_transitions": 40,
     }
     BOUND = 8
     offenders = {}
-    for name, fn in QUERIES.items():
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in registered_plans.items():
         if "Window" not in plan:
             continue
         n_we = len(set(re.findall(r"_we\d+", plan)))
@@ -775,4 +785,114 @@ def test_no_query_duplicates_window_expressions_engine_wide(spark, sf_dir):
         f"window expressions duplicated (> {BOUND} distinct _we aliases; "
         f"per-occurrence extraction, no CSE — two-stage the projection "
         f"or let-bind the operand): {offenders}"
+    )
+
+
+# r16 (VERDICT r15 #4): per-plan occurrence bounds for expensive subtrees
+# in HOF-bearing (interpreted) projections. Calibrated against the r16
+# engine-wide survey — current maxima: pmod 12 (q_curation_pipeline: the
+# 6-instance tiered quality expression, duplicated once by CollapseProject
+# into its filter consumer), array_intersect 4 / array_distinct 5
+# (q_ngram_jaccard), regexp_extract_all 4, array_sort 1. The pre-fix
+# q_curation_pipeline shape carried 20 pmod instances (proved caught by
+# the negative control below). Headroom is deliberately small: one more
+# helper-inlining regression of the r15 class blows the bound.
+HOF_EXPENSIVE_BOUNDS = {
+    "pmod(": 14,
+    "array_intersect(": 6,
+    "regexp_extract_all(": 6,
+    "array_distinct(": 8,
+    "array_sort(": 4,
+}
+
+
+def test_no_hof_plan_duplicates_expensive_subtrees_engine_wide(registered_plans):
+    """r16 (VERDICT r15 #4): the interpreted-HOF helper rule as a sweep.
+    Higher-order functions are CodegenFallback, so any projection
+    containing a ``let`` runs INTERPRETED — and interpreted evaluation
+    re-computes every duplicated subtree per occurrence (no codegen
+    subexpression reuse). A multi-reference helper composed un-let-bound
+    inside such a projection silently multiplies real per-row work: the
+    r15 q_curation_pipeline episode carried 20 pmod instances and ran 2x
+    slow until round_ratio_exact_posden/i64 let-bound the internals.
+    Plan-level occurrence counts are the cheap detector (SCALE.md r15
+    engine rule); this sweep bounds them for every registered query
+    whose physical plan contains a lambdafunction."""
+    offenders = {}
+    for name, plan in registered_plans.items():
+        if "lambdafunction" not in plan:
+            continue
+        over = {
+            tok: plan.count(tok)
+            for tok, bound in HOF_EXPENSIVE_BOUNDS.items()
+            if plan.count(tok) > bound
+        }
+        if over:
+            offenders[name] = over
+    assert not offenders, (
+        f"expensive subtrees duplicated inside interpreted HOF plans "
+        f"(bounds {HOF_EXPENSIVE_BOUNDS}; let-bind the helper internals "
+        f"— functions/money.round_ratio_exact_posden is the model): "
+        f"{offenders}"
+    )
+
+
+def test_hof_duplication_detector_catches_prefix_curation_shape(spark):
+    """Negative control for the sweep above: reconstruct the r15 PRE-FIX
+    q_curation_pipeline shape — the GENERAL round_ratio_exact composed
+    directly inside the let-bound feats projection, consumed by both a
+    filter and an aggregate (CollapseProject duplicates the projection
+    into each consumer) — and prove the detector flags it. Keeps the
+    sweep's bound honest: if a refactor ever loosens the counting, this
+    test fails first."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.functions.expr import let as _let
+    from weightlifting_wod_etl_spark.functions.money import round_ratio_exact
+    from weightlifting_wod_etl_spark.operators.text import (
+        PUNCT_CLASS,
+        stopword_count,
+        ws_token_count,
+    )
+
+    text = F.col("text")
+    feats = F.struct(
+        ws_token_count(text).alias("n_toks"),
+        F.size(F.regexp_extract_all(text, F.lit(PUNCT_CLASS), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        stopword_count(text).alias("stop"),
+    )
+
+    def body(f):
+        m = F.least(f.n_toks, F.lit(100))
+        big_l = F.greatest(f.n_chars, F.lit(1))
+        big_t = F.greatest(f.n_toks, F.lit(1))
+        q = F.least(5 * f.n_punct, big_l)
+        r = F.least(5 * f.stop, big_t)
+
+        def c(x):
+            return x.cast("decimal(38,0)")
+
+        num = (
+            F.lit(4) * c(m) * c(big_l) * c(big_t)
+            + F.lit(300) * (c(big_l) - c(q)) * c(big_t)
+            + F.lit(300) * c(r) * c(big_l)
+        )
+        return round_ratio_exact(num, F.lit(1000) * c(big_l) * c(big_t), 4)
+
+    df = spark.createDataFrame([("hello world",)], "text string")
+    scored = df.select(
+        F.when(text.isNotNull(), _let(feats, body)).alias("quality")
+    )
+    # filter + aggregate both consume `quality`, as the real pipeline does
+    prefix = scored.filter(F.col("quality") >= 0.5).agg(
+        F.sum("quality").alias("sum_quality")
+    )
+    plan = _plan(prefix)
+    assert "lambdafunction" in plan
+    assert plan.count("pmod(") > HOF_EXPENSIVE_BOUNDS["pmod("], (
+        "the reconstructed pre-fix shape no longer trips the detector — "
+        f"pmod count {plan.count('pmod(')}"
     )
