@@ -166,7 +166,30 @@ _DIRTY_ROWS = {
                  || ' ' ||
                  array_to_string(list_transform(range(1, 7372),
                                                 i -> 'kb' || i), ' '),
-                 'en', 'dirty', 80000)
+                 'en', 'dirty', 80000),
+                -- r16 casefold seam (functions/casefold.py): UPPERCASE
+                -- special-casing codepoints. Spark's full-casing lower()
+                -- grows 'İ' to i+U+0307 and lowers word-final Σ to ς,
+                -- DuckDB's simple mapping gives 'i'/'σ' — every
+                -- lower()-fed value (fingerprints, stopword/BPE counts,
+                -- lang-id argmax, rolling hash, slug month names) split
+                -- until portable_lower pinned both engines. 'THE İDE':
+                -- under full casing the combining dot is a non-word
+                -- char, so the ASCII-boundary stopword regex MATCHES
+                -- 'de' in Spark but not in DuckDB's 'ide'.
+                (9000016, 'İSTANBUL ΒΑΣ Σ THE İDE DE LA', 'en',
+                 'dirty', 28),
+                -- ...and a case-variant duplicate pair: these two must
+                -- land in the SAME fingerprint cluster in BOTH engines
+                -- (portable_lower maps İ and I to the same 'i'); without
+                -- the pin Spark fingerprints 'i̇stanbul…' ≠ 'istanbul…'
+                -- (clusters 1+1) while DuckDB clusters them (2) — a
+                -- hash split for q_doc_fingerprint, q_dedup_exact, and
+                -- the curation dedup window.
+                (9000017, 'İstanbul muhteşem şehir the a of and', 'en',
+                 'dirty', 36),
+                (9000018, 'ISTANBUL muhteşem şehir the a of and', 'en',
+                 'dirty', 36)
                 -- NOTE (r16): the decimal-fallback-tier quality document
                 -- (2.1 MB) deliberately does NOT live here — a 700k-token
                 -- doc through every shingle/passage pipeline added ~3 min

@@ -29,8 +29,16 @@ def month_number(name_col: Column) -> Column:
     """Case-insensitive English month name → 1-12 (NULL if unknown).
 
     Reference: month-name map at ``transforms.py:96-100``.
+
+    portable_lower, not native (r16 casefold audit): a divergent
+    codepoint CAN map into the ASCII targets — DuckDB's simple-mapping
+    lower('APRİL') = 'april' matches while Spark's full-casing
+    'apri̇l' (combining dot) does not. The shared pre-translate pin
+    makes both engines match such input identically.
     """
-    lowered = F.lower(name_col)
+    from ..functions.casefold import portable_lower
+
+    lowered = portable_lower(name_col)
     out = None
     for i, m in enumerate(MONTHS, start=1):
         out = F.when(lowered == m, i) if out is None else out.when(lowered == m, i)

@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..functions.casefold import (
+    oracle_portable_lower_sql,
+    portable_lower,
+)
 from ..functions.expr import let as _let
 
 # BPE-ish tokenizer: letter runs, digit runs, or single non-space symbols.
@@ -41,10 +45,17 @@ def ws_token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Regex token count approximating a BPE pre-tokenizer's segment count.
-    NULL text → NULL (not -1)."""
+    NULL text → NULL (not -1). Lowercased via ``portable_lower`` (r16):
+    Java full-casing grows 'İ' to two codepoints and applies the
+    final-sigma rule, splitting the token count from the oracle's
+    simple-mapping lower() on real multilingual text."""
     return F.when(
         text.isNotNull(),
-        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0)).cast("bigint"),
+        F.size(
+            F.regexp_extract_all(
+                portable_lower(text), F.lit(BPE_ISH_PATTERN), 0
+            )
+        ).cast("bigint"),
     )
 
 
@@ -67,11 +78,18 @@ def stopword_count(text: Column, lang: str = "en") -> Column:
     # would count differently per engine — exactly on the fr/es/de corpora
     # the lists target. The lookarounds reproduce RE2's [0-9A-Za-z_] word
     # class in Java.
+    # portable_lower (r16): Spark's full-casing lower() turns 'İDE' into
+    # 'i' + combining-dot + 'de' — the U+0307 is not a word char, so the
+    # ASCII lookaround MATCHES 'de' while the oracle's simple-mapping
+    # 'ide' does not. The shared pre-translate pin keeps both engines on
+    # identical lowered text.
     words = "|".join(STOPWORDS[lang])
     pat = r"(?<![a-zA-Z0-9_])(" + words + r")(?![a-zA-Z0-9_])"
     return F.when(
         text.isNotNull(),
-        F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0)).cast("bigint"),
+        F.size(
+            F.regexp_extract_all(portable_lower(text), F.lit(pat), 0)
+        ).cast("bigint"),
     )
 
 
@@ -241,7 +259,7 @@ def oracle_quality_feats_sql(lang: str = "en") -> str:
         f"               len(regexp_extract_all(text, '{PUNCT_CLASS}'))::BIGINT"
         " AS n_punct,\n"
         "               length(text)::BIGINT AS n_chars,\n"
-        "               len(regexp_extract_all(lower(text), "
+        f"               len(regexp_extract_all({oracle_portable_lower_sql('text')}, "
         f"'{oracle_stopword_regex(lang)}'))::BIGINT AS n_stop"
     )
 
@@ -279,5 +297,10 @@ def doc_fingerprint(text: Column) -> Column:
     # RE2's does not — a \x0B-separated text would fingerprint
     # differently per engine (review r11; same fix class as the ASCII
     # \b stopword pin)
-    normalized = F.trim(F.regexp_replace(F.lower(text), r"[ \t\n\f\r]+", " "))
+    # portable_lower (r16): the fingerprint is an exact-dedup KEY — a
+    # full-vs-simple casing split ('İstanbul' headlines) would cluster
+    # duplicates differently per engine
+    normalized = F.trim(
+        F.regexp_replace(portable_lower(text), r"[ \t\n\f\r]+", " ")
+    )
     return F.md5(normalized)

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.casefold import (
+    oracle_portable_lower_sql,
+    portable_lower,
+)
 from ..functions.money import to_fixed
 from ..io import load_table
 from ..queries_registry import register
@@ -40,7 +44,8 @@ def rolling_hash(text: Column) -> Column:
     """
     # explicit class, not \s: Java \s includes \x0B, RE2's does not
     # (review r11)
-    toks = F.split(F.trim(F.lower(text)), r"[ \t\n\f\r]+")
+    # portable_lower (r16): the hash keys on exact lowered codepoints
+    toks = F.split(F.trim(portable_lower(text)), r"[ \t\n\f\r]+")
     return F.aggregate(
         toks,
         F.lit(0).cast("bigint"),
@@ -55,7 +60,7 @@ def rolling_hash(text: Column) -> Column:
 
 @register(
     "q_rolling_hash",
-    oracle=r"""
+    oracle=rf"""
     WITH fp AS (
         SELECT doc_id,
                -- CASE mirror of Spark's F.aggregate(NULL array) -> NULL:
@@ -65,7 +70,7 @@ def rolling_hash(text: Column) -> Column:
                list_reduce(
                    list_prepend(0::BIGINT,
                        list_transform(
-                           regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
+                           regexp_split_to_array(trim({oracle_portable_lower_sql('text')}), '[ \t\n\f\r]+'),
                            t -> (ascii(substr(t || '_', 1, 1)) * 1009 + length(t))::BIGINT)),
                    (a, b) -> (a * 1000003 + b) % 2147483647) END AS fingerprint
         FROM documents

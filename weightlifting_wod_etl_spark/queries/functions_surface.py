@@ -101,6 +101,16 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the reference's string usage (SURVEY §2.2 — replace/lower/
     format templates at transforms.py:57,101, handler.py:127) as native JVM
     expressions; one codegen stage, no shuffle.
+
+    Deliberately NATIVE lower()/upper() (r16): this query demonstrates
+    the raw JVM function surface on the ASCII-domain customer table.
+    The corpus/text pipelines, whose operating domain is arbitrary
+    multilingual text, lowercase through functions/casefold.py's
+    portable_lower instead — Spark's full-casing lower() diverges from
+    DuckDB's simple mapping on 71 codepoints ('İ', final sigma,
+    Unicode-version lag), and upper() has its own divergence class
+    (ß→SS). If this query's domain ever widens beyond ASCII, pin both
+    through casefold.py first.
     """
     c = load_table(spark, sf_dir, "customer")
     return c.select(

@@ -525,7 +525,15 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercased shadow column. Output is re-lowercased and cast back to a
     plain string (the surviving group representative's case is
     engine-arbitrary; the collation metadata must not leak into the
-    result schema the oracle compares)."""
+    result schema the oracle compares).
+
+    Domain note (r16): UTF8_LCASE compares by ICU case folding, which
+    diverges from the oracle's lower()-normalized grouping on the same
+    ~71-codepoint set documented in functions/casefold.py (plus fold-
+    only mappings like ß/ẞ). o_orderpriority is generated ASCII at
+    every sf, where folding == lowercasing; a non-ASCII key domain
+    would need the portable_lower shadow-column form instead of the
+    collation."""
     o = load_table(spark, sf_dir, "orders")
     keyed = o.selectExpr(
         "CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority) "

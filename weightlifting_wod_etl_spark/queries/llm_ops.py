@@ -15,6 +15,7 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
+from ..functions.casefold import oracle_portable_lower_sql
 from ..operators.text import (
     BPE_ISH_PATTERN,
     ORACLE_QUALITY_FORMULA_SQL,
@@ -376,7 +377,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}'))::BIGINT AS n_bpe_tokens
+           len(regexp_extract_all({oracle_portable_lower_sql('text')}, '{BPE_ISH_PATTERN}'))::BIGINT AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -398,10 +399,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("en")}')) AS c_en,
-               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("fr")}')) AS c_fr,
-               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("es")}')) AS c_es,
-               len(regexp_extract_all(lower(text), '{oracle_stopword_regex("de")}')) AS c_de
+               len(regexp_extract_all({oracle_portable_lower_sql('text')}, '{oracle_stopword_regex("en")}')) AS c_en,
+               len(regexp_extract_all({oracle_portable_lower_sql('text')}, '{oracle_stopword_regex("fr")}')) AS c_fr,
+               len(regexp_extract_all({oracle_portable_lower_sql('text')}, '{oracle_stopword_regex("es")}')) AS c_es,
+               len(regexp_extract_all({oracle_portable_lower_sql('text')}, '{oracle_stopword_regex("de")}')) AS c_de
         FROM documents
     )
     SELECT doc_id, lang AS labeled_lang,
@@ -450,9 +451,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_doc_fingerprint",
-    oracle=r"""
+    oracle=rf"""
     WITH fp AS (
-        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        SELECT doc_id, md5(trim(regexp_replace({oracle_portable_lower_sql('text')}, '\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     )
     SELECT doc_id, fingerprint,

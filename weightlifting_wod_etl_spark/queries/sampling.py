@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.sampling import dataset_split, hash_sample, token_chunks
+from ..functions.casefold import oracle_portable_lower_sql
 from ..operators.text import (
     ORACLE_QUALITY_FORMULA_SQL,
     PUNCT_CLASS,
@@ -265,7 +266,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT doc_id, lang, source,
-               md5(trim(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint,
+               md5(trim(regexp_replace({oracle_portable_lower_sql('text')}, '[ \t\n\f\r]+', ' ', 'g'))) AS fingerprint,
                {ORACLE_QUALITY_FORMULA_SQL} AS quality
         FROM feats
     ),
