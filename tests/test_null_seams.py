@@ -184,8 +184,10 @@ _DIRTY_ROWS = {
                 -- (portable_lower maps İ and I to the same 'i'); without
                 -- the pin Spark fingerprints 'i̇stanbul…' ≠ 'istanbul…'
                 -- (clusters 1+1) while DuckDB clusters them (2) — a
-                -- hash split for q_doc_fingerprint, q_dedup_exact, and
-                -- the curation dedup window.
+                -- hash split for q_doc_fingerprint and the curation
+                -- dedup window. (q_dedup_exact is UNAFFECTED by design:
+                -- it keys on raw md5(text), where the pair differs in
+                -- both engines identically.)
                 (9000017, 'İstanbul muhteşem şehir the a of and', 'en',
                  'dirty', 36),
                 (9000018, 'ISTANBUL muhteşem şehir the a of and', 'en',

@@ -116,19 +116,21 @@ from .queries import (  # noqa: E402,F401
 # most 2 rounds old).
 #
 # R17 ROTATION NOTE (r16 casefold adjudication): the r16 portable-lower
-# pin (functions/casefold.py) reshaped the lower()-bearing value paths.
+# pin (functions/casefold.py) reshaped every lower()-bearing value path.
 # Proven value-identical on all existing data (zero divergent codepoints
 # at any sf; driver sim + sf0.01/sf0.1 parity + dirty sweep all green),
 # so per the r15 value-identical precedent the reshaped queries ride
-# natural rotation. In-window THIS round (immediate driver evidence):
-# q_bigram_lm_score, q_date_extract, q_wod_pipeline, q_weekly_rollup,
-# q_fuzzy_dedup, q_sessionize_text. The r14-tranche reshaped ones
-# (q_rolling_hash rotation-due r17) come up next round anyway; r17's
-# expected ONE spare slot (49-query r14 tranche) should force-include
-# q_doc_fingerprint (`--front q_doc_fingerprint`) — the reshaped
-# exact-dedup KEY, the most safety-critical of the r12-tranche group
-# otherwise coasting to r18 (q_lang_id, q_token_count, q_quality_score,
-# q_dedup_exact, q_curation_pipeline ride r18's rotation). CADENCE RULE (r10 verdict #2): the window always
+# natural rotation. Exact reshaped set, by tranche: in-window THIS round
+# (immediate driver evidence): q_date_extract, q_wod_pipeline,
+# q_weekly_rollup (month_number). Due r17 with their r14 tranche anyway:
+# q_doc_fingerprint, q_rolling_hash. Coasting to r18 with the r15/r12
+# tranche: q_token_count, q_lang_id, q_quality_score,
+# q_curation_pipeline (bpe/stopword/fingerprint paths). r17's expected
+# ONE spare slot (49-query r14 tranche) should force-include the most
+# safety-critical of that r18 group — `--front q_curation_pipeline`
+# (its dedup survivor WINDOW keys on the reshaped fingerprint) — so at
+# most three value-identical swaps ever coast two rounds, each pinned
+# locally by test_casefold.py + the İ/Σ dirty rows at three scales. CADENCE RULE (r10 verdict #2): the window always
 # fronts never-checked then least-recently-green queries
 # (stalest-first); the staleness test
 # (test_driver_contract_process.py) enforces the bound. Net-new
