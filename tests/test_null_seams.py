@@ -80,7 +80,28 @@ _DIRTY_ROWS = {
                 -- so an unpinned chain actually diverges
                 (NULL, TIMESTAMP '2024-03-06 12:00:00',
                  49, 'view', 1.50, NULL),
-                (NULL, NULL, 49, 'click', 8.00, NULL)
+                (NULL, NULL, 49, 'click', 8.00, NULL),
+                -- r16: PRE-EPOCH timestamps (negative unix micros) — the
+                -- classic floor-vs-truncate seam for every time-bucket
+                -- derivation (window(), time_bucket, date_trunc('week'),
+                -- unix_micros frame arithmetic, hour spines). Probed
+                -- green across the 20 time-family queries before
+                -- landing; pinned here so a future bucketing rewrite
+                -- that truncates toward zero (wrong bucket for negative
+                -- epochs) fails the sweep. User 3 exists at every sf, so
+                -- the 1969 rows extend a REAL event sequence backward
+                -- (lag/ewma/scd2 chains cross the epoch), and the
+                -- 23:59:30/00:00:30 pair straddles the epoch hour edge.
+                (9200001, TIMESTAMP '1969-12-31 23:59:30',
+                 3, 'click', 1.25, NULL),
+                (9200002, TIMESTAMP '1969-12-31 23:30:00',
+                 3, 'view', 2.50, NULL),
+                (9200003, TIMESTAMP '1969-06-15 12:00:01',
+                 4, 'click', 3.75, NULL),
+                (9200004, TIMESTAMP '1970-01-01 00:00:30',
+                 3, 'purchase', 4.00, NULL),
+                (9200005, TIMESTAMP '1969-12-29 00:00:00',
+                 5, 'click', 5.00, NULL)
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """
