@@ -101,7 +101,37 @@ _DIRTY_ROWS = {
                 (9200004, TIMESTAMP '1970-01-01 00:00:30',
                  3, 'purchase', 4.00, NULL),
                 (9200005, TIMESTAMP '1969-12-29 00:00:00',
-                 5, 'click', 5.00, NULL)
+                 5, 'click', 5.00, NULL),
+                -- r16 hostile property bags: props is NULL at every sf,
+                -- so the JSON-extraction paths ran on all-NULL input
+                -- only. Probed findings: STRICT parse_json /
+                -- variant_get RAISE on malformed JSON and non-scalar
+                -- values (one bad bag kills a 100 TB job — q_variant_json
+                -- now uses the try_ forms), bare json_extract_string /
+                -- ::INT in the oracles raise where Spark nulls (now
+                -- try_cast-mirrored), and try_parse_json REJECTS
+                -- duplicate-key bags where ->> takes the first (pinned
+                -- by the json_keys CASE). Nested-duplicate bags stay
+                -- outside the oracled domain (documented in the query).
+                (9300001, TIMESTAMP '2024-05-01 10:00:00',
+                 3, 'click', 1.00, '{"k": 5, "v": "x"}'),
+                (9300002, TIMESTAMP '2024-05-01 11:00:00',
+                 4, 'click', 2.00, '{"k":1,"k":2}'),
+                (9300003, TIMESTAMP '2024-05-01 12:00:00',
+                 5, 'view', 3.00, '{k:1}'),
+                (9300004, TIMESTAMP '2024-05-01 13:00:00',
+                 3, 'view', 4.00, '{"k": "12"}'),
+                (9300005, TIMESTAMP '2024-05-01 14:00:00',
+                 4, 'purchase', 5.00, '{"k": {"x": 1}}'),
+                (9300006, TIMESTAMP '2024-05-01 15:00:00',
+                 5, 'purchase', 6.00, '{"k": [1,2]}'),
+                (9300007, TIMESTAMP '2024-05-01 16:00:00',
+                 3, 'click', 7.00,
+                 '{"k": 123456789012345678901234567890}'),
+                (9300008, TIMESTAMP '2024-05-01 17:00:00',
+                 4, 'view', 8.00, '  {"k": 9}  '),
+                (9300009, TIMESTAMP '2024-05-01 18:00:00',
+                 5, 'click', 9.00, '{"k": 3.0}')
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """

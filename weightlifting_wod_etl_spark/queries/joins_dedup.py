@@ -204,7 +204,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_json_fns",
     oracle="""
-    SELECT json_extract_string(props, '$.k')::INT AS k_val,
+    SELECT TRY_CAST(json_extract_string(try_cast(props AS JSON), '$.k')
+                    AS INT) AS k_val,
            count(*)::BIGINT AS n,
            round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
     FROM events
@@ -213,7 +214,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (reference json.dumps/loads boundary, OP23 analog) —
-    get_json_object stays JVM-side."""
+    get_json_object stays JVM-side.
+
+    The Spark side is hostile-input-lenient by construction
+    (get_json_object -> NULL on malformed JSON; the ANSI-off cast ->
+    NULL on non-numeric extracts), so the ORACLE carries the try forms
+    (r16): bare ``json_extract_string(props, ...)`` RAISES on malformed
+    JSON and a bare ``::INT`` raises on a nested-object extract — a
+    hostile dirty row would burn the oracle side, not parity.
+    get_json_object takes the FIRST duplicate key, same as DuckDB's
+    ``->>`` — no duplicate-key CASE needed here (unlike q_variant_json,
+    whose try_parse_json rejects duplicate-key bags)."""
     events = load_table(spark, sf_dir, "events")
 
     return (
@@ -434,7 +445,16 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            __AVG_K__ AS avg_k,
            max(k)::BIGINT AS max_k
     FROM (
-        SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+        -- try_cast(JSON) mirrors try_parse_json (malformed -> NULL);
+        -- the duplicate-key CASE mirrors try_parse_json REJECTING
+        -- duplicate-key objects (json_keys preserves top-level dups);
+        -- TRY_CAST mirrors try_variant_get's NULL-on-uncastable
+        -- (nested object/array/overflow values)
+        SELECT event_type,
+               CASE WHEN len(json_keys(pj))
+                         <> len(list_distinct(json_keys(pj))) THEN NULL
+                    ELSE TRY_CAST(pj->>'k' AS BIGINT) END AS k
+        FROM (SELECT event_type, try_cast(props AS JSON) AS pj FROM events)
     )
     GROUP BY event_type
     """.replace(
@@ -450,9 +470,20 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-on-read answer for event property bags that evolve faster than
     any declared schema (the reference stores WP post payloads exactly
     this loosely). Typed extraction (``'$.k'`` as long) returns NULL on
-    missing paths — same null semantics the oracle's ``->>`` has."""
+    missing paths — same null semantics the oracle's ``->>`` has.
+
+    try_parse_json + try_variant_get, NOT the strict forms (r16, probed
+    on hostile props): ``parse_json`` RAISES on malformed JSON and
+    ``variant_get('long')`` RAISES on a non-scalar value (``{"k":
+    {"x":1}}``, ``{"k":[1,2]}``, overflow numbers) — with the strict
+    forms ONE hostile property bag in 100 TB kills the whole job. The
+    try forms return NULL; the oracle mirrors each NULL source
+    (try_cast JSON, duplicate-key CASE, TRY_CAST). Residual documented
+    gap: try_parse_json also rejects duplicate keys at NESTED depth,
+    which json_keys cannot see — nested-duplicate bags are outside the
+    oracled domain (top-level duplicates are pinned by the dirty rows)."""
     e = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
