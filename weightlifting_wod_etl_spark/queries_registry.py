@@ -130,7 +130,10 @@ from .queries import (  # noqa: E402,F401
 # safety-critical of that r18 group — `--front q_curation_pipeline`
 # (its dedup survivor WINDOW keys on the reshaped fingerprint) — so at
 # most three value-identical swaps ever coast two rounds, each pinned
-# locally by test_casefold.py + the İ/Σ dirty rows at three scales. CADENCE RULE (r10 verdict #2): the window always
+# locally by test_casefold.py + the İ/Σ dirty rows at three scales.
+# Also riding r18: q_variant_json's r16 try_parse_json/try_variant_get
+# hardening (value-identical — props is all NULL on every existing
+# table; hostile bags pinned in the dirty sweep at two scales). CADENCE RULE (r10 verdict #2): the window always
 # fronts never-checked then least-recently-green queries
 # (stalest-first); the staleness test
 # (test_driver_contract_process.py) enforces the bound. Net-new
