@@ -131,7 +131,17 @@ _DIRTY_ROWS = {
                 (9300008, TIMESTAMP '2024-05-01 17:00:00',
                  4, 'view', 8.00, '  {"k": 9}  '),
                 (9300009, TIMESTAMP '2024-05-01 18:00:00',
-                 5, 'click', 9.00, '{"k": 3.0}')
+                 5, 'click', 9.00, '{"k": 3.0}'),
+                -- r16: JSON boolean vs json-STRING "true" — the variant
+                -- long-cast maps true->1/false->0 but NULLs the string
+                -- form; the oracle distinguishes them on the unstripped
+                -- '->' text (->>'k' strips quotes and cannot)
+                (9300010, TIMESTAMP '2024-05-01 19:00:00',
+                 3, 'view', 1.50, '{"k": true}'),
+                (9300011, TIMESTAMP '2024-05-01 20:00:00',
+                 4, 'click', 2.50, '{"k": false}'),
+                (9300012, TIMESTAMP '2024-05-01 21:00:00',
+                 5, 'view', 3.50, '{"k": "true"}')
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """

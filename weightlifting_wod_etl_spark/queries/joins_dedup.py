@@ -448,11 +448,16 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- try_cast(JSON) mirrors try_parse_json (malformed -> NULL);
         -- the duplicate-key CASE mirrors try_parse_json REJECTING
         -- duplicate-key objects (json_keys preserves top-level dups);
-        -- TRY_CAST mirrors try_variant_get's NULL-on-uncastable
-        -- (nested object/array/overflow values)
+        -- the boolean CASE mirrors the variant long-cast (true->1,
+        -- false->0) on the UNSTRIPPED '->' text, so a json STRING
+        -- "true" (which the variant cast NULLs) stays distinguishable
+        -- from the boolean; TRY_CAST mirrors try_variant_get's
+        -- NULL-on-uncastable (nested object/array/overflow values)
         SELECT event_type,
                CASE WHEN len(json_keys(pj))
                          <> len(list_distinct(json_keys(pj))) THEN NULL
+                    WHEN (pj->'k')::VARCHAR = 'true' THEN 1
+                    WHEN (pj->'k')::VARCHAR = 'false' THEN 0
                     ELSE TRY_CAST(pj->>'k' AS BIGINT) END AS k
         FROM (SELECT event_type, try_cast(props AS JSON) AS pj FROM events)
     )
