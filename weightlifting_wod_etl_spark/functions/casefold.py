@@ -3,7 +3,10 @@
 ``lower()`` is NOT portable between Spark and DuckDB. Measured r16 by a
 full-codepoint sweep (U+0020..U+2FFFF through a live Spark session vs
 DuckDB 1.x, the authoritative pair — NOT python, whose tables differ
-from both): 71 codepoints diverge, in three classes:
+from both): the pin table below holds 72 entries = 71 codepoints that
+natively diverge in the sweep's a_a context (İ plus 70 version-lag
+letters; test_pin_table_has_no_stale_entries asserts each one) + Σ,
+whose divergence is context-only (word-final position). Three classes:
 
 - **U+0130 'İ'**: Spark applies Unicode FULL lowercase (SpecialCasing:
   ``i`` + U+0307 combining dot — the string GROWS), DuckDB's utf8proc
@@ -11,7 +14,7 @@ from both): 71 codepoints diverge, in three classes:
   divergence in the lowercase direction.
 - **U+03A3 'Σ'**: Spark applies the context-sensitive final-sigma rule
   (``ς`` word-finally, ``σ`` otherwise); DuckDB maps ``σ`` always.
-- **69 Unicode-version-lag letters** (Vithkuqi U+10570.., Garay
+- **70 Unicode-version-lag letters** (Vithkuqi U+10570.., Garay
   U+10D50.., recent Latin Extended-D additions, Ᲊ): each engine knows
   mappings the other's tables predate — in BOTH directions (Spark 4's
   ICU-backed tables lower U+A7CB; utf8proc lowers U+1C89 differently).

@@ -107,7 +107,7 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus/text pipelines, whose operating domain is arbitrary
     multilingual text, lowercase through functions/casefold.py's
     portable_lower instead — Spark's full-casing lower() diverges from
-    DuckDB's simple mapping on 71 codepoints ('İ', final sigma,
+    DuckDB's simple mapping on the 72-entry pin set ('İ', final sigma,
     Unicode-version lag), and upper() has its own divergence class
     (ß→SS). If this query's domain ever widens beyond ASCII, pin both
     through casefold.py first.

@@ -98,6 +98,20 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
+# Round-17 window (tools/rotate_window.py --front q_curation_pipeline):
+# the 49-query r14 tranche — everything last driver-green in r14, at the
+# 2-round staleness cutoff (the exact set the r16 staleness-test failure
+# printed: q_ann_ivf ... q_zscore_normalize) — plus q_curation_pipeline
+# force-included in the single spare slot per the R17 ROTATION NOTE
+# below (its dedup-survivor window keys on the r16 casefold-reshaped
+# fingerprint; VERDICT r16 Next #1). ZERO spare slots remain: any
+# value-changing rewrite this round must retire or merge a duplicate
+# shape in the same commit (VERDICT r16 Next #2; r13 models). This
+# rotation also delivers first driver evidence for the r16
+# casefold-reshaped queries riding in the tranche: q_doc_fingerprint,
+# q_rolling_hash (portable_lower in the fingerprint/rolling-hash
+# paths).
+#
 # Round-16 window (tools/rotate_window.py): the 50-query r13 tranche —
 # everything last driver-green in r13, now at the 2-round staleness
 # cutoff (the exact set the r15 staleness-test failure message printed:
@@ -147,56 +161,56 @@ from .queries import (  # noqa: E402,F401
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_bigram_lm_score",  # last green r13
-    "q_cms_estimate",  # last green r13
-    "q_cosine_topk",  # last green r13
-    "q_cumulative_distinct",  # last green r13
-    "q_data_quality",  # last green r13
-    "q_date_extract",  # last green r13
-    "q_date_spine",  # last green r13
-    "q_embed_centroid",  # last green r13
-    "q_event_transitions",  # last green r13
-    "q_ewma",  # last green r13
-    "q_explode_lines",  # last green r13
-    "q_fuzzy_dedup",  # last green r13
-    "q_global_topn",  # last green r13
-    "q_group_concat",  # last green r13
-    "q_hll_bound",  # last green r13
-    "q_hll_union",  # last green r13
-    "q_json_fns",  # last green r13
-    "q_lateral_topk",  # last green r13
-    "q_mad_anomaly",  # last green r13
-    "q_map_fns",  # last green r13
-    "q_minhash_lsh",  # last green r13
-    "q_ngram_jaccard",  # last green r13
-    "q_pagerank",  # last green r13
-    "q_quantile_bound",  # last green r13
-    "q_resample_ffill",  # last green r13
-    "q_rolling_range",  # last green r13
-    "q_session_concurrency",  # last green r13
-    "q_sessionize_events",  # last green r13
-    "q_sessionize_text",  # last green r13
-    "q_set_ops",  # last green r13
-    "q_simhash",  # last green r13
-    "q_sliding_window",  # last green r13
-    "q_snapshot_diff",  # last green r13
-    "q_string_fns",  # last green r13
-    "q_tdigest_quantile",  # last green r13
-    "q_tpch_q11",  # last green r13
-    "q_tpch_q12",  # last green r13
-    "q_tpch_q13",  # last green r13
-    "q_tpch_q15",  # last green r13
-    "q_tpch_q16",  # last green r13
-    "q_tpch_q17",  # last green r13
-    "q_tpch_q20",  # last green r13
-    "q_tpch_q21",  # last green r13
-    "q_tpch_q8",  # last green r13
-    "q_tumbling_window",  # last green r13
-    "q_weekly_rollup",  # last green r13
-    "q_weighted_sample",  # last green r13
-    "q_window_dedup",  # last green r13
-    "q_window_frames",  # last green r13
-    "q_wod_pipeline",  # last green r13
+    "q_ann_ivf",  # last green r14
+    "q_ann_lsh_bucket",  # last green r14
+    "q_anti_scalar_sub",  # last green r14
+    "q_asof_join",  # last green r14
+    "q_autocorr",  # last green r14
+    "q_binary_meta",  # last green r14
+    "q_bloom_semi_join",  # last green r14
+    "q_cdc_apply",  # last green r14
+    "q_chi_square",  # last green r14
+    "q_chunk_bounds",  # last green r14
+    "q_collation_group",  # last green r14
+    "q_corpus_mixture",  # last green r14
+    "q_count_distinct",  # last green r14
+    "q_dataset_split",  # last green r14
+    "q_date_fns",  # last green r14
+    "q_decimal_agg",  # last green r14
+    "q_decontaminate",  # last green r14
+    "q_doc_fingerprint",  # last green r14
+    "q_domain_cap",  # last green r14
+    "q_dup_clusters",  # last green r14
+    "q_embed_neardup",  # last green r14
+    "q_frame_sample",  # last green r14
+    "q_full_outer",  # last green r14
+    "q_gini",  # last green r14
+    "q_hash_sample",  # last green r14
+    "q_interval_join",  # last green r14
+    "q_intradoc_repetition",  # last green r14
+    "q_linreg_trend",  # last green r14
+    "q_media_resize",  # last green r14
+    "q_mode_per_group",  # last green r14
+    "q_null_semantics",  # last green r14
+    "q_nullsafe_join",  # last green r14
+    "q_pii_redact",  # last green r14
+    "q_pruned_scan",  # last green r14
+    "q_range_join",  # last green r14
+    "q_recursive_reachability",  # last green r14
+    "q_rolling_hash",  # last green r14
+    "q_rollup_time",  # last green r14
+    "q_semi_join",  # last green r14
+    "q_sequence_pack",  # last green r14
+    "q_set_ops_all",  # last green r14
+    "q_skyline",  # last green r14
+    "q_stratified_sample",  # last green r14
+    "q_streaks",  # last green r14
+    "q_token_chunks",  # last green r14
+    "q_token_topk",  # last green r14
+    "q_union_by_name",  # last green r14
+    "q_unpivot_measures",  # last green r14
+    "q_zscore_normalize",  # last green r14
+    "q_curation_pipeline",  # last green r15
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
