@@ -311,7 +311,11 @@ def test_round_ratio_exact_posden_guards_raise(spark):
         round_ratio_exact_posden,
     )
 
-    for n, d in [(7, -3), (1, -2), (5, 0), (10**33, 3)]:
+    # 10^33: division overflow (t fits, t/d exceeds decimal(38,6)).
+    # 10^35: SCALING overflow (ADVICE r16 #2 — n*10^4 >= 10^38 NULLs the
+    # multiply itself; the old t.isNotNull() guard failed open on this
+    # channel and returned NULL silently).
+    for n, d in [(7, -3), (1, -2), (5, 0), (10**33, 3), (10**35, 3)]:
         df = spark.createDataFrame(
             [(Decimal(n), Decimal(d))], "n decimal(38,0), d decimal(38,0)"
         )

@@ -217,17 +217,26 @@ def round_ratio_exact_posden(num: Column, den: Column, round_to: int) -> Column:
     ``den <= 0`` caller would otherwise get a silently wrong residue
     convention, and a >= 10^32 scaled quotient would silently NULL
     through the decimal(38,6) division. Both raise like the general
-    form. Cost: one decimal comparison plus one extra let level binding
-    the result — every expensive subtree (pmod, the division) still
-    occurs exactly once in the plan, which
+    form. The null-result detector keys on the ORIGINAL operands'
+    nullity (ADVICE r16 #2): the previous form checked the SCALED
+    numerator ``t.isNotNull()``, so a num >= 10^(38-round_to) — where
+    the ``n0*10^round_to`` multiply itself NULLs under the non-ANSI
+    decimal rules — made the guard condition false and silently
+    returned NULL instead of raising; the raw-operand nullity is bound
+    into the outermost struct so overflow at ANY internal stage
+    (scaling multiply or division) now trips the raise. Cost: one
+    boolean field threaded through the lets — every expensive subtree
+    (pmod, the division) still occurs exactly once in the plan, which
     test_posden_plan_carries_single_pmod pins."""
     from .expr import let
 
-    n0 = num.cast("decimal(38,0)")
-    d0 = den.cast("decimal(38,0)")
-
     def with_tdr(s: Column) -> Column:
-        t, d, r = s.getField("t"), s.getField("d"), s.getField("r")
+        t, d, nn, r = (
+            s.getField("t"),
+            s.getField("d"),
+            s.getField("nn"),
+            s.getField("r"),
+        )
         f = (t - r) / d  # exactly divisible -> exact floor quotient
         half = F.when((r > d - r) | ((r == d - r) & (t >= 0)), 1).otherwise(0)
         out = ((f + half) / F.lit(float(10**round_to))).cast("double")
@@ -236,9 +245,7 @@ def round_ratio_exact_posden(num: Column, den: Column, round_to: int) -> Column:
             o = s2.getField("o")
             return F.when(
                 (s2.getField("d") <= 0)
-                | (s2.getField("t").isNotNull()
-                   & s2.getField("d").isNotNull()
-                   & o.isNull()),
+                | (s2.getField("nn") & o.isNull()),
                 F.raise_error(
                     F.lit(
                         "round_ratio_exact_posden: caller broke the "
@@ -250,17 +257,33 @@ def round_ratio_exact_posden(num: Column, den: Column, round_to: int) -> Column:
             ).otherwise(o)
 
         return let(
-            F.struct(t.alias("t"), d.alias("d"), out.alias("o")), guarded
+            F.struct(d.alias("d"), nn.alias("nn"), out.alias("o")), guarded
         )
 
     def with_td(s: Column) -> Column:
-        t, d = s.getField("t"), s.getField("d")
+        t, d, nn = s.getField("t"), s.getField("d"), s.getField("nn")
         return let(
-            F.struct(t.alias("t"), d.alias("d"), F.pmod(t, d).alias("r")),
+            F.struct(
+                t.alias("t"),
+                d.alias("d"),
+                nn.alias("nn"),
+                F.pmod(t, d).alias("r"),
+            ),
             with_tdr,
         )
 
-    return let(
-        F.struct((n0 * F.lit(10**round_to)).alias("t"), d0.alias("d")),
-        with_td,
-    )
+    def with_raw(s: Column) -> Column:
+        # raw operands bound ONCE; cheap getField re-references only
+        n_raw, d_raw = s.getField("n"), s.getField("d")
+        return let(
+            F.struct(
+                (n_raw.cast("decimal(38,0)") * F.lit(10**round_to)).alias(
+                    "t"
+                ),
+                d_raw.cast("decimal(38,0)").alias("d"),
+                (n_raw.isNotNull() & d_raw.isNotNull()).alias("nn"),
+            ),
+            with_td,
+        )
+
+    return let(F.struct(num.alias("n"), den.alias("d")), with_raw)
