@@ -141,7 +141,35 @@ _DIRTY_ROWS = {
                 (9300011, TIMESTAMP '2024-05-01 20:00:00',
                  4, 'click', 2.50, '{"k": false}'),
                 (9300012, TIMESTAMP '2024-05-01 21:00:00',
-                 5, 'view', 3.50, '{"k": "true"}')
+                 5, 'view', 3.50, '{"k": "true"}'),
+                -- r17 fractional JSON numerics (ADVICE r16 #1): Spark
+                -- TRUNCATES toward zero on every numeric channel
+                -- (variant long-cast AND the non-ANSI string->int cast
+                -- behind get_json_object), DuckDB's bare TRY_CAST
+                -- ROUNDS — the oracles now mirror truncation via a
+                -- json_type split; these rows pin both engines on the
+                -- exact divergent inputs (1.5 -> 1 not 2, -2.5 -> -2)
+                (9300013, TIMESTAMP '2024-05-01 22:00:00',
+                 3, 'click', 4.50, '{"k": 1.5}'),
+                (9300014, TIMESTAMP '2024-05-01 23:00:00',
+                 4, 'view', 5.50, '{"k": -2.5}'),
+                -- string-typed fractional: variant string->long is
+                -- strict-integral (NULL); get_json_object's cast
+                -- truncates the raw text (1)
+                (9300015, TIMESTAMP '2024-05-02 00:00:00',
+                 5, 'click', 6.50, '{"k": "1.5"}'),
+                -- Jackson re-print edges (q_json_fns only): non-integer
+                -- numbers outside [1e-3, 1e7) print in EXPONENT form,
+                -- which the digits-only int cast NULLs — while the
+                -- variant channel casts the VALUE and is unaffected
+                (9300016, TIMESTAMP '2024-05-02 01:00:00',
+                 3, 'view', 7.50, '{"k": 15000000.0}'),
+                (9300017, TIMESTAMP '2024-05-02 02:00:00',
+                 4, 'click', 8.50, '{"k": 0.0009}'),
+                -- empty-integer-part string: the non-ANSI cast gives 0
+                -- ('.5' truncates to 0); the variant string cast NULLs
+                (9300018, TIMESTAMP '2024-05-02 03:00:00',
+                 5, 'view', 9.50, '{"k": ".5"}')
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """

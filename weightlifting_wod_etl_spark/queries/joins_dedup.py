@@ -204,11 +204,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_json_fns",
     oracle="""
-    SELECT TRY_CAST(json_extract_string(try_cast(props AS JSON), '$.k')
-                    AS INT) AS k_val,
+    SELECT CASE WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
+                     THEN TRY_CAST(pj->>'k' AS INT)
+                WHEN json_type(pj->'k') = 'DOUBLE' THEN
+                     CASE WHEN TRY_CAST(pj->>'k' AS DOUBLE) = 0 THEN 0
+                          WHEN abs(TRY_CAST(pj->>'k' AS DOUBLE)) >= 0.001
+                               AND abs(TRY_CAST(pj->>'k' AS DOUBLE))
+                                   < 10000000
+                            THEN CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE))
+                                      AS INT)
+                          ELSE NULL END
+                WHEN json_type(pj->'k') = 'VARCHAR'
+                     AND regexp_matches(
+                         trim(pj->>'k'),
+                         '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
+                     THEN
+                     CASE WHEN regexp_extract(trim(pj->>'k'),
+                                              '^[+-]?[0-9]*', 0)
+                               IN ('', '+', '-') THEN 0
+                          ELSE TRY_CAST(regexp_extract(trim(pj->>'k'),
+                                                       '^[+-]?[0-9]*', 0)
+                                        AS INT) END
+                ELSE NULL END AS k_val,
            count(*)::BIGINT AS n,
            round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
-    FROM events
+    FROM (SELECT try_cast(props AS JSON) AS pj, value FROM events)
     GROUP BY k_val
     """,
 )
@@ -224,7 +244,24 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     hostile dirty row would burn the oracle side, not parity.
     get_json_object takes the FIRST duplicate key, same as DuckDB's
     ``->>`` — no duplicate-key CASE needed here (unlike q_variant_json,
-    whose try_parse_json rejects duplicate-key bags)."""
+    whose try_parse_json rejects duplicate-key bags).
+
+    The numeric mirror is a json_type split (ADVICE r16 #1, measured on
+    the live engines): Spark's non-ANSI string->int cast of the
+    extracted text parses decimal text and TRUNCATES toward zero
+    ('1.5' -> 1, '-2.5' -> -2), where DuckDB's TRY_CAST ROUNDS
+    ('1.5' -> 2). Non-integer JSON numbers additionally pass through
+    Jackson's Double.toString before the cast: values outside
+    [1e-3, 1e7) re-print in EXPONENT form ('1.5E7', '9.0E-4'), which
+    the digits-only cast NULLs — so the DOUBLE channel truncates only
+    inside that band and NULLs outside it (integer TOKENS are
+    unaffected: Jackson prints longs/BigIntegers plain at any
+    magnitude, so only int32-range overflow NULLs them). Strings mirror
+    the same cast on the raw text: optional sign, digits, one optional
+    dot — no exponent — with an empty integer part ('.5') casting
+    to 0. Both engines parse fractional tokens to DOUBLE here (unlike
+    q_variant_json's exact-decimal variant channel), so there is no
+    >17-significant-digit residual on this query."""
     events = load_table(spark, sf_dir, "events")
 
     return (
@@ -448,17 +485,33 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- try_cast(JSON) mirrors try_parse_json (malformed -> NULL);
         -- the duplicate-key CASE mirrors try_parse_json REJECTING
         -- duplicate-key objects (json_keys preserves top-level dups);
-        -- the boolean CASE mirrors the variant long-cast (true->1,
-        -- false->0) on the UNSTRIPPED '->' text, so a json STRING
-        -- "true" (which the variant cast NULLs) stays distinguishable
-        -- from the boolean; TRY_CAST mirrors try_variant_get's
-        -- NULL-on-uncastable (nested object/array/overflow values)
+        -- the rest is a json_type SPLIT mirroring the variant long-cast
+        -- per source type (ADVICE r16 #1 — a flat TRY_CAST on ->> text
+        -- ROUNDS fractionals where Spark TRUNCATES: 1.5 -> 2 vs 1):
+        --   BOOLEAN: true->1 / false->0 (a json STRING "true" is
+        --     VARCHAR-typed, so it stays distinguishable and NULLs);
+        --   integer tokens: exact BIGINT cast (full i64 range;
+        --     overflow -> NULL, same as the variant cast);
+        --   DOUBLE (fractional/huge/exponent tokens): trunc toward
+        --     zero on the double VALUE — Spark truncates its decimal/
+        --     double the same way; out-of-i64-range -> NULL both sides;
+        --   VARCHAR: the variant string->long cast is strict-integral
+        --     (trimmed, signed digits only; "1.5"/"1e2" -> NULL);
+        --   OBJECT/ARRAY/json-null/missing: NULL.
         SELECT event_type,
                CASE WHEN len(json_keys(pj))
                          <> len(list_distinct(json_keys(pj))) THEN NULL
-                    WHEN (pj->'k')::VARCHAR = 'true' THEN 1
-                    WHEN (pj->'k')::VARCHAR = 'false' THEN 0
-                    ELSE TRY_CAST(pj->>'k' AS BIGINT) END AS k
+                    WHEN json_type(pj->'k') = 'BOOLEAN'
+                         THEN CASE WHEN pj->>'k' = 'true' THEN 1 ELSE 0 END
+                    WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
+                         THEN TRY_CAST(pj->>'k' AS BIGINT)
+                    WHEN json_type(pj->'k') = 'DOUBLE'
+                         THEN TRY_CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE))
+                                       AS BIGINT)
+                    WHEN json_type(pj->'k') = 'VARCHAR'
+                         AND regexp_matches(trim(pj->>'k'), '^[+-]?[0-9]+$')
+                         THEN TRY_CAST(trim(pj->>'k') AS BIGINT)
+                    ELSE NULL END AS k
         FROM (SELECT event_type, try_cast(props AS JSON) AS pj FROM events)
     )
     GROUP BY event_type
@@ -482,11 +535,20 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``variant_get('long')`` RAISES on a non-scalar value (``{"k":
     {"x":1}}``, ``{"k":[1,2]}``, overflow numbers) — with the strict
     forms ONE hostile property bag in 100 TB kills the whole job. The
-    try forms return NULL; the oracle mirrors each NULL source
-    (try_cast JSON, duplicate-key CASE, TRY_CAST). Residual documented
-    gap: try_parse_json also rejects duplicate keys at NESTED depth,
-    which json_keys cannot see — nested-duplicate bags are outside the
-    oracled domain (top-level duplicates are pinned by the dirty rows)."""
+    try forms return NULL; the oracle mirrors each NULL source through
+    a json_type split (try_cast JSON, duplicate-key CASE, per-type
+    casts — ADVICE r16 #1: fractional numbers TRUNCATE toward zero like
+    the variant cast, never the rounding string->BIGINT cast; strings
+    are strict-integral). Residual documented gaps: (1) try_parse_json
+    also rejects duplicate keys at NESTED depth, which json_keys cannot
+    see — nested-duplicate bags are outside the oracled domain
+    (top-level duplicates are pinned by the dirty rows; the divergence
+    itself is pinned by test_nested_duplicate_key_divergence); (2)
+    plain-decimal tokens with >17 significant digits: Spark's variant
+    keeps them as exact decimal (0.99999999999999999 truncates to 0)
+    while DuckDB's JSON parser double-izes at PARSE time (nearest
+    double is 1.0 — the original digits are unrecoverable), so such
+    knife-edge bags are likewise outside the oracled domain."""
     e = load_table(spark, sf_dir, "events")
     k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')")
     return (
