@@ -227,6 +227,31 @@ SENTINELS = [
 # sample, so cold/min both cover the full pipeline (build + action).
 EAGER = {"q_cdc_apply"}
 
+# EAGER queries with a setup/pipeline split (VERDICT r16 #3): the value
+# is a (prepare, timed) import path pair — prepare runs OUTSIDE the
+# timed region each sample (scratch-table rebuild: parquet-write setup,
+# not the pipeline the HEADLINE entry measures), then the timed callable
+# gets prepare's return value. q_cdc_apply's rebuild-inside-the-timer
+# made it the bench's noisiest line two rounds running (2.8 -> 4.0 s raw
+# while MERGE_SCALE showed flat 1.24 growth at 30x data); what the entry
+# now times is the MERGE pipeline itself — batch synthesis, last-by-seq
+# collapse, two atomic merge commits, result read. vs_prev for the split
+# round is documented in SCALE.md (the drop is methodology, not a plan
+# change).
+EAGER_SPLIT = {
+    "q_cdc_apply": (
+        "weightlifting_wod_etl_spark.queries.cdc_interval:cdc_prepare_base",
+        "weightlifting_wod_etl_spark.queries.cdc_interval:cdc_apply_pipeline",
+    ),
+}
+
+
+def _load_split(spec: str):
+    import importlib
+
+    mod, fn = spec.split(":")
+    return getattr(importlib.import_module(mod), fn)
+
 # Queries whose min-of-N timing understates real cost: their plans carry
 # a lazy localCheckpoint, so samples 2+ re-read cached checkpoint blocks
 # instead of re-executing the upstream lineage (plus the EAGER set,
@@ -432,7 +457,18 @@ def main() -> None:
             # min-of-N then reports steady-state re-execution, consistent
             # with every other query's plan-reuse behavior.
             samples = []
-            if name in EAGER:
+            if name in EAGER_SPLIT:
+                # setup/pipeline split: rebuild the scratch base per
+                # sample OUTSIDE the timer, time only the pipeline
+                prepare = _load_split(EAGER_SPLIT[name][0])
+                timed = _load_split(EAGER_SPLIT[name][1])
+                for _ in range(runs):
+                    prepared = prepare(spark, sf_dir)
+                    t0 = time.perf_counter()
+                    df = timed(spark, sf_dir, prepared)
+                    df.write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t0)
+            elif name in EAGER:
                 # the pipeline runs at frame-build time: rebuild per
                 # sample so the timing means what the HEADLINE entry says
                 for _ in range(runs):

@@ -77,19 +77,14 @@ SELECT k, status, val FROM latest WHERE op <> 'D'
 """
 
 
-@register("q_cdc_apply", ORACLE_CDC_APPLY)
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize a CDC change batch into a table via the production
-    foreachBatch path (streaming/cdc_apply.py) and return the table.
+def cdc_prepare_base(spark: SparkSession, sf_dir: str) -> str:
+    """Rebuild q_cdc_apply's scratch base table and return its path.
 
-    Change batch, all derived from ``orders`` so the oracle can restate
-    it: keys %3==0 get an update (new val, seq 1), keys %21==0 a delete
-    (seq 2 — beats the seq-1 update for keys divisible by both, pinning
-    the last-by-sequence collapse), and a slice of keys OUTSIDE the base
-    table (%10>=5, %4==1) arrives as an upsert that must INSERT. Reruns
-    rebuild the base table first, so the result is deterministic."""
-    from ..streaming.cdc_apply import make_cdc_apply
-
+    Split out of the query body (VERDICT r16 #3) so the bench can run
+    the rebuild OUTSIDE the timed region: the rebuild is parquet-write
+    setup, not the MERGE pipeline the HEADLINE entry claims to measure,
+    and its cost made q_cdc_apply the noisiest line in every fleet
+    channel two rounds running."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey") % 10 < 5).select(
         F.col("o_orderkey").alias("k"),
@@ -108,7 +103,17 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f"_{os.getpid()}",
     )
     base.write.mode("overwrite").parquet(scratch)  # fresh base every run
+    return scratch
 
+
+def cdc_apply_pipeline(
+    spark: SparkSession, sf_dir: str, scratch: str
+) -> DataFrame:
+    """The MERGE pipeline proper: synthesize the change batch, apply it
+    through the production foreachBatch path, and return the table."""
+    from ..streaming.cdc_apply import make_cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
     upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_orderkey").alias("k"),
         F.lit("U").alias("op"),
@@ -137,6 +142,26 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_batch = make_cdc_apply(scratch, on=["k"], seq_col="seq", op_col="op")
     apply_batch(batch, 0)
     return read_table(spark, scratch).select("k", "status", "val")
+
+
+@register("q_cdc_apply", ORACLE_CDC_APPLY)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a CDC change batch into a table via the production
+    foreachBatch path (streaming/cdc_apply.py) and return the table.
+
+    Change batch, all derived from ``orders`` so the oracle can restate
+    it: keys %3==0 get an update (new val, seq 1), keys %21==0 a delete
+    (seq 2 — beats the seq-1 update for keys divisible by both, pinning
+    the last-by-sequence collapse), and a slice of keys OUTSIDE the base
+    table (%10>=5, %4==1) arrives as an upsert that must INSERT. Reruns
+    rebuild the base table first, so the result is deterministic.
+
+    Split into :func:`cdc_prepare_base` + :func:`cdc_apply_pipeline`
+    (VERDICT r16 #3) so bench.py can rebuild the scratch base outside
+    the timed region; this registered form still runs both, so the
+    driver/correctness surface is unchanged."""
+    scratch = cdc_prepare_base(spark, sf_dir)
+    return cdc_apply_pipeline(spark, sf_dir, scratch)
 
 
 ORACLE_INTERVAL_JOIN = """
