@@ -25,47 +25,18 @@ surfacing as a driver hash mismatch.
 
 from __future__ import annotations
 
+import json
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-# the exact k-extraction subexpression from q_variant_json's oracle
-VARIANT_ORACLE_K = """
-    CASE WHEN len(json_keys(pj)) <> len(list_distinct(json_keys(pj)))
-              THEN NULL
-         WHEN json_type(pj->'k') = 'BOOLEAN'
-              THEN CASE WHEN pj->>'k' = 'true' THEN 1 ELSE 0 END
-         WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
-              THEN TRY_CAST(pj->>'k' AS BIGINT)
-         WHEN json_type(pj->'k') = 'DOUBLE'
-              THEN TRY_CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE)) AS BIGINT)
-         WHEN json_type(pj->'k') = 'VARCHAR'
-              AND regexp_matches(trim(pj->>'k'), '^[+-]?[0-9]+$')
-              THEN TRY_CAST(trim(pj->>'k') AS BIGINT)
-         ELSE NULL END
-"""
-
-# the exact k_val subexpression from q_json_fns's oracle
-JSONFNS_ORACLE_K = """
-    CASE WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
-              THEN TRY_CAST(pj->>'k' AS INT)
-         WHEN json_type(pj->'k') = 'DOUBLE' THEN
-              CASE WHEN TRY_CAST(pj->>'k' AS DOUBLE) = 0 THEN 0
-                   WHEN abs(TRY_CAST(pj->>'k' AS DOUBLE)) >= 0.001
-                        AND abs(TRY_CAST(pj->>'k' AS DOUBLE)) < 10000000
-                     THEN CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE)) AS INT)
-                   ELSE NULL END
-         WHEN json_type(pj->'k') = 'VARCHAR'
-              AND regexp_matches(trim(pj->>'k'),
-                                 '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
-              THEN
-              CASE WHEN regexp_extract(trim(pj->>'k'), '^[+-]?[0-9]*', 0)
-                        IN ('', '+', '-') THEN 0
-                   ELSE TRY_CAST(regexp_extract(trim(pj->>'k'),
-                                                '^[+-]?[0-9]*', 0) AS INT)
-                   END
-         ELSE NULL END
-"""
+# the exact k-extraction subexpressions the two oracles interpolate —
+# imported, never copied, so this pin cannot drift from the shipped SQL
+from weightlifting_wod_etl_spark.queries.joins_dedup import (
+    JSONFNS_ORACLE_K,
+    VARIANT_ORACLE_K,
+)
 
 # hostile bags where the engines' NATIVE casts disagree (fractionals:
 # Spark truncates, DuckDB's string->int cast rounds) or where one
@@ -117,6 +88,20 @@ HOSTILE_BAGS = [
     '{"k": "0012"}',
     '{"k": "abc"}',
     '{"k": ""}',
+] + [
+    # r17 whitespace corners: Spark's cast trims exactly the
+    # single-byte class [\x00-\x20\x7F]; DuckDB's trim() instead
+    # strips Unicode spaces and keeps control chars — a bare trim()
+    # in the oracle split both directions on these
+    json.dumps({"k": s})
+    for s in [
+        "\t12", "12\t", "\n12", "\r12", "\x0b12", "\x0c12",
+        "\x0112", "\x1f12", "\x7f12",       # ISO controls: trimmed
+        "\x8512",                            # NEL (2-byte): NOT trimmed
+        " 12", "12 ",              # NBSP: NOT trimmed
+        "　12", " 12",              # Unicode spaces: NOT trimmed
+        "\t1.5", " 1.5",
+    ]
 ]
 
 

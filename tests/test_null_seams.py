@@ -169,7 +169,20 @@ _DIRTY_ROWS = {
                 -- empty-integer-part string: the non-ANSI cast gives 0
                 -- ('.5' truncates to 0); the variant string cast NULLs
                 (9300018, TIMESTAMP '2024-05-02 03:00:00',
-                 5, 'view', 9.50, '{"k": ".5"}')
+                 5, 'view', 9.50, '{"k": ".5"}'),
+                -- r17 cast-trim class (probed): Spark's numeric casts
+                -- strip exactly the single-byte whitespace/ISO-control
+                -- set (codepoints 0x00-0x20 plus 0x7F) — tab-led "12"
+                -- casts to 12, while NBSP-led "12" does NOT (Unicode
+                -- spaces are kept and fail the digits check). DuckDB's
+                -- trim() is the opposite corner; the oracles strip the
+                -- exact class via _spark_cast_trim_sql (the JSON
+                -- backslash-t escape and the raw NBSP char below parse
+                -- to the real chars identically in BOTH engines)
+                (9300019, TIMESTAMP '2024-05-02 04:00:00',
+                 3, 'click', 1.75, '{"k": "\\t12"}'),
+                (9300020, TIMESTAMP '2024-05-02 05:00:00',
+                 4, 'view', 2.75, '{"k": " 12"}')
             ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": """

@@ -201,31 +201,55 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spark's lenient string->number casts (the non-ANSI cast behind
+# get_json_object and the variant string->long cast alike) trim EXACTLY
+# the single-byte whitespace/ISO-control set [\x00-\x20\x7F] — probed
+# r17 on the live engines: tab/CR/LF/VT/FF/space and DEL are stripped,
+# while NEL (U+0085) and every Unicode space (NBSP U+00A0, figure space
+# U+2007, ideographic U+3000) are NOT. DuckDB's trim() is the OPPOSITE
+# corner: it strips the Unicode spaces and keeps the control chars, so
+# a bare trim() in the oracle splits both directions ("\t12": Spark 12
+# vs NULL; " 12": Spark NULL vs 12). Both oracles strip the exact
+# class instead; tests/test_json_channels.py pins the set.
+_SPARK_CAST_TRIM_CLASS = "[\\x00-\\x20\\x7F]"
+
+
+def _spark_cast_trim_sql(expr: str) -> str:
+    """DuckDB twin of the trimming Spark's numeric casts perform."""
+    c = _SPARK_CAST_TRIM_CLASS
+    return f"regexp_replace({expr}, '^{c}+|{c}+$', '', 'g')"
+
+
+_JSONFNS_TRIMMED = _spark_cast_trim_sql("pj->>'k'")
+
+# the k_val extraction mirror for q_json_fns (shared with its test pin)
+JSONFNS_ORACLE_K = f"""
+    CASE WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(pj->>'k' AS INT)
+         WHEN json_type(pj->'k') = 'DOUBLE' THEN
+              CASE WHEN TRY_CAST(pj->>'k' AS DOUBLE) = 0 THEN 0
+                   WHEN abs(TRY_CAST(pj->>'k' AS DOUBLE)) >= 0.001
+                        AND abs(TRY_CAST(pj->>'k' AS DOUBLE)) < 10000000
+                     THEN CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE)) AS INT)
+                   ELSE NULL END
+         WHEN json_type(pj->'k') = 'VARCHAR'
+              AND regexp_matches(
+                  {_JSONFNS_TRIMMED},
+                  '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
+              THEN
+              CASE WHEN regexp_extract({_JSONFNS_TRIMMED},
+                                       '^[+-]?[0-9]*', 0)
+                        IN ('', '+', '-') THEN 0
+                   ELSE TRY_CAST(regexp_extract({_JSONFNS_TRIMMED},
+                                                '^[+-]?[0-9]*', 0)
+                                 AS INT) END
+         ELSE NULL END"""
+
+
 @register(
     "q_json_fns",
-    oracle="""
-    SELECT CASE WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
-                     THEN TRY_CAST(pj->>'k' AS INT)
-                WHEN json_type(pj->'k') = 'DOUBLE' THEN
-                     CASE WHEN TRY_CAST(pj->>'k' AS DOUBLE) = 0 THEN 0
-                          WHEN abs(TRY_CAST(pj->>'k' AS DOUBLE)) >= 0.001
-                               AND abs(TRY_CAST(pj->>'k' AS DOUBLE))
-                                   < 10000000
-                            THEN CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE))
-                                      AS INT)
-                          ELSE NULL END
-                WHEN json_type(pj->'k') = 'VARCHAR'
-                     AND regexp_matches(
-                         trim(pj->>'k'),
-                         '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
-                     THEN
-                     CASE WHEN regexp_extract(trim(pj->>'k'),
-                                              '^[+-]?[0-9]*', 0)
-                               IN ('', '+', '-') THEN 0
-                          ELSE TRY_CAST(regexp_extract(trim(pj->>'k'),
-                                                       '^[+-]?[0-9]*', 0)
-                                        AS INT) END
-                ELSE NULL END AS k_val,
+    oracle=f"""
+    SELECT {JSONFNS_ORACLE_K} AS k_val,
            count(*)::BIGINT AS n,
            round(sum(round(value * 100)::BIGINT) / 100.0, 2) AS sum_value
     FROM (SELECT try_cast(props AS JSON) AS pj, value FROM events)
@@ -259,7 +283,9 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude, so only int32-range overflow NULLs them). Strings mirror
     the same cast on the raw text: optional sign, digits, one optional
     dot — no exponent — with an empty integer part ('.5') casting
-    to 0. Both engines parse fractional tokens to DOUBLE here (unlike
+    to 0, after stripping Spark's exact trim class [\\x00-\\x20\\x7F]
+    (see _spark_cast_trim_sql — DuckDB's trim() strips the WRONG set).
+    Both engines parse fractional tokens to DOUBLE here (unlike
     q_variant_json's exact-decimal variant channel), so there is no
     >17-significant-digit residual on this query."""
     events = load_table(spark, sf_dir, "events")
@@ -472,6 +498,23 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the k extraction mirror for q_variant_json (shared with its test pin)
+VARIANT_ORACLE_K = f"""
+    CASE WHEN len(json_keys(pj)) <> len(list_distinct(json_keys(pj)))
+              THEN NULL
+         WHEN json_type(pj->'k') = 'BOOLEAN'
+              THEN CASE WHEN pj->>'k' = 'true' THEN 1 ELSE 0 END
+         WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(pj->>'k' AS BIGINT)
+         WHEN json_type(pj->'k') = 'DOUBLE'
+              THEN TRY_CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE)) AS BIGINT)
+         WHEN json_type(pj->'k') = 'VARCHAR'
+              AND regexp_matches({_spark_cast_trim_sql("pj->>'k'")},
+                                 '^[+-]?[0-9]+$')
+              THEN TRY_CAST({_spark_cast_trim_sql("pj->>'k'")} AS BIGINT)
+         ELSE NULL END"""
+
+
 @register(
     "q_variant_json",
     oracle="""
@@ -496,28 +539,18 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         --     zero on the double VALUE — Spark truncates its decimal/
         --     double the same way; out-of-i64-range -> NULL both sides;
         --   VARCHAR: the variant string->long cast is strict-integral
-        --     (trimmed, signed digits only; "1.5"/"1e2" -> NULL);
+        --     (signed digits only after stripping Spark's exact trim
+        --     class [\\x00-\\x20\\x7F] — never DuckDB trim(), which
+        --     strips Unicode spaces Spark keeps; "1.5"/"1e2" -> NULL);
         --   OBJECT/ARRAY/json-null/missing: NULL.
         SELECT event_type,
-               CASE WHEN len(json_keys(pj))
-                         <> len(list_distinct(json_keys(pj))) THEN NULL
-                    WHEN json_type(pj->'k') = 'BOOLEAN'
-                         THEN CASE WHEN pj->>'k' = 'true' THEN 1 ELSE 0 END
-                    WHEN json_type(pj->'k') IN ('BIGINT', 'UBIGINT')
-                         THEN TRY_CAST(pj->>'k' AS BIGINT)
-                    WHEN json_type(pj->'k') = 'DOUBLE'
-                         THEN TRY_CAST(trunc(TRY_CAST(pj->>'k' AS DOUBLE))
-                                       AS BIGINT)
-                    WHEN json_type(pj->'k') = 'VARCHAR'
-                         AND regexp_matches(trim(pj->>'k'), '^[+-]?[0-9]+$')
-                         THEN TRY_CAST(trim(pj->>'k') AS BIGINT)
-                    ELSE NULL END AS k
+               __K_EXPR__ AS k
         FROM (SELECT event_type, try_cast(props AS JSON) AS pj FROM events)
     )
     GROUP BY event_type
     """.replace(
         "__AVG_K__", oracle_round_ratio_sql("sum(k)", "count(k)", 4)
-    ),
+    ).replace("__K_EXPR__", VARIANT_ORACLE_K),
 )
 def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics through Spark 4's VARIANT type: parse the
