@@ -99,3 +99,28 @@ def test_element_at_zero_raises_even_try_form(spark):
         "THEN element_at(array(1), 0) ELSE -1 END",
     )
     assert ok == -1
+
+
+def test_map_duplicate_keys_last_win(spark):
+    """r17 job-killer pin: Spark's DEFAULT mapKeyDedupPolicy=EXCEPTION
+    aborts the job on ONE duplicate map key — at 100 TB that is a
+    pipeline killer on hostile data. The engine session (and
+    tune_for_session for driver-provided sessions) pins LAST_WIN, which
+    is simultaneously the reference's dict-literal merge semantics
+    (transforms.py:258 {"date": ..., **session}) and DuckDB's
+    map_concat behavior — probed: map_concat(MAP {'a':1,'b':2},
+    MAP {'a':9}) keeps a->9 in both engines under the pin."""
+    got = (
+        spark.range(1)
+        .selectExpr("map_concat(map('a', 1, 'b', 2), map('a', 9)) AS m")
+        .collect()[0]
+        .m
+    )
+    assert got == {"a": 9, "b": 2}
+    got2 = (
+        spark.range(1).selectExpr("map('a', 1, 'a', 9) AS m").collect()[0].m
+    )
+    assert got2 == {"a": 9}
+    duck = _duck_val("map_concat(MAP {'a': 1, 'b': 2}, MAP {'a': 9})")
+    # duckdb's python API surfaces MAP as {'key': [...], 'value': [...]}
+    assert dict(zip(duck["key"], duck["value"])) == {"a": 9, "b": 2}

@@ -38,6 +38,13 @@ def get_spark(
         # reference semantics are lenient: no-match regex extract casts to
         # NULL, invalid make_date → NULL (transforms.py:104-110 try/except)
         .config("spark.sql.ansi.enabled", "false")
+        # duplicate map keys keep the LAST value instead of killing the
+        # job (r17, probed): the default EXCEPTION policy makes ONE
+        # colliding key in 100 TB abort the pipeline, and last-wins is
+        # what the reference's dict-literal merge does
+        # (transforms.py:258 {"date": ..., **session}) AND what
+        # DuckDB's map_concat does — three semantics aligned
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -70,6 +77,9 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.ansi.enabled", "false"),
+        # last-wins duplicate map keys (reference {**a, **b} semantics;
+        # EXCEPTION would kill the job on one colliding key at scale)
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
         # runtime-settable: external sessions get source pushdown too
         ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
