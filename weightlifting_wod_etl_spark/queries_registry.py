@@ -98,6 +98,23 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
+# R18 ROTATION NOTE (r17 adjudications): the r15 tranche falls due at
+# r18 — 49 queries (50 were last green r15, minus q_curation_pipeline,
+# which took r17's spare slot), leaving ONE spare slot. Assign it to
+# q_variant_json (`--front q_variant_json`): its ORACLE was reshaped
+# twice in r17 (json_type split for fractional truncation, then the
+# cast-trim class) — value-identical on all existing data (props is
+# NULL at every sf; driver sim + sf0.1 parity + dirty sweeps at two
+# scales all green) but the driver has only seen the r16 oracle shape.
+# q_json_fns (same reshape family, last green r16) rides to r19 with
+# its natural tranche; its local pins (test_json_channels + 16 hostile
+# dirty rows at two scales) are the strongest in the gate family. The
+# r16-coasting casefold reshapes (q_token_count, q_lang_id,
+# q_quality_score) arrive with the r15 tranche at r18 as planned.
+# Also riding natural rotation: the r17 LAST_WIN map-key pin (conf
+# only — no oracled path can mint a duplicate key; pinned in
+# test_arrayfn_corners).
+#
 # Round-17 window (tools/rotate_window.py --front q_curation_pipeline):
 # the 49-query r14 tranche — everything last driver-green in r14, at the
 # 2-round staleness cutoff (the exact set the r16 staleness-test failure
