@@ -71,6 +71,10 @@ PORTABLE_LOWER_TO = (
 # fmt: on
 
 assert len(PORTABLE_LOWER_FROM) == len(PORTABLE_LOWER_TO) == 72
+# no duplicate FROM chars: both engines' translate() is first-wins
+# (probed r17, they agree), so a dup would be silently shadowed — it
+# cannot split the engines, but it means a regeneration glitch
+assert len(set(PORTABLE_LOWER_FROM)) == 72
 
 
 def portable_lower(col: Column | str) -> Column:
