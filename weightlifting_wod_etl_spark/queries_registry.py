@@ -98,17 +98,35 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
-# R18 ROTATION NOTE (r17 adjudications): the r15 tranche falls due at
-# r18 — 49 queries (50 were last green r15, minus q_curation_pipeline,
-# which took r17's spare slot), leaving ONE spare slot. Assign it to
-# q_variant_json (`--front q_variant_json`): its ORACLE was reshaped
-# twice in r17 (json_type split for fractional truncation, then the
-# cast-trim class) — value-identical on all existing data (props is
-# NULL at every sf; driver sim + sf0.1 parity + dirty sweeps at two
-# scales all green) but the driver has only seen the r16 oracle shape.
-# q_json_fns (same reshape family, last green r16) rides to r19 with
-# its natural tranche; its local pins (test_json_channels + 16 hostile
-# dirty rows at two scales) are the strongest in the gate family. The
+# Round-18 window (tools/rotate_window.py --front q_variant_json,
+# EXECUTED): the 49-query r15 tranche — everything last driver-green in
+# r15, at the 2-round staleness cutoff — plus q_bigram_lm_score (the
+# stalest r16 query, by name) in the single spare slot. NOTE on the
+# planning arithmetic: the R18 plan below assigned the spare slot to
+# q_variant_json, but q_variant_json's own last hash-green row is r15
+# (r16/r17 windows didn't include it), so it is INSIDE the overdue
+# tranche and needs no forcing — the --front flag was a no-op and the
+# spare slot fell to natural staleness ranking. This window delivers
+# first driver evidence for: the twice-reshaped q_variant_json oracle
+# (r17 json_type fractional-truncation split + cast-trim class), and
+# the r16 casefold-reshaped q_token_count / q_lang_id / q_quality_score.
+# q_json_fns (same JSON reshape family, last green r16) rides to r19
+# with its natural tranche. ZERO spare slots remain after this
+# rotation: any value-changing rewrite in r18 must retire or merge a
+# duplicate shape in the same commit (r13 models).
+#
+# R18 ROTATION NOTE (r17 adjudications, superseded by the EXECUTED note
+# above): the r15 tranche falls due at r18 — 49 queries (50 were last
+# green r15, minus q_curation_pipeline, which took r17's spare slot),
+# leaving ONE spare slot. Assign it to q_variant_json
+# (`--front q_variant_json`): its ORACLE was reshaped twice in r17
+# (json_type split for fractional truncation, then the cast-trim class)
+# — value-identical on all existing data (props is NULL at every sf;
+# driver sim + sf0.1 parity + dirty sweeps at two scales all green) but
+# the driver has only seen the r16 oracle shape. q_json_fns (same
+# reshape family, last green r16) rides to r19 with its natural
+# tranche; its local pins (test_json_channels + 16 hostile dirty rows
+# at two scales) are the strongest in the gate family. The
 # r16-coasting casefold reshapes (q_token_count, q_lang_id,
 # q_quality_score) arrive with the r15 tranche at r18 as planned.
 # Also riding natural rotation: the r17 LAST_WIN map-key pin (conf
@@ -178,56 +196,56 @@ from .queries import (  # noqa: E402,F401
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_ann_ivf",  # last green r14
-    "q_ann_lsh_bucket",  # last green r14
-    "q_anti_scalar_sub",  # last green r14
-    "q_asof_join",  # last green r14
-    "q_autocorr",  # last green r14
-    "q_binary_meta",  # last green r14
-    "q_bloom_semi_join",  # last green r14
-    "q_cdc_apply",  # last green r14
-    "q_chi_square",  # last green r14
-    "q_chunk_bounds",  # last green r14
-    "q_collation_group",  # last green r14
-    "q_corpus_mixture",  # last green r14
-    "q_count_distinct",  # last green r14
-    "q_dataset_split",  # last green r14
-    "q_date_fns",  # last green r14
-    "q_decimal_agg",  # last green r14
-    "q_decontaminate",  # last green r14
-    "q_doc_fingerprint",  # last green r14
-    "q_domain_cap",  # last green r14
-    "q_dup_clusters",  # last green r14
-    "q_embed_neardup",  # last green r14
-    "q_frame_sample",  # last green r14
-    "q_full_outer",  # last green r14
-    "q_gini",  # last green r14
-    "q_hash_sample",  # last green r14
-    "q_interval_join",  # last green r14
-    "q_intradoc_repetition",  # last green r14
-    "q_linreg_trend",  # last green r14
-    "q_media_resize",  # last green r14
-    "q_mode_per_group",  # last green r14
-    "q_null_semantics",  # last green r14
-    "q_nullsafe_join",  # last green r14
-    "q_pii_redact",  # last green r14
-    "q_pruned_scan",  # last green r14
-    "q_range_join",  # last green r14
-    "q_recursive_reachability",  # last green r14
-    "q_rolling_hash",  # last green r14
-    "q_rollup_time",  # last green r14
-    "q_semi_join",  # last green r14
-    "q_sequence_pack",  # last green r14
-    "q_set_ops_all",  # last green r14
-    "q_skyline",  # last green r14
-    "q_stratified_sample",  # last green r14
-    "q_streaks",  # last green r14
-    "q_token_chunks",  # last green r14
-    "q_token_topk",  # last green r14
-    "q_union_by_name",  # last green r14
-    "q_unpivot_measures",  # last green r14
-    "q_zscore_normalize",  # last green r14
-    "q_curation_pipeline",  # last green r15
+    "q_argmax_events",  # last green r15
+    "q_array_fns",  # last green r15
+    "q_bigram_topk",  # last green r15
+    "q_canonical_rep",  # last green r15
+    "q_clean_normalize",  # last green r15
+    "q_corr_stats",  # last green r15
+    "q_cube",  # last green r15
+    "q_dedup_antijoin",  # last green r15
+    "q_dedup_exact",  # last green r15
+    "q_event_gap_stats",  # last green r15
+    "q_funnel_conversion",  # last green r15
+    "q_grouping_sets",  # last green r15
+    "q_histogram",  # last green r15
+    "q_kv_upsert_dedup",  # last green r15
+    "q_lang_id",  # last green r15 (r16 casefold reshape — first driver row)
+    "q_limit_offset",  # last green r15
+    "q_min_cost_supplier",  # last green r15
+    "q_multimodal_features",  # last green r15
+    "q_ntile_bucket",  # last green r15
+    "q_passage_dedup",  # last green r15
+    "q_percentile",  # last green r15
+    "q_pivot_wide",  # last green r15
+    "q_quality_score",  # last green r15 (r16 casefold reshape — first driver row)
+    "q_rank_fns",  # last green r15
+    "q_regex_filter",  # last green r15
+    "q_retention_cohort",  # last green r15
+    "q_rollup",  # last green r15
+    "q_scalar_subquery",  # last green r15
+    "q_scan_project",  # last green r15
+    "q_scd2_snapshot",  # last green r15
+    "q_skew_agg",  # last green r15
+    "q_skew_join",  # last green r15
+    "q_text_stats",  # last green r15
+    "q_tfidf_topk",  # last green r15
+    "q_token_count",  # last green r15 (r16 casefold reshape — first driver row)
+    "q_tpch_q1",  # last green r15
+    "q_tpch_q10",  # last green r15
+    "q_tpch_q14",  # last green r15
+    "q_tpch_q18",  # last green r15
+    "q_tpch_q19",  # last green r15
+    "q_tpch_q3",  # last green r15
+    "q_tpch_q4",  # last green r15
+    "q_tpch_q5",  # last green r15
+    "q_tpch_q6",  # last green r15
+    "q_tpch_q7",  # last green r15
+    "q_tpch_q9",  # last green r15
+    "q_trigram_entropy",  # last green r15
+    "q_variant_json",  # last green r15 (r17 oracle reshapes x2 — first driver row)
+    "q_weighted_median",  # last green r15
+    "q_bigram_lm_score",  # last green r16 (stalest-r16 spare slot)
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
