@@ -434,6 +434,115 @@ def _latest_prior_cold(sf_val: float | str) -> dict[str, float]:
     return {}
 
 
+def _calibration_reference(sf_val: float | str) -> tuple[float, str]:
+    """Smallest committed sentinel-set sum at this sf → (seconds, source).
+
+    Sources: BENCH_CAL_r*.json (uncontended early-round calibration runs,
+    preferred by construction) plus BENCH_DETAIL_r*.json — RESTRICTED to
+    the last two rounds plus the current one. Older artifacts reflect the
+    box and plan state of their era (r11's sentinel sum is 5.34 s vs the
+    r17 calibration's 6.60 s on the same code class); a global min would
+    set a band every honest current-era run fails. Only artifacts
+    carrying ALL current sentinels count (a partial subset would
+    understate the sum and make the gate fire spuriously).
+    Returns (0.0, "") when nothing qualifies."""
+    import glob
+    import re
+
+    current = _current_round()
+    best, src = float("inf"), ""
+    for path in sorted(
+        glob.glob(os.path.join(REPO_DIR, "BENCH_CAL_r*.json"))
+        + glob.glob(os.path.join(REPO_DIR, "BENCH_DETAIL_r*.json"))
+    ):
+        m = re.search(r"_r(\d+)[a-z]?\.json$", path)
+        if not m or int(m.group(1)) < current - 2:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if payload.get("sf") != sf_val:
+            continue
+        qs = payload.get("queries") or {}
+        if any(not isinstance(qs.get(s), (int, float)) or qs[s] <= 0
+               for s in SENTINELS):
+            continue
+        ssum = sum(float(qs[s]) for s in SENTINELS)
+        if ssum < best:
+            best, src = ssum, os.path.basename(path)
+    return (best, src) if src else (0.0, "")
+
+
+def _preflight_box_state(spark, sf_dir: str, sf_val: float | str) -> dict:
+    """Mechanical degraded-box detection (VERDICT r17 #3): run the nine
+    sentinels ALONE before the full sweep, compare their min-of-2 sum
+    against the committed calibration reference, and retry (sleep +
+    re-measure) while outside the band. The r14-r17 rounds each needed a
+    manual "recovered bench window" adjudication in SCALE.md because the
+    round-close official run landed on a contended box; this turns that
+    narrative into one recorded field.
+
+    The gate never refuses outright — the driver needs a BENCH artifact
+    every round — it retries up to SPARK_GRAFT_BOX_RETRIES times and then
+    proceeds with box_state="degraded" so the contaminated run is
+    self-describing instead of adjudicated after the fact.
+
+    Band: preflight_sum <= SPARK_GRAFT_BOX_LIMIT (default 1.3) x the
+    smallest committed sentinel sum at this sf. Calibration evidence
+    (r17): uncontended runs sum 6.60-7.05 s, the adjudicated-flat driver
+    official 8.38 s (1.27x), the two degraded-regime runs ~9 s (>1.35x)
+    — 1.3 splits noise from the documented degradation signature.
+    """
+    from weightlifting_wod_etl_spark.queries_registry import QUERIES
+
+    reference, source = _calibration_reference(sf_val)
+    state: dict = {
+        "reference_sum": round(reference, 3),
+        "reference_source": source,
+        "limit_ratio": float(os.environ.get("SPARK_GRAFT_BOX_LIMIT", "1.3")),
+        "attempts": [],
+    }
+    if not source:
+        state["state"] = "no_reference"
+        return state
+    retries = int(os.environ.get("SPARK_GRAFT_BOX_RETRIES", "2"))
+    for attempt in range(1 + retries):
+        total = 0.0
+        for name in SENTINELS:
+            df = QUERIES[name](spark, sf_dir)
+            samples = []
+            for _ in range(2):  # min-of-2: drop per-query codegen cold
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            total += min(samples)
+        ratio = total / reference
+        state["attempts"].append(
+            {"sum": round(total, 3), "ratio": round(ratio, 3)}
+        )
+        if ratio <= state["limit_ratio"]:
+            state["state"] = "ok"
+            return state
+        print(
+            f"[bench] PREFLIGHT attempt {attempt + 1}: sentinel sum "
+            f"{total:.2f}s is {ratio:.2f}x calibration {reference:.2f}s "
+            f"({source}) — box looks contended",
+            file=sys.stderr,
+        )
+        if attempt < retries:
+            time.sleep(int(os.environ.get("SPARK_GRAFT_BOX_SLEEP", "20")))
+    state["state"] = "degraded"
+    print(
+        "[bench] PREFLIGHT: proceeding on a DEGRADED box — raw seconds "
+        "in this artifact are contaminated; adjudicate on the "
+        "sentinel-normalized channel only",
+        file=sys.stderr,
+    )
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
@@ -442,6 +551,16 @@ def main() -> None:
     spark = get_spark(app_name="wod-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup, uncounted
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val_early: float | str = float(sf)
+    except ValueError:
+        sf_val_early = sf
+    if os.environ.get("SPARK_GRAFT_PREFLIGHT", "1") != "0":
+        box_state = _preflight_box_state(spark, sf_dir, sf_val_early)
+    else:
+        box_state = {"state": "disabled"}
 
     # min-of-N: first run pays codegen/footer warmup; min over the rest is
     # the engine's steady-state throughput and is robust to box noise.
@@ -512,11 +631,7 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+    sf_val = sf_val_early
 
     # Regression diff vs the best prior round AT THIS sf: ratio per query,
     # loud (but non-fatal — stderr) on >2x so a perf cliff can't ship unnoticed.
@@ -610,6 +725,13 @@ def main() -> None:
         "cold_adjudicated": sorted(COLD_ADJUDICATED),
         "sentinels": SENTINELS,
         "sentinel_sum": round(sentinel_sum, 3),
+        "box_state": box_state,
+        # ADVICE r17 #3: per-query timing-methodology tags so future
+        # tooling can avoid folding pre-split (rebuild-inclusive) values
+        # into the same baseline as post-split (pipeline-only) ones
+        "timing_methodology": {
+            name: "eager_split_r17" for name in sorted(EAGER_SPLIT)
+        },
         "normalized": normalized,
         "vs_prev_normalized": vs_prev_normalized,
         "methodology": (
@@ -680,6 +802,7 @@ def main() -> None:
         "vs_prev_cold": vs_prev_cold,
         "norm_geomean": norm_geomean,
         "norm_worst5": norm_worst5,
+        "box_state": box_state.get("state"),
         "detail": detail_name,
     }
     if errors:  # cap: 3 entries x 120 chars keeps the line inside 2000

@@ -134,3 +134,89 @@ def test_portable_lower_on_hostile_multilingual_strings(spark):
         for s in cases
     ]
     assert any(a != b for a, b in zip(native, nat_duck))
+
+
+# ---------------------------------------------------------------------------
+# Registry-level casing guard (VERDICT r17 #5): upper()'s cross-engine
+# divergence class (ß→SS full casing, Unicode-version lag — same family
+# as lower()'s 72-entry pin, documented in functions_surface.py's domain
+# note) is UNPINNED because no value path uses it on a non-ASCII domain.
+# This guard keeps it that way mechanically: any new upper()/initcap()
+# on a value path must either go through a portable casefold wrapper or
+# be added to the pinned allowlist below WITH a domain-note docstring —
+# the class cannot be reopened silently.
+
+def _casing_call_sites():
+    """(relpath, count) of upper(/initcap( CALLS in engine source, with
+    docstrings stripped (prose mentions don't count; oracle SQL strings
+    and F.upper expressions do)."""
+    import ast
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "weightlifting_wod_etl_spark",
+    )
+    pat = re.compile(r"\b(?:upper|initcap)\s*\(")
+    out = {}
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            src = open(path, encoding="utf-8").read()
+            tree = ast.parse(src)
+            body = src
+            # strip module/class/function docstrings (prose): replace
+            # each docstring's text with blanks so offsets stay valid
+            for node in ast.walk(tree):
+                if isinstance(
+                    node,
+                    (ast.Module, ast.ClassDef, ast.FunctionDef,
+                     ast.AsyncFunctionDef),
+                ) and (doc := ast.get_docstring(node, clean=False)):
+                    body = body.replace(doc, "", 1)
+            n = len(pat.findall(body))
+            if n:
+                out[os.path.relpath(path, pkg)] = n
+    return out
+
+
+def test_no_unguarded_upper_initcap_on_value_paths():
+    # Pinned allowlist — each entry's module carries a domain note
+    # explaining why native casing is safe there (ASCII-only domain):
+    #   queries/functions_surface.py — q_string_fns demonstrates the RAW
+    #     JVM surface on the ASCII customer table (docstring r16 note);
+    #     2 = oracle SQL upper() + F.upper().
+    #   queries/joins_dedup.py — q_collation_group's mixed-case key
+    #     synthesis on generated-ASCII o_orderpriority (docstring r16
+    #     note); 2 = oracle SQL upper() + selectExpr upper().
+    allowed = {
+        "queries/functions_surface.py": 2,
+        "queries/joins_dedup.py": 2,
+    }
+    sites = _casing_call_sites()
+    unexpected = {
+        path: n for path, n in sites.items() if allowed.get(path) != n
+    }
+    assert not unexpected, (
+        f"upper()/initcap() call-site drift vs the pinned allowlist: "
+        f"{unexpected} (allowed={allowed}). Native upper()/initcap() "
+        "diverge cross-engine on the full-casing class (ß→SS etc.). "
+        "Route the new site through a portable wrapper in "
+        "functions/casefold.py, or — if the domain is provably ASCII — "
+        "add a domain-note docstring and re-pin the allowlist here."
+    )
+    # the allowlisted modules must still carry their domain notes
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "weightlifting_wod_etl_spark",
+    )
+    for path in allowed:
+        src = open(os.path.join(pkg, path), encoding="utf-8").read()
+        assert "ASCII" in src and "diverge" in src, (
+            f"{path} lost its ASCII-domain note justifying native casing"
+        )

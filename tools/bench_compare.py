@@ -66,8 +66,10 @@ def compare(prior: dict, current: dict) -> dict:
         "raw_total_current": round(sum(tb[q] for q in common), 1),
         "norm_geomean": round(geomean, 3),
         "over_2x": sorted(q for q, r in ratios.items() if r > 2.0),
-        "slowest_movers": [(q, round(r, 2)) for q, r in movers[:8]],
-        "fastest_movers": [(q, round(r, 2)) for q, r in movers[-8:][::-1]],
+        # FULL sorted lists — callers slice (ADVICE r17 #1: a pre-slice
+        # here silently capped --top values above 8)
+        "slowest_movers": [(q, round(r, 2)) for q, r in movers],
+        "fastest_movers": [(q, round(r, 2)) for q, r in movers[::-1]],
     }
 
 
