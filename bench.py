@@ -434,23 +434,39 @@ def _latest_prior_cold(sf_val: float | str) -> dict[str, float]:
     return {}
 
 
-def _calibration_reference(sf_val: float | str) -> tuple[float, str]:
-    """Smallest committed sentinel-set sum at this sf → (seconds, source).
+# Pre-flight sentinel runs execute right after JVM warmup, before the
+# full sweep's thousands of stages have warmed C2/codegen — measured
+# r18: an uncontended pre-flight min-of-2 sum reads 1.14x the SAME
+# run's in-run sentinel sum. When no prior pre-flight record exists to
+# compare like-for-like, the in-run fallback reference gets this slack
+# so the gate doesn't cry wolf on a fine box.
+PREFLIGHT_JIT_SLACK = 1.15
 
-    Sources: BENCH_CAL_r*.json (uncontended early-round calibration runs,
+
+def _calibration_reference(sf_val: float | str) -> tuple[float, str]:
+    """Smallest committed pre-flight-comparable sentinel sum at this sf
+    → (seconds, source).
+
+    Sources: BENCH_CAL_r*.json (uncontended calibration runs,
     preferred by construction) plus BENCH_DETAIL_r*.json — RESTRICTED to
     the last two rounds plus the current one. Older artifacts reflect the
     box and plan state of their era (r11's sentinel sum is 5.34 s vs the
     r17 calibration's 6.60 s on the same code class); a global min would
-    set a band every honest current-era run fails. Only artifacts
-    carrying ALL current sentinels count (a partial subset would
-    understate the sum and make the gate fire spuriously).
+    set a band every honest current-era run fails.
+
+    Like-for-like first: artifacts from r18 on record their own
+    pre-flight measurement (box_state.attempts), and a prior OK
+    pre-flight sum is the exact same cold-JIT methodology as the one
+    being gated. In-run sentinel sums (queries map, all sentinels
+    required — a partial subset would understate the sum) are the
+    fallback, scaled by PREFLIGHT_JIT_SLACK.
     Returns (0.0, "") when nothing qualifies."""
     import glob
     import re
 
     current = _current_round()
-    best, src = float("inf"), ""
+    best_pf, src_pf = float("inf"), ""
+    best_run, src_run = float("inf"), ""
     for path in sorted(
         glob.glob(os.path.join(REPO_DIR, "BENCH_CAL_r*.json"))
         + glob.glob(os.path.join(REPO_DIR, "BENCH_DETAIL_r*.json"))
@@ -465,14 +481,23 @@ def _calibration_reference(sf_val: float | str) -> tuple[float, str]:
             continue
         if payload.get("sf") != sf_val:
             continue
+        bs = payload.get("box_state") or {}
+        if bs.get("state") == "ok" and bs.get("attempts"):
+            pf = bs["attempts"][-1].get("sum")
+            if isinstance(pf, (int, float)) and 0 < pf < best_pf:
+                best_pf, src_pf = float(pf), os.path.basename(path)
         qs = payload.get("queries") or {}
         if any(not isinstance(qs.get(s), (int, float)) or qs[s] <= 0
                for s in SENTINELS):
             continue
         ssum = sum(float(qs[s]) for s in SENTINELS)
-        if ssum < best:
-            best, src = ssum, os.path.basename(path)
-    return (best, src) if src else (0.0, "")
+        if ssum < best_run:
+            best_run, src_run = ssum, os.path.basename(path)
+    if src_pf:
+        return best_pf, f"{src_pf} (preflight)"
+    if src_run:
+        return best_run * PREFLIGHT_JIT_SLACK, f"{src_run} (in-run +slack)"
+    return 0.0, ""
 
 
 def _preflight_box_state(spark, sf_dir: str, sf_val: float | str) -> dict:

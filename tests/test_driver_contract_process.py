@@ -144,3 +144,51 @@ def test_driver_staleness_is_bounded():
         f"past the {DRIVER_WINDOW}-slot window: {overdue} — re-rank "
         "_WINDOW_PRIORITY (tools/rotate_window.py) before shipping the round"
     )
+
+
+def test_preflight_calibration_reference_uses_recent_rounds(tmp_path, monkeypatch):
+    """bench._calibration_reference must pick the smallest sentinel sum
+    from the last two rounds plus the current one ONLY — r11's committed
+    detail carries a 5.34 s sentinel sum from an older box/plan era, and
+    folding it in would set a band every honest current-era run fails
+    (the pre-flight gate would then cry wolf every round and its
+    'degraded' verdict would stop meaning anything). Also pins: partial
+    sentinel coverage disqualifies an artifact, and cal-suffix filenames
+    (BENCH_CAL_r17a.json) parse."""
+    import bench
+
+    def art(name, sums, partial=False):
+        qs = {s: sums for s in bench.SENTINELS}
+        if partial:
+            qs.pop(bench.SENTINELS[0])
+        (tmp_path / name).write_text(
+            json.dumps({"sf": 0.1, "queries": qs})
+        )
+
+    monkeypatch.setattr(bench, "REPO_DIR", str(tmp_path))
+    # current round = max BENCH_r on disk + 1 = 18 with BENCH_r17 present
+    (tmp_path / "BENCH_r17.json").write_text("{}")
+    art("BENCH_DETAIL_r11.json", 0.10)   # stale era: must be ignored
+    art("BENCH_DETAIL_r16.json", 0.80)
+    art("BENCH_CAL_r17a.json", 0.70)     # in-window min -> the reference
+    art("BENCH_CAL_r17b.json", 0.75)
+    art("BENCH_DETAIL_r17.json", 0.60, partial=True)  # partial: skipped
+    ref, src = bench._calibration_reference(0.1)
+    assert src == "BENCH_CAL_r17a.json (in-run +slack)"
+    assert abs(
+        ref - 0.70 * len(bench.SENTINELS) * bench.PREFLIGHT_JIT_SLACK
+    ) < 1e-9
+    # wrong sf is invisible
+    assert bench._calibration_reference(0.01) == (0.0, "")
+    # a prior OK pre-flight record is the like-for-like methodology and
+    # beats every in-run sum, with NO slack applied; degraded-state
+    # pre-flight sums must never become the reference
+    payload = json.loads((tmp_path / "BENCH_CAL_r17b.json").read_text())
+    payload["box_state"] = {
+        "state": "ok", "attempts": [{"sum": 9.9}, {"sum": 7.3}]
+    }
+    (tmp_path / "BENCH_CAL_r17b.json").write_text(json.dumps(payload))
+    payload["box_state"] = {"state": "degraded", "attempts": [{"sum": 0.5}]}
+    (tmp_path / "BENCH_DETAIL_r16.json").write_text(json.dumps(payload))
+    ref, src = bench._calibration_reference(0.1)
+    assert (ref, src) == (7.3, "BENCH_CAL_r17b.json (preflight)")
