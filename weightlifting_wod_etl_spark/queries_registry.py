@@ -115,6 +115,21 @@ from .queries import (  # noqa: E402,F401
 # rotation: any value-changing rewrite in r18 must retire or merge a
 # duplicate shape in the same commit (r13 models).
 #
+# R19 ROTATION NOTE (r18 adjudications, plan for next round's first
+# commit): the r16 tranche falls due at r19 — everything last
+# driver-green in r16 EXCEPT q_bigram_lm_score (which took r18's spare
+# slot and is fresh again), i.e. ~49 queries; run
+# `tools/rotate_window.py` and take the staleness test's printed set as
+# authoritative, exactly as r18 did. q_json_fns arrives INSIDE this
+# tranche naturally (last green r16) — no --front forcing needed; that
+# delivers the last outstanding driver evidence for the r16/r17 JSON
+# reshape family (VERDICT r17 #2's rider). Any spare slots fall to
+# natural staleness ranking (stalest r17 queries, by name). r18 shipped
+# NO value-affecting oracle or query reshapes (the round's diffs are
+# standing-gate tests, bench tooling, and docs), so no reshape rider
+# needs forcing and the r20 window then closes the cycle with the r17
+# tranche.
+#
 # R18 ROTATION NOTE (r17 adjudications, superseded by the EXECUTED note
 # above): the r15 tranche falls due at r18 — 49 queries (50 were last
 # green r15, minus q_curation_pipeline, which took r17's spare slot),
