@@ -174,3 +174,57 @@ def test_re2_whitespace_class_is_ascii_no_vt(spark):
     assert df.select(
         F.expr(r"s rlike '\\s'").alias("o")
     ).collect()[0].o is True
+
+
+def test_regex_lookaround_is_silently_unsupported_in_re2(spark):
+    """DOCUMENTED divergent corner (r18 addition): Java regex supports
+    lookahead/lookbehind; RE2 does NOT — and rather than erroring,
+    DuckDB's regexp_extract returns NO MATCH (''), i.e. the divergence
+    is SILENT. A lookaround in any pattern SHARED with an oracle
+    would quietly zero the oracle side. Audited r18: the one
+    lookaround in the engine (operators/text.py stopword_count) is
+    SPARK-SIDE-ONLY and exists precisely because of this asymmetry —
+    Java lookarounds emulate RE2's ASCII word boundary there so the
+    ORACLE can use plain \\b; no oracle-side pattern contains
+    lookaround. Backreferences and possessive quantifiers also
+    differ, but those at least fail LOUDLY on DuckDB (invalid escape
+    / bad repetition), so they can't slip through a green oracle
+    run."""
+    assert (
+        spark.sql(
+            r"SELECT regexp_extract('foo123', 'foo(?=1)', 0) AS o"
+        ).collect()[0].o
+        == "foo"
+    )
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            r"SELECT regexp_extract('foo123', 'foo(?=1)', 0)"
+        ).fetchone()[0] == ""
+        for bad in (r"regexp_matches('abcabc', '(abc)\1')",
+                    r"regexp_matches('aaa', 'a*+')"):
+            with pytest.raises(duckdb.Error):
+                con.execute(f"SELECT {bad}").fetchone()
+    finally:
+        con.close()
+    assert spark.sql(
+        r"SELECT regexp_like('abcabc', '(abc)\\1') AS o"
+    ).collect()[0].o is True
+
+
+def test_regex_word_class_is_ascii_on_both(spark):
+    """AGREEING (r18): \\w is ASCII-only on BOTH engines — Java
+    without UNICODE_CHARACTER_CLASS and RE2 both stop '\\w+' at the
+    first non-ASCII letter ('héllo' -> 'h'). Agreement pinned because
+    a Java-side switch to the unicode flag (or an engine default
+    change) would silently widen Spark's matches only."""
+    assert spark.sql(
+        r"SELECT regexp_extract('héllo', '\\w+', 0) AS o"
+    ).collect()[0].o == "h"
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            r"SELECT regexp_extract('héllo', '\w+', 0)"
+        ).fetchone()[0] == "h"
+    finally:
+        con.close()
