@@ -178,3 +178,66 @@ def test_mode_has_no_cross_engine_tie_contract(spark):
     dv = _duck_rows("mode(x)", D3)
     assert sv in (1.0, 2.0, 4.0)
     assert dv in (1.0, 2.0, 4.0)
+
+
+def test_struct_max_null_field_divergence(spark):
+    """DOCUMENTED divergent #4 (r18 struct probe): max over structs
+    whose ORDERING FIELD can be NULL picks OPPOSITE rows — Spark's
+    struct ordering sorts a NULL field LOW (max = the best non-NULL
+    row), DuckDB's ROW comparison sorts it HIGH (max = the NULL row).
+    Scalar struct comparison likewise splits: (1, NULL) < (1, 3) is
+    TRUE on Spark, NULL (three-valued) on DuckDB. Unreachable today:
+    every ordered-struct/argmax path packs a total-ordered non-NULL
+    BIGINT key instead (q_argmax_events' cents<<27|id packing,
+    q_mode_per_group's count-desc/value-asc struct of non-NULL
+    counts) — any future struct-ordered oracle must keep the ordering
+    fields provably non-NULL on both sides."""
+    got = spark.sql(
+        "SELECT max(struct(v, id)) AS o FROM VALUES"
+        " (CAST(NULL AS DOUBLE), 9), (1.0D, 1) t(v, id)"
+    ).collect()[0].o
+    assert (got.v, got.id) == (1.0, 1)
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            "SELECT max(ROW(v, id)) FROM (VALUES (NULL::DOUBLE, 9),"
+            " (1.0::DOUBLE, 1)) t(v, id)"
+        ).fetchone()[0]
+        assert want == (None, 9), want
+        tv = con.execute(
+            "SELECT ROW(1, NULL::INT) < ROW(1, 3)").fetchone()[0]
+        assert tv is None
+    finally:
+        con.close()
+    assert spark.sql(
+        "SELECT struct(1, CAST(NULL AS INT)) < struct(1, 3) AS o"
+    ).collect()[0].o is True
+
+
+def test_max_by_skips_null_keys_but_has_no_tie_contract(spark):
+    """AGREE: max_by/arg_max both SKIP rows whose ordering key is NULL
+    (asserted — the load-bearing half). DIVERGE: on exactly tied keys
+    each engine returns its own arbitrary row (measured r18: Spark
+    id 2, DuckDB id 1) — same class as native mode(); the packed
+    unique-suffix key (q_argmax_events) is the portable spelling."""
+    assert spark.sql(
+        "SELECT max_by(id, v) AS o FROM VALUES (1.0D, 1), (3.0D, 3),"
+        " (CAST(NULL AS DOUBLE), 2) t(v, id)"
+    ).collect()[0].o == 3
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            "SELECT arg_max(id, v) FROM (VALUES (1.0, 1), (3.0, 3),"
+            " (NULL, 2)) t(v, id)"
+        ).fetchone()[0] == 3
+        duck_tie = con.execute(
+            "SELECT arg_max(id, v) FROM (VALUES (3.0, 1), (3.0, 2))"
+            " t(v, id)"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    spark_tie = spark.sql(
+        "SELECT max_by(id, v) AS o FROM VALUES (3.0D, 1), (3.0D, 2)"
+        " t(v, id)"
+    ).collect()[0].o
+    assert spark_tie in (1, 2) and duck_tie in (1, 2)
