@@ -78,3 +78,22 @@ def test_result_identical_at_8_and_64_shuffle_partitions(
         f"first diff: "
         f"{next((a, b) for a, b in zip(at8, at64) if a != b) if len(at8) == len(at64) else 'row-count'}"
     )
+
+
+def test_result_identical_with_aqe_disabled(spark, sf_dir):
+    """AQE coalesces/splits shuffle partitions at runtime — one more
+    way physical partitioning can differ run to run. Spot-check the
+    three most order-sensitive classes with adaptive execution OFF
+    against the fixture default (ON)."""
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
+    results = {}
+    for name in ("q_group_concat", "q_argmax_events", "q_weighted_median"):
+        fn = QUERIES[name]
+        base = _canon(fn(spark, sf_dir))
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            off = _canon(fn(spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prior)
+        results[name] = (base == off, len(base), len(off))
+        assert base == off, (name, results[name])
