@@ -228,3 +228,86 @@ def test_regex_word_class_is_ascii_on_both(spark):
         ).fetchone()[0] == "h"
     finally:
         con.close()
+
+
+@pytest.mark.parametrize(
+    "label,spark_expr,duck_sql",
+    [
+        ("concat_ws_skips_null",
+         "concat_ws(',', 'a', CAST(NULL AS STRING), 'b')",
+         "concat_ws(',', 'a', NULL, 'b')"),
+        ("pipe_propagates_null", "'a' || CAST(NULL AS STRING)",
+         "'a' || NULL"),
+        ("array_join_skips_null",
+         "array_join(array('a', CAST(NULL AS STRING), 'b'), ',')",
+         "array_to_string(['a', NULL, 'b'], ',')"),
+        ("left_overlong", "left('hi', 10)", "left('hi', 10)"),
+        ("nullif_eq", "cast(nullif(3, 3) as string)",
+         "CAST(nullif(3, 3) AS VARCHAR)"),
+    ],
+)
+def test_string_builder_null_edges_agree(spark, label, spark_expr,
+                                         duck_sql):
+    """r18 addendum: the NULL-edge builder semantics shipped oracles
+    rely on — concat_ws and array_join SKIP NULL elements on both
+    engines, while the || operator NULL-propagates on both (which is
+    why every oracle uses ||, see the divergence below)."""
+    got = spark.sql(f"SELECT {spark_expr} AS o").collect()[0].o
+    con = duckdb.connect()
+    try:
+        want = con.execute(f"SELECT {duck_sql}").fetchone()[0]
+    finally:
+        con.close()
+    assert got == want, (label, got, want)
+
+
+def test_bare_concat_null_divergence(spark):
+    """DOCUMENTED divergent corner (r18 addendum): concat() with a
+    NULL argument NULL-propagates on Spark but SKIPS the NULL on
+    DuckDB ('a' || NULL is NULL on both — the safe spelling).
+    Audited r18: zero oracle SQL strings use bare concat( (checked
+    mechanically over oracle_sql()); every string build mirrors via
+    ||. Spark-side F.concat sites all feed non-nullable operands
+    (literals, md5 digests, coalesced text)."""
+    assert spark.sql(
+        "SELECT concat('a', CAST(NULL AS STRING)) AS o"
+    ).collect()[0].o is None
+    con = duckdb.connect()
+    try:
+        assert con.execute("SELECT concat('a', NULL)").fetchone()[0] == "a"
+    finally:
+        con.close()
+
+
+def test_negative_length_left_right_divergence(spark):
+    """DOCUMENTED divergent corner (r18 addendum): left/right with a
+    NEGATIVE length return '' on Spark but Python-style
+    all-but-the-last|first-n on DuckDB (left('hello', -2) ->
+    'hel'). Unreachable: every shipped left/right length is a
+    literal >= 1."""
+    assert spark.sql("SELECT left('hello', -2) AS o").collect()[0].o == ""
+    assert spark.sql("SELECT right('hello', -2) AS o").collect()[0].o == ""
+    con = duckdb.connect()
+    try:
+        assert con.execute("SELECT left('hello', -2)").fetchone()[0] == "hel"
+        assert con.execute(
+            "SELECT right('hello', -2)").fetchone()[0] == "llo"
+    finally:
+        con.close()
+
+
+def test_hex_prefix_cast_divergence(spark):
+    """DOCUMENTED divergent corner (r18 addendum, extends the r17
+    lenient-cast class): DuckDB's TRY_CAST parses '0x' HEX prefixes
+    ('0x1A' -> 26); Spark's numeric cast rejects them (NULL). The
+    cast-trim gates' digits-only regexes already exclude such
+    strings from every mirrored channel; pinned so a new numeric
+    channel remembers the hex hole too."""
+    assert spark.sql(
+        "SELECT try_cast('0x1A' as int) AS o").collect()[0].o is None
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            "SELECT TRY_CAST('0x1A' AS INT)").fetchone()[0] == 26
+    finally:
+        con.close()
