@@ -124,3 +124,18 @@ def test_map_duplicate_keys_last_win(spark):
     duck = _duck_val("map_concat(MAP {'a': 1, 'b': 2}, MAP {'a': 9})")
     # duckdb's python API surfaces MAP as {'key': [...], 'value': [...]}
     assert dict(zip(duck["key"], duck["value"])) == {"a": 9, "b": 2}
+
+
+def test_sort_array_vs_array_sort_null_placement(spark):
+    """r18 addendum — a SPARK-INTERNAL trap with a cross-engine
+    consequence: Spark ships TWO array sorters with OPPOSITE null
+    placement — sort_array() puts NULLs FIRST ascending,
+    array_sort() puts them LAST. Only array_sort mirrors DuckDB's
+    list_sort (NULLS LAST, pinned above). Audited r18: no engine
+    code calls sort_array (grep); any future array-sorting oracle
+    must use array_sort <-> list_sort, never sort_array."""
+    assert _spark_val(
+        spark, "sort_array(array(3, null, 1))") == [None, 1, 3]
+    assert _spark_val(
+        spark, "array_sort(array(3, null, 1))") == [1, 3, None]
+    assert _duck_val("list_sort([3, NULL, 1])") == [1, 3, None]
