@@ -477,3 +477,85 @@ def test_merge_partitioned_table_carries_null_partition_value(spark, tmp_path):
         if "__HIVE_DEFAULT_PARTITION__" in os.path.relpath(f, data_dir)
     ]
     assert null_files, "NULL partition row lost its Hive default dir"
+
+
+def test_op_aware_single_merge_equals_sequential_delete_then_upsert(
+    spark, tmp_path
+):
+    """r18 optimization round: cdc_apply now applies a collapsed batch's
+    deletes and upserts through ONE merge_into call (the ``deletes``
+    param) instead of a delete-merge followed by an upsert-merge. The
+    two forms must produce identical tables, and the single form must
+    report the same matched/inserted/deleted totals the two sequential
+    calls reported between them."""
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    upserts = spark.createDataFrame(
+        [(1, "a2"), (5, "e")], "k long, v string"  # update k=1, insert k=5
+    )
+    deletes = spark.createDataFrame([(2,), (9,)], "k long")  # 9 absent
+
+    single = str(tmp_path / "single")
+    base.write.parquet(single)
+    stats = merge_into(spark, single, upserts, on=["k"], deletes=deletes)
+
+    seq = str(tmp_path / "seq")
+    base.write.parquet(seq)
+    s_del = merge_into(
+        spark, seq, deletes, on=["k"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    s_ups = merge_into(spark, seq, upserts, on=["k"])
+
+    got_single = sorted(
+        (r.k, r.v) for r in spark.read.parquet(resolve(single)).collect()
+    )
+    got_seq = sorted(
+        (r.k, r.v) for r in spark.read.parquet(resolve(seq)).collect()
+    )
+    assert got_single == got_seq == [(1, "a2"), (3, "c"), (4, "d"), (5, "e")]
+    assert stats["deleted"] == s_del["deleted"] == 1
+    assert stats["matched"] == s_ups["matched"] == 1
+    assert stats["inserted"] == s_ups["inserted"] == 1
+
+
+def test_op_aware_merge_rejects_key_in_both_sides(spark, tmp_path):
+    """A key that is both deleted and upserted in one merge is the same
+    multi-match ambiguity Delta rejects — the dup guard must cover the
+    union of the two key sets, not each side alone."""
+    import pytest
+
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+
+    path = str(tmp_path / "dupboth")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    ups = spark.createDataFrame([(1, "a2")], "k long, v string")
+    dels = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into(spark, path, ups, on=["k"], deletes=dels)
+
+
+def test_op_aware_merge_prunes_files_for_delete_only_keys(spark, tmp_path):
+    """File-targeted soundness for the op-aware form: a file whose key
+    interval holds ONLY a delete key must still be rewritten (pruning on
+    the upsert side alone would carry it and resurrect the row)."""
+    from weightlifting_wod_etl_spark.operators.merge import merge_into
+    from weightlifting_wod_etl_spark.operators.versioned import resolve
+    from weightlifting_wod_etl_spark.sinks import kv_upsert_parquet
+
+    path = str(tmp_path / "prunedel")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 9)], "k long, v string"
+    ).repartition(4, "k")
+    kv_upsert_parquet(
+        base, path, key_cols=["k"], order_cols=["v"], stats_cols=["k"]
+    )
+    ups = spark.createDataFrame([(1, "v1b")], "k long, v string")
+    dels = spark.createDataFrame([(7,)], "k long")
+    merge_into(spark, path, ups, on=["k"], deletes=dels)
+    rows = {r.k: r.v for r in spark.read.parquet(resolve(path)).collect()}
+    assert 7 not in rows and rows[1] == "v1b" and len(rows) == 7

@@ -38,8 +38,85 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# achievable_scan_splits is immutable per path for the static testdata;
+# the cache saves a footer read per load_table call (keyed on the path,
+# so scratch tables rewritten in place must not use it — they don't:
+# fan-out is only wired into load_table's star-schema reads).
+_SPLITS_CACHE: dict[str, int] = {}
+
+
+def achievable_scan_splits(path: str) -> int:
+    """Upper bound on Spark's parquet scan parallelism for ``path``:
+    the total ROW-GROUP count across its files. Split planning can cut a
+    file into byte ranges, but each row group is processed whole by the
+    split holding its midpoint — a 1-row-group file is one task no
+    matter what ``maxPartitionBytes``/``minPartitionNum`` say. Footer
+    reads only (KB-scale), cached per path."""
+    cached = _SPLITS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+    else:
+        files = [path]
+    total = 0
+    for f in files:
+        try:
+            total += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            total += 1  # unreadable footer: assume one split, stay safe
+    _SPLITS_CACHE[path] = total
+    return total
+
+
+def fan_out_unsplittable(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5: "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The committed testdata ships each table as ONE parquet file with ONE
+    row group, so every scan is a single task and a compute-heavy
+    map stage (regex chains, shingle/minhash minting, array folds) runs
+    single-threaded regardless of core count. When — and only when — the
+    input's achievable split count is below the session's parallelism,
+    redistribute rows round-robin right after the read so the map stage
+    uses the machine. SCALE-ADAPTIVE by construction: real deployments
+    have row groups ≫ cores, the guard is false, and no shuffle is ever
+    added (verified by tests/test_plan_shapes.py's fan-out gate). The
+    target is ``defaultParallelism`` (core count), never a constant.
+
+    Opt-IN per call site: only operators whose scan-stage work dominates
+    benefit; a cheap map feeding an immediate aggregation loses more to
+    the extra exchange than it gains (measured r18 A/B: q_tpch_q21
+    0.45x, q_hll_bound 0.61x with a blanket fan-out — vs q_trigram_entropy
+    8x, q_date_extract 4.2x with a targeted one).
+    Disable with ``spark.wod_etl.scan_fanout=false`` (plan-shape tests
+    pin the 100 TB zero-exchange shapes under that setting)."""
+    try:
+        enabled = spark.conf.get("spark.wod_etl.scan_fanout", "true")
+    except Exception:
+        enabled = "true"
+    if enabled != "true":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if achievable_scan_splits(path) >= target:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Scan one table; normalize physical quirks to logical types.
+
+    ``fan_out=True`` applies :func:`fan_out_unsplittable` after the read
+    — opt in at call sites whose scan-stage compute dominates (see that
+    function's docstring for the measured decision rule).
 
     The synthetic ``events`` table has shipped ``ts`` under three physical
     encodings across testdata generations: TIMESTAMP(NANOS) (readable only
@@ -87,6 +164,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif dt == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if fan_out:
+        df = fan_out_unsplittable(spark, df, table_path(sf_dir, name))
     return df
 
 

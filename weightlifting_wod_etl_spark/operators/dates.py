@@ -108,38 +108,65 @@ def extract_date_range(slug: Column, title: Column | None = None) -> tuple[Colum
     """
 
     def parse(src: Column, pat: str) -> Column:
-        # regexp_extract yields '' on no-match; nullif first so the cast is
-        # NULL under any ANSI setting (reference returns None, §2.3).
-        # The four captures are let-bound as one struct: without it,
-        # CollapseProject re-inlines the regex into every reference
-        # (month_number alone fans grp(1) into 12 when-branches) — ~6×
-        # slower measured at sf0.1 (functions/expr.py).
-        def grp(i: int) -> Column:
-            return F.nullif(F.regexp_extract(src, pat, i), F.lit(""))
+        # ONE regex execution per matched row (r18 optimization-round,
+        # guide §1.2 per-task work): four separate regexp_extract calls
+        # each re-ran the full pattern match — 5 regex executions per row
+        # with the rlike gate. Wrapping the pattern as
+        # ``(?s)^.*?<pat>.*$`` and regexp_replace-ing the WHOLE string
+        # with the \x01-joined captures runs the matcher once; a split
+        # recovers the four groups. Equivalence to regexp_extract's
+        # find() semantics: the lazy ``.*?`` prefix tries match starts
+        # left-to-right exactly as find() does, the inner pattern is
+        # untouched (no '.' inside, so (?s) changes nothing there), the
+        # anchors make exactly one replacement, and the capture classes
+        # (\w+, \d+) can neither be empty nor contain \x01 — so on a
+        # gated (rlike-matched) row the result is exactly
+        # "g1\x01g2\x01g3\x01g4". Parity re-verified at sf0.001/0.01/0.1
+        # plus the dirty-slug suite (tests/test_datefn_corners.py).
+        #
+        # nullif('') is belt-and-braces from the extract form (captures
+        # here are provably non-empty post-gate); the cast is NULL under
+        # any ANSI setting (reference returns None, §2.3). The parts
+        # array is let-bound: without it the interpreted projection
+        # re-runs regexp_replace+split once per capture reference
+        # (functions/expr.py — the measured CollapseProject pitfall).
+        parts_col = F.split(
+            F.regexp_replace(
+                src, "(?s)^.*?" + pat + ".*$", "$1\x01$2\x01$3\x01$4"
+            ),
+            "\x01",
+        )
 
-        caps = F.struct(
-            grp(1).alias("mn"),
-            grp(2).cast("int").alias("d1"),
-            grp(3).cast("int").alias("d2"),
-            grp(4).cast("int").alias("y"),
-        )
-        pair = _let(
-            caps,
-            lambda c: _let(
-                month_number(c.mn),
-                lambda m: F.struct(
-                    F.make_date(c.y, m, c.d1).alias("s"),
-                    F.make_date(c.y, m, c.d2).alias("e"),
+        def from_parts(p: Column) -> Column:
+            def grp(i: int) -> Column:
+                return F.nullif(F.element_at(p, i), F.lit(""))
+
+            caps = F.struct(
+                grp(1).alias("mn"),
+                grp(2).cast("int").alias("d1"),
+                grp(3).cast("int").alias("d2"),
+                grp(4).cast("int").alias("y"),
+            )
+            pair = _let(
+                caps,
+                lambda c: _let(
+                    month_number(c.mn),
+                    lambda m: F.struct(
+                        F.make_date(c.y, m, c.d1).alias("s"),
+                        F.make_date(c.y, m, c.d2).alias("e"),
+                    ),
                 ),
-            ),
-        )
-        # atomicity: both-or-neither (reference's single try/except)
-        return _let(
-            pair,
-            lambda p: F.when(
-                p.getField("s").isNotNull() & p.getField("e").isNotNull(), p
-            ),
-        )
+            )
+            # atomicity: both-or-neither (reference's single try/except)
+            return _let(
+                pair,
+                lambda p2: F.when(
+                    p2.getField("s").isNotNull() & p2.getField("e").isNotNull(),
+                    p2,
+                ),
+            )
+
+        return _let(parts_col, from_parts)
 
     if title is None:
         text = slug

@@ -65,6 +65,7 @@ def merge_into(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    deletes: DataFrame | None = None,
 ) -> dict:
     """Merge ``source`` into the parquet table at ``target_path``.
 
@@ -81,6 +82,19 @@ def merge_into(
     is reported, never silent (review r12): see
     ``dup_target_rows_collapsed`` in the returned stats.
 
+    ``deletes`` (r18 optimization round): an optional key-only frame
+    merged IN THE SAME COMMIT — every target row matching a ``deletes``
+    key is removed and nothing is inserted for it (the per-row
+    MATCHED-DELETE clause of a Delta-style op-aware MERGE). This is the
+    CDC fast path: a collapsed change batch applies its deletes and
+    upserts through ONE target read, ONE rewrite and ONE atomic commit
+    instead of two of each (streaming/cdc_apply.py — measured ~2x on the
+    q_cdc_apply pipeline). Keys must be unique across ``source`` AND
+    ``deletes`` together (the same ambiguous-merge guard); equivalence
+    to the sequential delete-then-upsert form holds exactly because of
+    that disjointness: final = target ∖ (all batch keys) ∪ upserts
+    either way (pinned in tests/test_merge.py).
+
     Returns counts: ``{"matched": n, "inserted": n, "deleted": n,
     "dup_target_rows_collapsed": n, ...}``.
     """
@@ -88,7 +102,11 @@ def merge_into(
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"when_not_matched={when_not_matched!r}")
-    if when_matched == "ignore" and when_not_matched == "ignore":
+    if (
+        when_matched == "ignore"
+        and when_not_matched == "ignore"
+        and deletes is None
+    ):
         return {"matched": 0, "inserted": 0, "deleted": 0}  # nothing can change
 
     data_dir = resolve(target_path)
@@ -102,6 +120,16 @@ def merge_into(
     # otherwise produce a key at write time that the prune didn't see —
     # whose file was carried — silently duplicating or losing that row.
     source = source.localCheckpoint(eager=False)
+    if deletes is not None:
+        deletes = deletes.select(*on).localCheckpoint(eager=False)
+    # every key this merge can touch: drives target-row removal, the
+    # bookkeeping aggregation, and file pruning (a file holding ONLY a
+    # delete key must still be rewritten)
+    all_keys = (
+        source.select(*on)
+        if deletes is None
+        else source.select(*on).unionByName(deletes)
+    )
 
     # File-targeted path: with a persisted stats index covering the first
     # merge key, read/rewrite only the files whose key interval can hold a
@@ -117,7 +145,7 @@ def merge_into(
         pkeys = _partition_keys(data_dir)
         full = spark.read.parquet(data_dir)
         carried_files, candidates = _prune_rewrite_set(
-            spark, data_dir, source, on, set(full.columns)
+            spark, data_dir, source, all_keys, on, set(full.columns)
         )
         n_candidates = len(candidates)
         if carried_files and candidates:
@@ -143,19 +171,39 @@ def merge_into(
     # counts give the dup guard, matched/total counts, and the matched-key
     # set — the lazy localCheckpoint materializes key_stats at the agg and
     # the clause joins reuse it without re-running the join lineage.
+    # Delete keys ride the same aggregation tagged ``_isdel`` so the
+    # op-aware form costs no extra job; the dup guard covers duplicates
+    # WITHIN and ACROSS the two sides (a key that is both deleted and
+    # upserted in one merge is the same ambiguity Delta rejects).
+    tagged = source.select(*on).withColumn("_isdel", F.lit(False))
+    if deletes is not None:
+        tagged = tagged.unionByName(deletes.withColumn("_isdel", F.lit(True)))
     key_stats = (
-        source.groupBy(*on)
-        .agg(F.count(F.lit(1)).alias("_scnt"))
+        tagged.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_scnt"), F.max("_isdel").alias("_isdel"))
         .join(target.groupBy(*on).agg(F.count(F.lit(1)).alias("_tcnt")), on, "left")
         .localCheckpoint(eager=False)
     )
     row = key_stats.agg(
         F.coalesce(F.max("_scnt"), F.lit(0)).alias("max_dup"),
-        F.coalesce(F.sum("_scnt"), F.lit(0)).alias("n_src"),
         F.coalesce(
-            F.sum(F.when(F.col("_tcnt").isNotNull(), F.col("_scnt"))), F.lit(0)
+            F.sum(F.when(~F.col("_isdel"), F.col("_scnt"))), F.lit(0)
+        ).alias("n_src"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_tcnt").isNotNull() & ~F.col("_isdel"),
+                    F.col("_scnt"),
+                )
+            ),
+            F.lit(0),
         ).alias("n_src_matched"),
-        F.coalesce(F.sum("_tcnt"), F.lit(0)).alias("n_matched"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_isdel"), F.col("_tcnt"))), F.lit(0)
+        ).alias("n_matched"),
+        F.coalesce(
+            F.sum(F.when(F.col("_isdel"), F.col("_tcnt"))), F.lit(0)
+        ).alias("n_del_matched"),
     ).collect()[0]
     if row.max_dup > 1:
         raise ValueError(
@@ -163,7 +211,9 @@ def merge_into(
             "more than one source row (non-deterministic merge)"
         )
     n_matched, n_src_matched = row.n_matched, row.n_src_matched
-    matched_keys = key_stats.filter(F.col("_tcnt").isNotNull()).select(*on)
+    matched_keys = key_stats.filter(
+        F.col("_tcnt").isNotNull() & ~F.col("_isdel")
+    ).select(*on)
 
     # survivors from the target side. NO forced broadcast on the source
     # key set (review r12): a right-to-be-forgotten deletion list — the
@@ -172,16 +222,26 @@ def merge_into(
     # left free still broadcasts small sources and falls back to a
     # shuffled join for large ones.
     if when_matched == "ignore":
-        keep_target = target
+        removal = deletes  # only explicit delete keys remove target rows
     else:  # update and delete both remove the matched target rows
-        keep_target = target.join(source.select(*on), on, "left_anti")
+        removal = all_keys
+    keep_target = (
+        target if removal is None else target.join(removal, on, "left_anti")
+    )
 
     # rows contributed by the source side
     parts = []
-    if when_matched == "update":
-        parts.append(source.join(matched_keys, on, "left_semi"))
-    if when_not_matched == "insert":
-        parts.append(source.join(matched_keys, on, "left_anti"))
+    if when_matched == "update" and when_not_matched == "insert":
+        # semi(matched) ∪ anti(matched) == source exactly — the common
+        # upsert form needs NEITHER clause join (r18 optimization round:
+        # two broadcast joins and a union removed from every kv-upsert/
+        # CDC merge plan; the split exists only to serve an "ignore" arm)
+        parts.append(source)
+    else:
+        if when_matched == "update":
+            parts.append(source.join(matched_keys, on, "left_semi"))
+        if when_not_matched == "insert":
+            parts.append(source.join(matched_keys, on, "left_anti"))
 
     out = keep_target
     for p in parts:
@@ -221,7 +281,9 @@ def merge_into(
             )
 
     n_inserted = int(row.n_src - n_src_matched) if when_not_matched == "insert" else 0
-    n_deleted = int(n_matched) if when_matched == "delete" else 0
+    n_deleted = (int(n_matched) if when_matched == "delete" else 0) + int(
+        row.n_del_matched
+    )
 
     staging, version = begin_commit(target_path)
     try:
@@ -280,6 +342,7 @@ def _prune_rewrite_set(
     spark: SparkSession,
     data_dir: str,
     source: DataFrame,
+    all_keys: DataFrame,
     on: list[str],
     target_cols: set[str],
 ) -> tuple[list[str], list[str]]:
@@ -288,7 +351,10 @@ def _prune_rewrite_set(
     interval holds no source key. Returns ``([], [])`` — full rewrite —
     when there is no usable index, the key is not indexed, or the source
     introduces columns the target lacks (schema drift would make carried
-    files diverge from rewritten ones)."""
+    files diverge from rewritten ones). ``all_keys`` carries EVERY key
+    the merge can touch (source plus the op-aware ``deletes`` side) —
+    pruning on the insert side alone would carry a file holding only a
+    deleted key, silently resurrecting the row."""
     from .skipping import list_data_files, load_stats_index
 
     if not set(source.columns) <= target_cols:
@@ -314,7 +380,7 @@ def _prune_rewrite_set(
         # keys — a broadcast range join, never a shuffle of the source; the
         # distinct collapses to ≤ n_files rows map-side before the collect
         hit = (
-            source.select(F.col(key).alias("_k"))
+            all_keys.select(F.col(key).alias("_k"))
             .join(
                 F.broadcast(bdf),
                 (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),

@@ -101,20 +101,32 @@ def make_cdc_apply(
         )
         latest.persist()
         try:
-            deletes = latest.filter(F.col(op_col) == delete_op).select(*on)
-            # non-delete INCLUDING a null/unknown op is an upsert: a plain
-            # != would evaluate NULL for a malformed row and silently drop
-            # the change from both branches
-            upserts = latest.filter(
-                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
-            ).drop(op_col, seq_col)
-            if deletes.limit(1).count():
-                merge_into(
-                    spark, target_path, deletes, on,
-                    when_matched="delete", when_not_matched="ignore",
+            # one op-aware MERGE (r18 optimization round): deletes and
+            # upserts used to apply as TWO sequential merge_into calls —
+            # two target reads, two rewrites, two atomic commits and two
+            # bookkeeping jobs per micro-batch. merge_into's ``deletes``
+            # side applies both in one commit; equivalence holds because
+            # the in-batch collapse guarantees the two key sets are
+            # disjoint (final = target ∖ batch-keys ∪ upserts either
+            # way — pinned by the unchanged test_streaming suite plus
+            # test_merge.py's sequential-vs-single equivalence test).
+            # eqNullSafe keeps the r10 null-op rule: a null/unknown op is
+            # an upsert, never silently dropped from both branches.
+            is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
+            counts = latest.agg(
+                F.coalesce(
+                    F.sum(F.when(is_del, 1).otherwise(0)), F.lit(0)
+                ).alias("n_del"),
+                F.count(F.lit(1)).alias("n_all"),
+            ).collect()[0]
+            if counts.n_all:
+                deletes = (
+                    latest.filter(is_del).select(*on)
+                    if counts.n_del
+                    else None
                 )
-            if upserts.limit(1).count():
-                merge_into(spark, target_path, upserts, on)
+                upserts = latest.filter(~is_del).drop(op_col, seq_col)
+                merge_into(spark, target_path, upserts, on, deletes=deletes)
         finally:
             latest.unpersist()
             cached.unpersist()
