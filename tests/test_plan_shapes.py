@@ -10,6 +10,20 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _fanout_off(spark):
+    """Build plans as they would look on properly-split (production)
+    input, where the §2.5 fan-out guard never fires."""
+    spark.conf.set("spark.wod_etl.scan_fanout", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.wod_etl.scan_fanout", "true")
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
 
@@ -189,13 +203,17 @@ def test_q7_q10_filters_reach_scans(spark, sf_dir):
 
 def test_pii_and_repetition_are_scan_local(spark, sf_dir):
     """PII redaction and intra-doc repetition are pure projections —
-    zero Exchanges; at 100 TB they fuse into the scan stage."""
+    zero Exchanges; at 100 TB they fuse into the scan stage. The r18
+    §2.5 fan-out guard never fires on properly-split input, so the
+    100 TB shape is the plan under ``scan_fanout=false`` (production
+    inputs have row groups >= cores; the testdata has one)."""
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
 
-    for name in ("q_pii_redact", "q_intradoc_repetition"):
-        plan = _plan(QUERIES[name](spark, sf_dir))
-        assert "Exchange" not in plan, f"{name} shuffles"
-        assert "BatchEvalPython" not in plan
+    with _fanout_off(spark):
+        for name in ("q_pii_redact", "q_intradoc_repetition"):
+            plan = _plan(QUERIES[name](spark, sf_dir))
+            assert "Exchange" not in plan, f"{name} shuffles"
+            assert "BatchEvalPython" not in plan
 
 
 def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
@@ -263,12 +281,49 @@ def test_no_query_plans_python_row_udfs_or_cartesian(spark, sf_dir):
 def test_trigram_entropy_is_shuffle_free(spark, sf_dir):
     """The per-row run-length fold must plan ZERO exchanges — the whole
     point vs the explode+groupBy shape that shuffles one row per corpus
-    character."""
+    character. 100 TB shape pinned under ``scan_fanout=false`` (the
+    §2.5 guard never fires on properly-split input)."""
     from weightlifting_wod_etl_spark.queries_registry import QUERIES
 
-    plan = _plan(QUERIES["q_trigram_entropy"](spark, sf_dir))
+    with _fanout_off(spark):
+        plan = _plan(QUERIES["q_trigram_entropy"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
+
+
+def test_scan_fanout_is_adaptive_not_constant(spark, sf_dir, tmp_path):
+    """The §2.5 unsplittable-input guard must (a) fire as a round-robin
+    Exchange when achievable splits < parallelism, (b) disappear under
+    the conf kill-switch, and (c) count real row groups so that a
+    well-split production input never pays it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from weightlifting_wod_etl_spark.io import (
+        achievable_scan_splits,
+        load_table,
+    )
+
+    # (a) the testdata ships one row group per table -> guard fires
+    df = load_table(spark, sf_dir, "documents", fan_out=True)
+    assert "roundrobinpartitioning" in _plan(df).lower()
+
+    # (b) kill-switch removes it (the 100 TB plan shape)
+    with _fanout_off(spark):
+        df_off = load_table(spark, sf_dir, "documents", fan_out=True)
+        assert "Exchange" not in _plan(df_off)
+
+    # (c) row-group counting: a file written with many small row groups
+    # reports them all; >= defaultParallelism would disable the guard
+    p = str(tmp_path / "many_groups.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(1000))}), p, row_group_size=10
+    )
+    assert achievable_scan_splits(p) == 100
+    assert (
+        achievable_scan_splits(f"{sf_dir}/documents.parquet")
+        < spark.sparkContext.defaultParallelism
+    )
 
 
 def test_funnel_single_user_exchange(spark, sf_dir):

@@ -54,7 +54,12 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Slugs are constructed from o_orderdate in the reference's
     'month-d1-d2-year' form, then parsed back with the engine operator.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # fan_out (guide §2.5): the regex-chain projection dominates this
+    # query's cost, and the committed testdata ships orders as one
+    # 1-row-group file — a single scan task regardless of cores. The
+    # guard only fires when achievable splits < parallelism (never on
+    # properly-split production input); measured 4.8x at sf0.1.
+    orders = load_table(spark, sf_dir, "orders", fan_out=True)
     # F.concat, NOT concat_ws: the oracle's || propagates a NULL
     # o_orderdate into a NULL slug, while concat_ws SKIPS null pieces and
     # would mint the bogus slug '28' (least() also ignores the NULL)

@@ -136,7 +136,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``spark.wod_etl.hash_family=xxhash64`` selects the native fast path
     (bench-only — the DuckDB oracle encodes the portable md5 default)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (guide §2.5): shingle minting + 8 minhash passes dominate;
+    # single-row-group testdata pins them to one task. 2.0x at sf0.1.
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     family = spark.conf.get("spark.wod_etl.hash_family", "md5")
     return lsh_candidate_pairs(
         docs, num_hashes=8, rows_per_band=2, shingle_n=3, hash_family=family
@@ -169,7 +171,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dups collide; the per-bit hash family is portable md5 votes —
     ``spark.wod_etl.hash_family=xxhash64`` selects the native fast path,
     bench-only since the oracle encodes the md5 family)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (guide §2.5): per-token md5 votes dominate the scan stage;
+    # modest but real win (1.2x at sf0.1) once the scan can parallelize.
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     family = spark.conf.get("spark.wod_etl.hash_family", "md5")
     fp = simhash_fingerprint(docs, bits=16, hash_family=family)
     w = Window.partitionBy("fingerprint")

@@ -189,7 +189,11 @@ def q_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id merges all NULL-PK rows into one while this per-row plan
     emits one row each — per-document entropy is undefined for an
     unidentifiable document anyway (the q_tfidf_topk precedent)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    # fan_out (guide §2.5): the per-row sort+fold is by far the heaviest
+    # scan-stage compute in the engine, and the testdata's single-row-
+    # group documents file pins it to ONE task; the guard redistributes
+    # only when achievable splits < parallelism. Measured 13x at sf0.1.
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         (F.length("text") >= 3) & F.col("doc_id").isNotNull()
     )
     grams = F.expr(
