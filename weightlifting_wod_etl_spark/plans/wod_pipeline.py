@@ -26,7 +26,7 @@ its test fixtures — see tests/test_wod_pipeline.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.html import decode_entities, strip_html
@@ -91,9 +91,19 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
     seg 1 collapses to ('session', marker line); other segments key on
     their marker line verbatim; days with no segments become rest days.
     """
-    seg = segmented.filter(F.col("seg_idx") > 0)
-    # per segment: marker line (min line_idx) is the key, rest join to value
-    per_seg = seg.groupBy("post_id", "day_idx", "seg_idx").agg(
+    # ONE pass over the sessionized lines (r18 optimization round, guide
+    # §2.4): the former kv / day-spine / rest-anti-join triple consumed
+    # `segmented` three times, and because each branch pruned different
+    # columns below the exchange, Catalyst planned THREE full
+    # strip+explode+window chains (no ReusedExchange) — the dominant cost
+    # of the whole pipeline. Aggregate every (post, day, seg) group once
+    # — seg 0 included — and derive rest days from max(seg_idx)==0 over
+    # the (post, day) window instead of an anti-join: a rest day is
+    # EXACTLY a day none of whose lines opened a segment (all rows keep
+    # seg 0), so the day-spine/anti-join pair is redundant. The window
+    # reuses the chain's post_id partitioning (no new exchange); proved
+    # equivalent by the unchanged oracle + golden fixture.
+    per_seg = segmented.groupBy("post_id", "day_idx", "seg_idx").agg(
         F.min_by("line", "line_idx").alias("key_line"),
         F.count(F.lit(1)).alias("n_lines"),
         ordered_concat_expr("line_idx", "line", " ").alias("all_joined"),
@@ -103,26 +113,28 @@ def segments_to_records(segmented: DataFrame, stripped: DataFrame) -> DataFrame:
         F.col("n_lines") > 1,
         F.expr("substring(all_joined, length(key_line) + 2)"),
     ).otherwise(F.lit(""))
-    kv = per_seg.select(
-        "post_id",
-        "day_idx",
-        "seg_idx",
-        F.when(F.col("seg_idx") == 1, F.lit("session")).otherwise(F.col("key_line")).alias("k"),
-        F.when(F.col("seg_idx") == 1, F.col("key_line")).otherwise(value).alias("v"),
-    )
-    # day spine: every day that exists at level 1, even segment-less ones
-    day_spine = segmented.select("post_id", "day_idx").distinct()
-    rest = (
-        day_spine.join(kv.select("post_id", "day_idx").distinct(), ["post_id", "day_idx"], "left_anti")
+    max_seg = F.max("seg_idx").over(Window.partitionBy("post_id", "day_idx"))
+    is_rest = F.col("__max_seg") == 0
+    kv_all = (
+        per_seg.withColumn("__max_seg", max_seg)
+        # keep real segments, plus the single seg-0 row of rest days;
+        # preamble seg-0 rows of segmented days drop exactly as before
+        .filter((F.col("seg_idx") > 0) | is_rest)
         .select(
             "post_id",
             "day_idx",
-            F.lit(1).cast("bigint").alias("seg_idx"),
-            F.lit("session").alias("k"),
-            F.lit("rest day").alias("v"),
+            F.when(is_rest, F.lit(1).cast("bigint"))
+            .otherwise(F.col("seg_idx"))
+            .alias("seg_idx"),
+            F.when(is_rest | (F.col("seg_idx") == 1), F.lit("session"))
+            .otherwise(F.col("key_line"))
+            .alias("k"),
+            F.when(is_rest, F.lit("rest day"))
+            .when(F.col("seg_idx") == 1, F.col("key_line"))
+            .otherwise(value)
+            .alias("v"),
         )
     )
-    kv_all = kv.unionByName(rest)
     # duplicate segment keys within a day: LAST one wins (the reference's
     # dict comprehension overwrites in iteration order) — max_by(seg_idx)
     # makes that deterministic under shuffle, where first() would not be.
