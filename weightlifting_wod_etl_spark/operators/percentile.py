@@ -23,8 +23,114 @@ results are bit-identical to any engine using either interpolation form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def grouped_weight_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_expr: Column,
+    bucket_bits: int = 16,
+    pre_aggregate: bool = False,
+) -> DataFrame:
+    """Distributed prefix sum: raw (group, value, weight) rows → one row
+    per (group, DISTINCT value) carrying ``__v`` (the value), ``__w``
+    (summed weight), ``__cum`` (running cumulative weight in ascending
+    value order, NULLs last) and ``__n`` (group total weight).
+
+    The naive form — groupBy(group, value) then a cumulative window
+    partitioned by group — has TWO scale ceilings (r18 optimization
+    round, guide §2.2/§2.5): the (group, value) exchange shuffles every
+    distinct value only to re-shuffle them by group for the window, and
+    the window itself runs ONE task per group (3 tasks for 3 return
+    flags, at any cluster size). This operator instead partitions once
+    by (group, value-range bucket) — ``bucket = value >> bucket_bits``,
+    monotone in the value, so buckets tile the sorted order — cumulates
+    within buckets in parallel, and adds per-bucket offsets computed
+    from the bucket totals (a relation bounded by groups × value-domain
+    / 2^bucket_bits, broadcast back). ONE full shuffle, parallelism =
+    groups × occupied buckets; all arithmetic stays exact integer, so
+    the result is bit-identical to the single-window form.
+
+    ``pre_aggregate``: when True, rows collapse to DISTINCT
+    (group, bucket, value) triples through an ordinary groupBy FIRST —
+    map-side combine applies, so only distinct pairs ever cross the wire
+    (the mad/percentile "counts-first" byte contract), at the cost of a
+    second (smaller, distinct-row) exchange for the bucket windows. When
+    False, raw projected rows shuffle once by (group, bucket) and
+    aggregate after — fewer exchanges, the right trade when values are
+    near-distinct anyway (measured: q_weighted_median's 594k distinct
+    cents over 600k rows).
+
+    Preconditions: ``value_col`` is integral (or at least NaN-free —
+    long truncation must be monotone) and ``weight_expr`` is integral.
+    NULL values sort last (NULL bucket last) exactly like the
+    single-window form; give them zero weight if they must not count.
+    """
+    bucket = F.shiftright(F.col(value_col).cast("long"), bucket_bits)
+    d = df.select(
+        *group_cols,
+        value_col,
+        weight_expr.alias("__w0"),
+        bucket.alias("__bkt"),
+    )
+    if pre_aggregate:
+        # distinct pairs cross the wire (map-side combine); the bucket
+        # windows then need one more — distinct-row-sized — exchange
+        counts = d.groupBy(*group_cols, "__bkt", value_col).agg(
+            F.sum("__w0").alias("__w")
+        )
+    else:
+        # the ONE exchange: everything below rides (group, bucket)
+        counts = (
+            d.repartition(*group_cols, "__bkt")
+            .groupBy(*group_cols, "__bkt", value_col)
+            .agg(F.sum("__w0").alias("__w"))
+        )
+    w_in = (
+        Window.partitionBy(*group_cols, "__bkt")
+        .orderBy(F.col(value_col).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = counts.withColumn("__cum_in", F.sum("__w").over(w_in))
+    # bucket totals: tiny (groups × occupied buckets); the branch re-reads
+    # the same exchange (ReuseExchange — both subtrees are identical).
+    # Renamed output columns make the offset join's self-join condition
+    # unambiguous by construction.
+    gren = {c: f"__g{i}" for i, c in enumerate(group_cols)}
+    btot = counts.groupBy(*group_cols, "__bkt").agg(
+        F.sum("__w").alias("__btot")
+    )
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__bkt").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    off = btot.select(
+        *[F.col(c).alias(gren[c]) for c in group_cols],
+        F.col("__bkt").alias("__bkt_r"),
+        F.coalesce(F.sum("__btot").over(w_prev), F.lit(0).cast("long")).alias(
+            "__off"
+        ),
+        F.sum("__btot").over(w_all).alias("__tot"),
+    )
+    # null-safe equi-join on EVERY key: the NULL-value bucket and NULL
+    # group values are real window partitions in the single-window form
+    # and must pick up their offset rows identically here
+    join_cond = F.col("__bkt").eqNullSafe(F.col("__bkt_r"))
+    for c in group_cols:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(gren[c]))
+    out = cum_in.join(F.broadcast(off), join_cond)
+    return out.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        "__w",
+        (F.col("__cum_in") + F.col("__off")).alias("__cum"),
+        F.col("__tot").alias("__n"),
+    )
 
 
 def exact_percentiles(
@@ -81,27 +187,31 @@ def exact_percentiles(
     # other df columns are dropped by the first groupBy
     require_free_columns(
         "exact_percentiles",
-        {"__c", "__v", "__cum", "__n", "n_items", *minted},
+        {
+            "__c", "__v", "__cum", "__n", "n_items",
+            # grouped_weight_cumsum internals
+            "__w0", "__w", "__bkt", "__bkt_r", "__cum_in", "__btot",
+            "__off", "__tot",
+            *[f"__g{i}" for i in range(len(group_cols))],
+            *minted,
+        },
         df.select(*group_cols, value_col),
     )
-    counts = df.groupBy(*group_cols, value_col).agg(
-        # NULL-value rows keep their group alive but carry zero weight:
-        # they never enter __cum/__n, so every index and count below is
-        # computed over non-NULL values exactly as before
-        F.sum(F.when(F.col(value_col).isNotNull(), 1).otherwise(0)).alias("__c")
-    )
-    wcum = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col(value_col).asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy(*group_cols)
-    cum = counts.select(
-        *group_cols,
-        F.col(value_col).alias("__v"),
-        F.sum("__c").over(wcum).alias("__cum"),
-        F.sum("__c").over(wall).alias("__n"),
-    )
+    # NULL-value rows keep their group alive but carry zero weight: they
+    # never enter __cum/__n, so every index and count below is computed
+    # over non-NULL values exactly as before. The cumulation itself runs
+    # through the bucketed distributed prefix sum (one shuffle, parallel
+    # within value-range buckets) instead of one window task per group.
+    cum = grouped_weight_cumsum(
+        df.select(*group_cols, value_col),
+        group_cols,
+        value_col,
+        F.when(F.col(value_col).isNotNull(), 1).otherwise(0),
+        # distinct (group, value) pairs cross the wire (map-side combine)
+        # — the counts-first byte contract this operator documents and
+        # test_plan_shapes pins for q_mad_anomaly
+        pre_aggregate=True,
+    ).select(*group_cols, "__v", "__cum", "__n")
 
     aggs = [F.first("__n").alias("n_items")]
     names: list[str] = []
