@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--plan", default=None, help="dir to write <q>_plan.txt")
     ap.add_argument("--suffix", default="plan", help="plan file suffix")
     ap.add_argument("--conf", action="append", default=[], help="k=v extra conf")
+    ap.add_argument(
+        "--final-plan", action="store_true",
+        help="also collect() once and capture the AQE-final executed plan",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,6 +65,16 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        if args.plan and args.final_plan:
+            # post-execution capture: under AQE the final plan (with
+            # AQEShuffleRead / ReusedExchange / runtime join rewrites)
+            # only exists after the plan has run — and a noop WRITE runs
+            # a cloned QueryExecution, so collect() the df itself once
+            # and read ITS executed plan
+            df.collect()
+            p = os.path.join(args.plan, f"{name}_{args.suffix}_final.txt")
+            with open(p, "w") as fh:
+                fh.write(df._jdf.queryExecution().executedPlan().toString())
         print(
             f"{name}: min={min(samples):.3f}s  "
             f"samples={[round(s, 3) for s in samples]}"
