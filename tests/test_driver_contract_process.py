@@ -187,8 +187,17 @@ def test_preflight_calibration_reference_uses_recent_rounds(tmp_path, monkeypatc
     payload["box_state"] = {
         "state": "ok", "attempts": [{"sum": 9.9}, {"sum": 7.3}]
     }
+    payload["sentinels"] = list(bench.SENTINELS)
     (tmp_path / "BENCH_CAL_r17b.json").write_text(json.dumps(payload))
     payload["box_state"] = {"state": "degraded", "attempts": [{"sum": 0.5}]}
     (tmp_path / "BENCH_DETAIL_r16.json").write_text(json.dumps(payload))
     ref, src = bench._calibration_reference(0.1)
     assert (ref, src) == (7.3, "BENCH_CAL_r17b.json (preflight)")
+    # r18 sentinel repair: a pre-flight sum recorded under a DIFFERENT
+    # sentinel list is not like-for-like — it must be ignored (the
+    # artifact still contributes through its in-run per-query sums)
+    payload = json.loads((tmp_path / "BENCH_CAL_r17b.json").read_text())
+    payload["sentinels"] = ["q_other"] + list(bench.SENTINELS)[1:]
+    (tmp_path / "BENCH_CAL_r17b.json").write_text(json.dumps(payload))
+    ref, src = bench._calibration_reference(0.1)
+    assert src == "BENCH_CAL_r17a.json (in-run +slack)"
