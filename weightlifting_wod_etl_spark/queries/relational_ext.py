@@ -289,18 +289,46 @@ def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-preserving set ops (INTERSECT ALL / EXCEPT ALL) — bag
-    semantics, complementing q_set_ops' set semantics. Spark plans both as
-    a count-tagged aggregate + generate (one shuffle per op, no join
-    explosion); multiplicity math must match the oracle exactly, which a
-    dedup-based rewrite would silently break.
+    semantics, complementing q_set_ops' set semantics. Multiplicity math
+    must match the oracle exactly, which a dedup-based rewrite would
+    silently break.
+
+    ONE aggregation instead of chained intersectAll/exceptAll (r18
+    optimization round, guide §2.3/§2.4): the operator chain planned 3
+    lineitem scans, 2 corpus-keyed exchanges and a mid-plan Generate
+    that re-materialized every intersect duplicate only to re-count it.
+    Since all three legs key on l_orderkey, one groupBy computes the
+    per-key leg counts (cr, cf, cl) in a single scan/shuffle and the
+    final bag multiplicity is the closed form the SQL standard defines:
+    INTERSECT ALL keeps min(cr, cf) copies, EXCEPT ALL then keeps
+    max(min(cr, cf) - cl, 0) — reproduced by one sequence explode.
+    NULL keys group together exactly as the operators' null-safe
+    equality matches them; a NULL l_shipdate fails the `late` predicate
+    in both forms. Bag-identical by construction (the driver hash is
+    the proof); plan: 3 scans -> 1, 2 exchanges -> 1, 2 Generates -> 1.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
-    f = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
-    late = li.filter(
-        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
-    ).select("l_orderkey")
-    return r.intersectAll(f).exceptAll(late)
+    counts = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__cr"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("__cf"),
+        F.sum(
+            F.when(
+                F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"), 1
+            ).otherwise(0)
+        ).alias("__cl"),
+    )
+    mult = F.greatest(
+        F.least(F.col("__cr"), F.col("__cf")) - F.col("__cl"), F.lit(0).cast("long")
+    )
+    return (
+        counts.select("l_orderkey", mult.alias("__m"))
+        .filter(F.col("__m") > 0)
+        .select(
+            "l_orderkey",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__m"))).alias("__i"),
+        )
+        .select("l_orderkey")
+    )
 
 
 @register(
