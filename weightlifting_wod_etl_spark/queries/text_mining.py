@@ -407,16 +407,43 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared minting (operators/text.bigram_structs, r12) — the old
     # inline copy also carried a dead `.otherwise(empty array)` branch:
     # when-without-otherwise yields NULL, which explode drops identically
-    b = docs.select(
-        "doc_id", F.explode(bigram_structs(F.col("text"))).alias("t")
-    ).select("doc_id", "t.w1", "t.bg")
-    c2 = b.groupBy("bg").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = c2.groupBy(
-        F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1")
-    ).agg(F.sum("n2").alias("n1"))
+    b = (
+        docs.select(
+            "doc_id", F.explode(bigram_structs(F.col("text"))).alias("t")
+        )
+        .select("doc_id", "t.w1", "t.bg")
+        # BOTH predicates are vacuous by construction (struct fields
+        # minted from split tokens are never NULL) but stated EXPLICITLY
+        # so the joins below cannot infer either one into only one
+        # branch's subtree and break the exchange reuse — Catalyst
+        # pushes isnotnull(join key) into build sides even for left
+        # joins, and a subtree-local filter kills canonical equality
+        .filter(F.col("bg").isNotNull() & F.col("w1").isNotNull())
+    )
+    # TWO corpus explodes, not three (r18 optimization round, guide
+    # §2.4): the history-count branch used to plan its own full
+    # explode+aggregate copy of c2 because the two joins pushed
+    # DIFFERENT inferred isnotnull(key) filters below each branch's
+    # exchange, breaking the canonical equality ReusedExchange needs.
+    # Fixes, all measured on the AQE-final plan: (1) c2 carries w1 as a
+    # rider grouping key (functionally dependent on bg — same groups,
+    # same counts) so c1 groups on a plain attribute instead of
+    # re-deriving the history via split_part; (2) the vacuous notnull
+    # predicates are stated once at the source so inference adds nothing
+    # branch-local; (3) the score joins go LEFT (equal to inner
+    # row-for-row — every key matches by construction since c2/c1
+    # aggregate the same relation). c1's input is then a ReusedExchange
+    # of c2's vocabulary shuffle and the third explode disappears. The
+    # probe-side explode stays separate and shuffle-free on purpose:
+    # pre-aggregating it to (doc, bg) counts to share ONE explode was
+    # measured SLOWER (1.00 vs 0.89 s — the added corpus-pair exchange
+    # outweighs an explode), the same verdict as the tfidf/fan-out
+    # experiments.
+    c2 = b.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     return (
-        b.join(c2, "bg")
-        .join(c1, "w1")
+        b.join(c2.select("bg", "n2"), "bg", "left")
+        .join(c1, "w1", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
