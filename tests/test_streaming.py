@@ -1198,3 +1198,45 @@ def test_cdc_apply_empty_key_list_is_refused_at_build_time():
 
     with pytest.raises(ValueError, match="at least one key column"):
         make_cdc_apply("/tmp/nowhere", on=[], seq_col="seq")
+
+
+def test_cdc_apply_all_null_key_batch_commits_nothing(spark, tmp_path):
+    """r18 optimization round: the empty-batch guard moved from a
+    post-collapse count job onto the raw-batch stats aggregation
+    (key-ok rows exist iff collapsed rows do). The degenerate case the
+    rewrite must preserve: a batch whose EVERY row is NULL-keyed
+    collapses to nothing — no merge may run, so a nonexistent target
+    stays nonexistent (a commit would mint an empty version 0) and an
+    existing target keeps its version."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        current_version,
+        table_exists,
+    )
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    all_null = spark.createDataFrame(
+        [(None, "U", 1, "x"), (None, "D", 2, "y")],
+        "k long, op string, seq long, v string",
+    )
+    fresh = os.path.join(str(tmp_path), "cdc_allnull_fresh")
+    make_cdc_apply(fresh, on=["k"], seq_col="seq")(all_null, 0)
+    assert not table_exists(fresh), "empty batch minted a table"
+
+    existing = os.path.join(str(tmp_path), "cdc_allnull_existing")
+    spark.createDataFrame([(1, "base")], "k long, v string").write.parquet(
+        existing
+    )
+    apply_batch = make_cdc_apply(existing, on=["k"], seq_col="seq")
+    apply_batch(
+        spark.createDataFrame(
+            [(2, "U", 1, "ins")], "k long, op string, seq long, v string"
+        ),
+        0,
+    )
+    v_before = current_version(existing)
+    apply_batch(all_null, 1)
+    assert current_version(existing) == v_before, (
+        "all-NULL-key batch committed a new version"
+    )

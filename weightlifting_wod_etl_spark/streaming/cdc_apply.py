@@ -71,12 +71,25 @@ def make_cdc_apply(
         # plan does not uncache its parent
         cached = batch_df.persist()
         batch_df = cached
-        n_null_key = batch_df.filter(~key_ok).count()
-        if n_null_key:
+        # ONE bookkeeping job over the raw batch (r18 optimization
+        # round, guide §1.2): the dropped-row count and the empty-batch
+        # guard used to be separate actions (a filter().count() here
+        # plus an n_del/n_all agg over the collapsed batch below) —
+        # three driver round-trips per micro-batch before the merge's
+        # own single stats job. One agg now answers both questions; the
+        # delete/upsert split moved into merge_into's op-aware form,
+        # which already tags and counts both sides in ITS one job.
+        stats = cached.agg(
+            F.coalesce(
+                F.sum(F.when(~key_ok, 1).otherwise(0)), F.lit(0)
+            ).alias("n_null_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).collect()[0]
+        if stats.n_null_key:
             import sys
 
             print(
-                f"cdc_apply: batch {batch_id} dropped {n_null_key} "
+                f"cdc_apply: batch {batch_id} dropped {stats.n_null_key} "
                 "NULL-key change row(s) — unaddressable by MERGE; "
                 "check the upstream feed for PK corruption",
                 file=sys.stderr,
@@ -112,19 +125,17 @@ def make_cdc_apply(
             # test_merge.py's sequential-vs-single equivalence test).
             # eqNullSafe keeps the r10 null-op rule: a null/unknown op is
             # an upsert, never silently dropped from both branches.
-            is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
-            counts = latest.agg(
-                F.coalesce(
-                    F.sum(F.when(is_del, 1).otherwise(0)), F.lit(0)
-                ).alias("n_del"),
-                F.count(F.lit(1)).alias("n_all"),
-            ).collect()[0]
-            if counts.n_all:
-                deletes = (
-                    latest.filter(is_del).select(*on)
-                    if counts.n_del
-                    else None
-                )
+            # deletes passes unconditionally (possibly empty — merge_into
+            # handles an empty key frame identically to None, it just
+            # rides the same tagged aggregation): probing the collapsed
+            # batch for "are there any deletes?" was a whole extra Spark
+            # job whose answer changes nothing the merge doesn't already
+            # compute. The empty-BATCH guard stays (no commit for a
+            # batch that collapsed to nothing), answered by the raw-batch
+            # stats job above: key-ok rows exist iff collapsed rows do.
+            if stats.n_rows > stats.n_null_key:
+                is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
+                deletes = latest.filter(is_del).select(*on)
                 upserts = latest.filter(~is_del).drop(op_col, seq_col)
                 merge_into(spark, target_path, upserts, on, deletes=deletes)
         finally:
