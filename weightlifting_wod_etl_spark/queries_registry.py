@@ -98,6 +98,30 @@ from .queries import (  # noqa: E402,F401
 # round). _WINDOW_TAIL pins rows-only-by-design queries to the very end so no
 # driver slot is burned on a query that cannot hash-match.
 #
+# Round-19 window (tools/rotate_window.py --front q_cdc_apply,
+# EXECUTED): the 49-query r16 tranche — everything last driver-green in
+# r16, at the 2-round staleness cutoff — plus q_cdc_apply in the single
+# spare slot. CORRECTION to the R19 ROTATION NOTE below: it was written
+# mid-r18 BEFORE the optimization sessions landed; r18 in fact shipped
+# value-identical PLAN reshapes for q_set_ops, q_set_ops_all, q_tpch_q16,
+# q_cdc_apply, q_date_extract, q_embed_neardup, q_minhash_lsh(fan-out),
+# q_min_cost_supplier, q_wod_pipeline, q_weighted_median and more (see
+# OPTIMIZATION_r18.md). Of those lacking driver evidence, q_set_ops,
+# q_tpch_q16, q_date_extract, q_minhash_lsh, q_simhash, q_wod_pipeline
+# sit INSIDE this r16 tranche naturally; q_min_cost_supplier /
+# q_weighted_median / q_percentile / q_bigram_lm_score were driver-green
+# in r18 already. That leaves q_set_ops_all, q_cdc_apply, q_embed_neardup
+# needing first evidence for their r18 shapes against ONE spare slot
+# (49 overdue + 1). The slot goes to q_cdc_apply: the deepest reshape
+# (op-aware single MERGE + single bookkeeping job) AND the r19 round's
+# top optimization target (VERDICT r18 Next #1), so the driver hashes
+# the newest shape immediately. q_set_ops_all and q_embed_neardup ride
+# to r20 with their natural r17 tranche (both pinned locally by
+# oracle-parity tests at sf0.001/0.01/0.1 and the 150/150 driver sim).
+# ZERO spare slots remain after this rotation: any value-changing
+# rewrite in r19 must retire or merge a duplicate shape in the same
+# commit (r13 models).
+#
 # Round-18 window (tools/rotate_window.py --front q_variant_json,
 # EXECUTED): the 49-query r15 tranche — everything last driver-green in
 # r15, at the 2-round staleness cutoff — plus q_bigram_lm_score (the
@@ -115,8 +139,10 @@ from .queries import (  # noqa: E402,F401
 # rotation: any value-changing rewrite in r18 must retire or merge a
 # duplicate shape in the same commit (r13 models).
 #
-# R19 ROTATION NOTE (r18 adjudications, plan for next round's first
-# commit): the r16 tranche falls due at r19 — everything last
+# R19 ROTATION NOTE (r18 adjudications, SUPERSEDED by the EXECUTED
+# Round-19 note above — notably its "r18 shipped NO value-affecting
+# reshapes" claim predates the r18 optimization sessions and is WRONG;
+# see the correction above): the r16 tranche falls due at r19 — everything last
 # driver-green in r16 EXCEPT q_bigram_lm_score (which took r18's spare
 # slot and is fresh again), i.e. ~49 queries; run
 # `tools/rotate_window.py` and take the staleness test's printed set as
@@ -211,56 +237,56 @@ from .queries import (  # noqa: E402,F401
 DRIVER_WINDOW_SIZE = 50
 
 _WINDOW_PRIORITY = [
-    "q_argmax_events",  # last green r15
-    "q_array_fns",  # last green r15
-    "q_bigram_topk",  # last green r15
-    "q_canonical_rep",  # last green r15
-    "q_clean_normalize",  # last green r15
-    "q_corr_stats",  # last green r15
-    "q_cube",  # last green r15
-    "q_dedup_antijoin",  # last green r15
-    "q_dedup_exact",  # last green r15
-    "q_event_gap_stats",  # last green r15
-    "q_funnel_conversion",  # last green r15
-    "q_grouping_sets",  # last green r15
-    "q_histogram",  # last green r15
-    "q_kv_upsert_dedup",  # last green r15
-    "q_lang_id",  # last green r15 (r16 casefold reshape — first driver row)
-    "q_limit_offset",  # last green r15
-    "q_min_cost_supplier",  # last green r15
-    "q_multimodal_features",  # last green r15
-    "q_ntile_bucket",  # last green r15
-    "q_passage_dedup",  # last green r15
-    "q_percentile",  # last green r15
-    "q_pivot_wide",  # last green r15
-    "q_quality_score",  # last green r15 (r16 casefold reshape — first driver row)
-    "q_rank_fns",  # last green r15
-    "q_regex_filter",  # last green r15
-    "q_retention_cohort",  # last green r15
-    "q_rollup",  # last green r15
-    "q_scalar_subquery",  # last green r15
-    "q_scan_project",  # last green r15
-    "q_scd2_snapshot",  # last green r15
-    "q_skew_agg",  # last green r15
-    "q_skew_join",  # last green r15
-    "q_text_stats",  # last green r15
-    "q_tfidf_topk",  # last green r15
-    "q_token_count",  # last green r15 (r16 casefold reshape — first driver row)
-    "q_tpch_q1",  # last green r15
-    "q_tpch_q10",  # last green r15
-    "q_tpch_q14",  # last green r15
-    "q_tpch_q18",  # last green r15
-    "q_tpch_q19",  # last green r15
-    "q_tpch_q3",  # last green r15
-    "q_tpch_q4",  # last green r15
-    "q_tpch_q5",  # last green r15
-    "q_tpch_q6",  # last green r15
-    "q_tpch_q7",  # last green r15
-    "q_tpch_q9",  # last green r15
-    "q_trigram_entropy",  # last green r15
-    "q_variant_json",  # last green r15 (r17 oracle reshapes x2 — first driver row)
-    "q_weighted_median",  # last green r15
-    "q_bigram_lm_score",  # last green r16 (stalest-r16 spare slot)
+    "q_cms_estimate",  # last green r16
+    "q_cosine_topk",  # last green r16
+    "q_cumulative_distinct",  # last green r16
+    "q_data_quality",  # last green r16
+    "q_date_extract",  # last green r16
+    "q_date_spine",  # last green r16
+    "q_embed_centroid",  # last green r16
+    "q_event_transitions",  # last green r16
+    "q_ewma",  # last green r16
+    "q_explode_lines",  # last green r16
+    "q_fuzzy_dedup",  # last green r16
+    "q_global_topn",  # last green r16
+    "q_group_concat",  # last green r16
+    "q_hll_bound",  # last green r16
+    "q_hll_union",  # last green r16
+    "q_json_fns",  # last green r16
+    "q_lateral_topk",  # last green r16
+    "q_mad_anomaly",  # last green r16
+    "q_map_fns",  # last green r16
+    "q_minhash_lsh",  # last green r16
+    "q_ngram_jaccard",  # last green r16
+    "q_pagerank",  # last green r16
+    "q_quantile_bound",  # last green r16
+    "q_resample_ffill",  # last green r16
+    "q_rolling_range",  # last green r16
+    "q_session_concurrency",  # last green r16
+    "q_sessionize_events",  # last green r16
+    "q_sessionize_text",  # last green r16
+    "q_set_ops",  # last green r16
+    "q_simhash",  # last green r16
+    "q_sliding_window",  # last green r16
+    "q_snapshot_diff",  # last green r16
+    "q_string_fns",  # last green r16
+    "q_tdigest_quantile",  # last green r16
+    "q_tpch_q11",  # last green r16
+    "q_tpch_q12",  # last green r16
+    "q_tpch_q13",  # last green r16
+    "q_tpch_q15",  # last green r16
+    "q_tpch_q16",  # last green r16
+    "q_tpch_q17",  # last green r16
+    "q_tpch_q20",  # last green r16
+    "q_tpch_q21",  # last green r16
+    "q_tpch_q8",  # last green r16
+    "q_tumbling_window",  # last green r16
+    "q_weekly_rollup",  # last green r16
+    "q_weighted_sample",  # last green r16
+    "q_window_dedup",  # last green r16
+    "q_window_frames",  # last green r16
+    "q_wod_pipeline",  # last green r16
+    "q_cdc_apply",  # last green r17
 ]
 # Rows-only by design (engine-specific sketches — SURVEY §7.3): keep these in
 # the LAST registration slots so every driver window slot is oracle-bearing.
