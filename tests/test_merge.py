@@ -559,3 +559,54 @@ def test_op_aware_merge_prunes_files_for_delete_only_keys(spark, tmp_path):
     merge_into(spark, path, ups, on=["k"], deletes=dels)
     rows = {r.k: r.v for r in spark.read.parquet(resolve(path)).collect()}
     assert 7 not in rows and rows[1] == "v1b" and len(rows) == 7
+
+
+def test_merge_total_noop_skips_commit_but_delete_miss_still_commits(
+    spark, tmp_path
+):
+    """r19 optimization round: the empty-batch guard moved from
+    cdc_apply's raw-batch inference INTO merge_into — a merge with no
+    source rows and no delete keys is a TOTAL no-op in every clause mode
+    (out == target exactly) and must not mint a version, on an existing
+    table or a fresh path. A delete of an ABSENT key is NOT a no-op by
+    this rule (n_del_keys > 0): it commits a version exactly as before
+    the change, pinning that the skip fires only on collapsed-empty
+    input, never on merely-ineffective input."""
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        current_version,
+        table_exists,
+    )
+
+    empty_src = spark.createDataFrame([], "k long, v long, tag string")
+    empty_del = spark.createDataFrame([], "k long")
+
+    fresh = str(tmp_path / "noop_fresh")
+    stats = merge_into(spark, fresh, empty_src, on=["k"], deletes=empty_del)
+    assert stats == {
+        "matched": 0,
+        "inserted": 0,
+        "deleted": 0,
+        "dup_target_rows_collapsed": 0,
+        "files_rewritten": 0,
+        "files_carried": 0,
+    }
+    assert not table_exists(fresh), "no-op merge minted a fresh table"
+
+    path = str(tmp_path / "noop_existing")
+    _table(spark, path, [(1, 10, "old")])
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(2, 20, "new")], "k long, v long, tag string"),
+        on=["k"],
+    )
+    v_before = current_version(path)
+    assert merge_into(spark, path, empty_src, on=["k"])["inserted"] == 0
+    assert current_version(path) == v_before, "no-op merge minted a version"
+
+    # delete key matching nothing: NOT a no-op — commits, deletes nothing
+    miss_del = spark.createDataFrame([(99,)], "k long")
+    stats = merge_into(spark, path, empty_src, on=["k"], deletes=miss_del)
+    assert stats["deleted"] == 0 and stats["matched"] == 0
+    assert current_version(path) == v_before + 1
+    assert _rows(spark, path) == {1: (10, "old"), 2: (20, "new")}

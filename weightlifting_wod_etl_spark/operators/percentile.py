@@ -108,7 +108,19 @@ def grouped_weight_cumsum(
         .orderBy(F.col("__bkt").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_all = Window.partitionBy(*group_cols)
+    # identical partition AND order spec as w_prev (r19 optimization
+    # round, guide §2.4): Spark fuses window expressions into one Window
+    # operator only when both specs match, so the former orderBy-less
+    # form planned a SECOND Window pass over btot just for the group
+    # total. An unbounded-both-sides frame over the same order is
+    # value-identical (the frame covers the whole partition either way;
+    # integer sum, order-independent) and rides w_prev's operator —
+    # 3 Window nodes → 2 in the committed plans.
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__bkt").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     off = btot.select(
         *[F.col(c).alias(gren[c]) for c in group_cols],
         F.col("__bkt").alias("__bkt_r"),

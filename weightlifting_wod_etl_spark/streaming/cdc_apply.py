@@ -59,42 +59,36 @@ def make_cdc_apply(
         # updated or deleted. A Debezium row with a NULL PK is a
         # malformed feed; drop it before merging — but OBSERVABLY (r13
         # advice): a corrupted feed silently shrinking is hard to detect
-        # downstream, so count the dropped rows per batch and log. One
-        # extra action on the (cached-below) batch is batch-bounded cost.
+        # downstream, so count the dropped rows per batch and log.
         key_ok = None
         for k in on:
             c = F.col(k).isNotNull()
             key_ok = c if key_ok is None else (key_ok & c)
+        # ZERO extra driver jobs for the bookkeeping (r19 optimization
+        # round, guide §1.2, completing r18's three-jobs-to-one step):
+        # the dropped-row count rides an ``observe`` on the raw batch and
+        # materializes for free when merge_into's own single key-stats
+        # job scans the (cached) batch — the former dedicated
+        # agg().collect() driver round-trip per micro-batch is gone. The
+        # empty-batch guard moved INTO merge_into (a batch that collapses
+        # to no upserts and no delete keys skips the commit there, where
+        # "collapsed to nothing" is a local fact), eliminating the
+        # cross-module "key-ok rows exist iff collapsed rows do"
+        # inference this function used to make (r18 ADVICE).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         # keep the PERSISTED handle separate (round-diff review r13):
         # rebinding batch_df to the filter and unpersisting THAT leaked
         # one cached batch per micro-batch — unpersist() on a derived
         # plan does not uncache its parent
-        cached = batch_df.persist()
-        batch_df = cached
-        # ONE bookkeeping job over the raw batch (r18 optimization
-        # round, guide §1.2): the dropped-row count and the empty-batch
-        # guard used to be separate actions (a filter().count() here
-        # plus an n_del/n_all agg over the collapsed batch below) —
-        # three driver round-trips per micro-batch before the merge's
-        # own single stats job. One agg now answers both questions; the
-        # delete/upsert split moved into merge_into's op-aware form,
-        # which already tags and counts both sides in ITS one job.
-        stats = cached.agg(
+        cached = batch_df.observe(
+            obs,
             F.coalesce(
                 F.sum(F.when(~key_ok, 1).otherwise(0)), F.lit(0)
             ).alias("n_null_key"),
-            F.count(F.lit(1)).alias("n_rows"),
-        ).collect()[0]
-        if stats.n_null_key:
-            import sys
-
-            print(
-                f"cdc_apply: batch {batch_id} dropped {stats.n_null_key} "
-                "NULL-key change row(s) — unaddressable by MERGE; "
-                "check the upstream feed for PK corruption",
-                file=sys.stderr,
-            )
-        batch_df = batch_df.filter(key_ok)
+        ).persist()
+        batch_df = cached.filter(key_ok)
         # TOTAL order for the in-batch collapse: seq first, then every
         # remaining column as tie-breakers (unorderable map-bearing
         # columns via their JSON text — operators/dedup.py holds the one
@@ -130,14 +124,25 @@ def make_cdc_apply(
             # rides the same tagged aggregation): probing the collapsed
             # batch for "are there any deletes?" was a whole extra Spark
             # job whose answer changes nothing the merge doesn't already
-            # compute. The empty-BATCH guard stays (no commit for a
-            # batch that collapsed to nothing), answered by the raw-batch
-            # stats job above: key-ok rows exist iff collapsed rows do.
-            if stats.n_rows > stats.n_null_key:
-                is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
-                deletes = latest.filter(is_del).select(*on)
-                upserts = latest.filter(~is_del).drop(op_col, seq_col)
-                merge_into(spark, target_path, upserts, on, deletes=deletes)
+            # compute. Called UNCONDITIONALLY (r19): a batch that
+            # collapsed to nothing skips its commit inside merge_into.
+            is_del = F.col(op_col).eqNullSafe(F.lit(delete_op))
+            deletes = latest.filter(is_del).select(*on)
+            upserts = latest.filter(~is_del).drop(op_col, seq_col)
+            merge_into(spark, target_path, upserts, on, deletes=deletes)
+            # merge_into's key-stats job always scans the batch (source
+            # and deletes derive from ``cached``), so the observed
+            # metrics are available here without any extra action
+            n_null_key = obs.get["n_null_key"]
+            if n_null_key:
+                import sys
+
+                print(
+                    f"cdc_apply: batch {batch_id} dropped {n_null_key} "
+                    "NULL-key change row(s) — unaddressable by MERGE; "
+                    "check the upstream feed for PK corruption",
+                    file=sys.stderr,
+                )
         finally:
             latest.unpersist()
             cached.unpersist()
