@@ -309,6 +309,15 @@ COLD_ADJUDICATED = {
     "q_wod_pipeline",
 } | EAGER
 
+# The pre-flight warms every sentinel before the sweep, so a sentinel's
+# recorded `cold` is NOT a true sample-1 (VERDICT r18 #7). Cold-vs-cold
+# adjudication stays honest only while no sentinel is cold-adjudicated:
+assert not set(SENTINELS) & COLD_ADJUDICATED, (
+    "a sentinel is in COLD_ADJUDICATED — its cold channel is pre-warmed "
+    "by the pre-flight; move the query out of one of the two sets or "
+    "run the pre-flight after recording its sample-1"
+)
+
 
 def _current_round() -> int:
     """Round number = 1 + latest driver bench artifact. The driver writes
@@ -778,6 +787,16 @@ def main() -> None:
         "vs_prev": vs_prev,
         "vs_prev_cold": vs_prev_cold,
         "cold_adjudicated": sorted(COLD_ADJUDICATED),
+        # Cold-channel honesty (VERDICT r18 #7): the degraded-box
+        # pre-flight runs every sentinel twice BEFORE the sweep, so a
+        # sentinel's `cold` entry is not a true cold sample-1. Recorded
+        # here so no tooling mistakes it for one; harmless to the
+        # adjudication channel because vs_prev_cold iterates only
+        # COLD_ADJUDICATED, which is DISJOINT from the sentinel set —
+        # enforced right below so a future membership change that breaks
+        # the disjointness fails the run loudly instead of silently
+        # adjudicating a pre-warmed number.
+        "cold_prewarmed_by_preflight": sorted(set(SENTINELS) & set(cold)),
         "sentinels": SENTINELS,
         "sentinel_sum": round(sentinel_sum, 3),
         "box_state": box_state,

@@ -258,3 +258,40 @@ def test_lsh_bucket_cap_counts_null_id_docs(spark):
     ).toPandas()
     assert not ((ncapped.doc_a < 100) & (ncapped.doc_b < 100)).any()
     assert (100, 101) in set(zip(ncapped.doc_a, ncapped.doc_b))
+
+
+def test_bigram_bg_determines_w1_and_lm_joins_never_null(spark, sf_dir):
+    """r18 ADVICE: q_bigram_lm_score's LEFT score joins are inner-equal
+    only under two invariants of operators/text.bigram_structs — bg
+    functionally determines w1 (tokens are space-split, so the bigram
+    key contains exactly one delimiter and split_part-style recovery is
+    unambiguous), and every probe key matches (c2/c1 aggregate the same
+    relation). If bigram minting ever changed (different delimiter,
+    nullable struct fields), the left joins would emit NULL n2/n1 which
+    F.avg silently skips — a silently skewed avg_logp. Pin both
+    invariants on the real corpus so a minting change trips here."""
+    from pyspark.sql import functions as F
+
+    from weightlifting_wod_etl_spark.io import load_table
+    from weightlifting_wod_etl_spark.operators.text import bigram_structs
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        docs.select("doc_id", F.explode(bigram_structs(F.col("text"))).alias("t"))
+        .select("doc_id", "t.w1", "t.bg")
+    )
+    # struct fields minted from split tokens are never NULL (the stated
+    # notnull predicates in the query are vacuous — prove it)
+    assert b.filter(F.col("bg").isNull() | F.col("w1").isNull()).count() == 0
+    # bg -> w1 functional dependency over the whole corpus
+    fd = (
+        b.groupBy("bg")
+        .agg(F.count_distinct("w1").alias("nw1"))
+        .filter(F.col("nw1") > 1)
+    )
+    assert fd.count() == 0, "a bigram key maps to two distinct histories"
+    # the joined score frame has no NULL counts: LEFT == INNER here
+    c2 = b.groupBy("bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    joined = b.join(c2.select("bg", "n2"), "bg", "left").join(c1, "w1", "left")
+    assert joined.filter(F.col("n2").isNull() | F.col("n1").isNull()).count() == 0
