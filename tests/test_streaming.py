@@ -1240,3 +1240,33 @@ def test_cdc_apply_all_null_key_batch_commits_nothing(spark, tmp_path):
     assert current_version(existing) == v_before, (
         "all-NULL-key batch committed a new version"
     )
+
+
+def test_cdc_apply_zero_row_batch_returns_and_commits_nothing(spark, tmp_path):
+    """r19: the NULL-key drop count rides an Observation that resolves
+    when merge_into's key-stats job scans the batch — pin that a ZERO-row
+    micro-batch (idle stream tick) still resolves the observation (no
+    hang waiting for metrics), mints no commit on an existing table, and
+    creates nothing on a fresh path."""
+    import os
+
+    from weightlifting_wod_etl_spark.operators.versioned import (
+        current_version,
+        table_exists,
+    )
+    from weightlifting_wod_etl_spark.streaming.cdc_apply import make_cdc_apply
+
+    empty = spark.createDataFrame([], "k long, op string, seq long, v string")
+
+    existing = os.path.join(str(tmp_path), "cdc_zero_existing")
+    spark.createDataFrame([(1, "base")], "k long, v string").write.parquet(
+        existing
+    )
+    apply_batch = make_cdc_apply(existing, on=["k"], seq_col="seq")
+    v_before = current_version(existing)
+    apply_batch(empty, 0)
+    assert current_version(existing) == v_before
+
+    fresh = os.path.join(str(tmp_path), "cdc_zero_fresh")
+    make_cdc_apply(fresh, on=["k"], seq_col="seq")(empty, 0)
+    assert not table_exists(fresh)
